@@ -1,0 +1,124 @@
+"""Top-level engine API: transcripts -> graph -> analytics.
+
+The public entry points a reference user would call, re-expressed
+Ray-Data-first. The flagship flow mirrors the reference experiment
+driver (/root/reference/main.cu:48-148): load the temporal prefix as the
+base graph, add self-loops, then replay insertion batches running the
+five PageRank variants (+ CC / LP / triangles from SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+import ray.data as rd
+
+from .options import PagerankOptions, PagerankResult
+from .pipelines.graph import GraphContext
+from .sources import edges as E
+from .sources import transcripts as T
+
+
+def build_graph(
+    transcripts_path: str,
+    num_parts: int = 8,
+    add_self_loops: bool = True,
+    temporal: bool = False,
+    base_fraction: float = 0.90,
+    batch_fraction: float = 1e-3,
+    num_batches: int = 5,
+):
+    """Transcripts Parquet -> (GraphContext, insertion batches).
+
+    With ``temporal=False`` the whole edge log becomes the graph and the
+    batch list is empty. With ``temporal=True``, mirrors main.cu:167:
+    the first ``base_fraction`` of the ordered mention-edge log is the
+    base graph and the next ``num_batches`` windows of
+    ``batch_fraction * M`` edges are returned as insertion batches
+    ((2,k) vid arrays, temporal order preserved).
+    """
+    ts = E.read_transcripts(transcripts_path)
+    raw_edges = E.extract_edges(ts).materialize()
+    dictionary = E.vertex_dictionary(ts, raw_edges)
+    n = len(dictionary)
+    dict_ref = ray.put(dictionary)
+    batches: list[np.ndarray] = []
+    if temporal:
+        log = raw_edges.sort(["ts", "src", "turn_idx"])
+        base, batch_ds = E.temporal_split(log, base_fraction, batch_fraction, num_batches)
+        encoded = E.encode_edges(base, dict_ref)
+        for b in batch_ds:
+            pdf = E.encode_edges(b, dict_ref).to_pandas()  # batches are small (1e-3 * M)
+            batches.append(np.stack([
+                pdf["src"].to_numpy().astype(np.int64),
+                pdf["dst"].to_numpy().astype(np.int64),
+            ]))
+    else:
+        encoded = E.encode_edges(raw_edges, dict_ref)
+    ctx = GraphContext.from_edges(
+        encoded.select_columns(["src", "dst"]), n, num_parts, dictionary, add_self_loops
+    )
+    return ctx, batches
+
+
+def pagerank(
+    transcripts_path: str,
+    num_parts: int = 8,
+    options: PagerankOptions | None = None,
+) -> tuple[GraphContext, PagerankResult]:
+    """One-shot static PageRank over the full transcript-derived graph."""
+    ctx, _ = build_graph(transcripts_path, num_parts)
+    return ctx, ctx.pagerank("static", options=options)
+
+
+def run_temporal_experiment(
+    transcripts_path: str,
+    num_parts: int = 8,
+    variants: tuple[str, ...] = ("static", "nd", "df", "dfp", "dt"),
+    options: PagerankOptions | None = None,
+    base_fraction: float = 0.90,
+    batch_fraction: float = 1e-3,
+    num_batches: int = 5,
+) -> dict:
+    """The reference's batch-update benchmark protocol (main.cu:79-147).
+
+    Builds the base graph from the first 90% of the ordered edge log,
+    computes a static ground truth, then per insertion batch: tidy ->
+    snapshot marks -> apply -> run each variant warm-started from its own
+    previous ranks -> compare to a fresh static run (L1 error, the
+    reference's oracle metric, main.cu:55, 88).
+    """
+    o = options or PagerankOptions()
+    ctx, batches = build_graph(
+        transcripts_path, num_parts, temporal=True,
+        base_fraction=base_fraction, batch_fraction=batch_fraction, num_batches=num_batches,
+    )
+    base_res = ctx.pagerank("static", options=o)
+    warm = {v: list(base_res.ranks) for v in variants}
+    out = {"base_iterations": base_res.iterations, "batches": []}
+    empty = np.empty((2, 0), dtype=np.int64)
+    for bi, batch in enumerate(batches):
+        dels, ins = ctx.tidy_batch(empty, batch)
+        # DF/DT marking order (pagerank.hxx:645-676): deletion sources
+        # expand in the OLD graph x (before apply), insertion sources in
+        # the UPDATED graph y (after apply).
+        marks_del = ctx.compute_frontier_marks(dels, empty)
+        ctx.apply_batch(dels, ins)
+        marks_ins = ctx.compute_frontier_marks(empty, ins)
+        marks = [
+            np.unique(np.concatenate([a, b])) for a, b in zip(marks_del, marks_ins)
+        ]
+        truth = ctx.pagerank("static", options=o)
+        s0 = ctx.assemble(truth.ranks)
+        rec = {}
+        for v in variants:
+            res = (
+                ctx.pagerank("static", options=o)
+                if v == "static"
+                else ctx.pagerank(v, warm=warm[v], options=o, initial_marks=marks)
+            )
+            warm[v] = list(res.ranks)
+            err = float(np.abs(ctx.assemble(res.ranks) - s0).sum())
+            rec[v] = {"iterations": res.iterations, "time": res.time, "l1_error": err}
+        out["batches"].append(rec)
+    return out

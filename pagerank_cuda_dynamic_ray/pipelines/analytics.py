@@ -1,0 +1,135 @@
+"""Connected components, label propagation, triangle counting.
+
+These run on the same shard actor pool as PageRank, over the
+symmetrized (undirected) view of the graph — symmetrize is the
+reference's prerequisite for its community/traversal machinery
+(/root/reference/inc/symmetrize.hxx:14-82, inc/bfs.hxx:22-55,
+inc/properties.hxx:123-401). All three reuse the engine's
+mark-shuffle / convergence-tree-reduce machinery (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+import ray.data as rd
+
+from .graph import GraphContext
+
+
+def _ensure_symmetric(ctx: GraphContext) -> None:
+    if not ctx._sym_built:
+        ray.get([s.build_symmetric.remote() for s in ctx.shards])
+        ctx._sym_built = True
+
+
+def connected_components(ctx: GraphContext, max_rounds: int = 10_000) -> rd.Dataset:
+    """Weakly-connected components as min-vid labels.
+
+    Frontier-optimized min-label propagation: each round, vertices whose
+    label shrank push it to their undirected neighbors (per-shard
+    min-combined before the exchange); fixpoint when the global changed
+    count tree-reduces to zero — the same convergence pattern as the
+    reference's DT mark fixpoint (/root/reference/inc/pagerankCuda.hxx:
+    439-456), here replacing its level-synchronous BFS substrate
+    (/root/reference/inc/bfs.hxx:22-55).
+
+    Returns a Dataset (vid:int64, component:int64[, conv_id]).
+    """
+    _ensure_symmetric(ctx)
+    P, shards = ctx.P, ctx.shards
+    ray.get([s.cc_init.remote() for s in shards])
+    for _ in range(max_rounds):
+        push_refs = [s.cc_push.options(num_returns=P + 1).remote() for s in shards]
+        changed = ray.get([
+            shards[p].cc_apply.remote(*[push_refs[q][1 + p] for q in range(P)])
+            for p in range(P)
+        ])
+        if sum(changed) == 0:
+            break
+    tables = ray.get([s.labels_table.remote("component") for s in shards])
+    return _with_conv(ctx, tables)
+
+
+def label_propagation(ctx: GraphContext, max_iterations: int = 10) -> rd.Dataset:
+    """Synchronous label propagation (community detection).
+
+    Init label = vid; each round every vertex adopts the most frequent
+    label among its undirected neighbors, ties broken toward the lowest
+    label; all updates install simultaneously (sync barrier), stopping at
+    ``max_iterations`` or when no label changes. Deterministic by
+    construction. The grouped-count substrate mirrors communitySize /
+    communityVertices (/root/reference/inc/properties.hxx:262-364).
+    """
+    _ensure_symmetric(ctx)
+    P, shards = ctx.P, ctx.shards
+    ray.get([s.lp_init.remote() for s in shards])
+    for _ in range(max_iterations):
+        emit_refs = [s.lp_emit.options(num_returns=P + 1).remote() for s in shards]
+        changed = ray.get([
+            shards[p].lp_apply.remote(*[emit_refs[q][1 + p] for q in range(P)])
+            for p in range(P)
+        ])
+        ray.get([s.lp_swap.remote() for s in shards])
+        if sum(changed) == 0:
+            break
+    tables = ray.get([s.labels_table.remote("label") for s in shards])
+    return _with_conv(ctx, tables)
+
+
+def triangle_count(ctx: GraphContext) -> tuple[int, rd.Dataset]:
+    """Exact triangle counting via degree-ordered orientation + wedge checks.
+
+    1. symmetrize; fetch neighbor degrees (one exchange) and orient every
+       undirected edge from lower (degree, vid) rank to higher — the
+       standard skew bound: a hub's wedges are generated at its low-rank
+       neighbors, so per-vertex wedge work is O(oriented-degree²) with
+       oriented degree O(sqrt(M)) — the engine's analogue of the
+       reference's degree-split hub handling (pagerankCuda.hxx:470-481).
+    2. each apex emits rank-ordered wedge pairs (lo, hi); owner(lo)
+       answers membership hi ∈ N>(lo) with a vectorized segmented binary
+       search (the distributed form of the reference's sorted-adjacency
+       ``hasEdge`` check, /root/reference/inc/_bitset.hxx:165-194).
+    3. corner credits: lo at the answering shard, apex/hi routed back —
+       per-vertex counts sum to 3 × the global count.
+
+    Returns (global_count, Dataset(vid, triangles[, conv_id])).
+    """
+    _ensure_symmetric(ctx)
+    P, shards = ctx.P, ctx.shards
+    need_refs = [s.tri_needed_neighbors.options(num_returns=P + 1).remote() for s in shards]
+    deg_refs = [
+        [shards[q].degrees_for.remote(need_refs[p][1 + q]) for q in range(P)]
+        for p in range(P)
+    ]
+    ray.get([shards[p].tri_orient.remote(*deg_refs[p]) for p in range(P)])
+    ray.get([s.tri_reset_counts.remote() for s in shards])
+    wedge_refs = [s.tri_wedges.options(num_returns=P + 1).remote() for s in shards]
+    answers = ray.get([
+        shards[q].tri_answer.remote(*[wedge_refs[p][1 + q] for p in range(P)])
+        for q in range(P)
+    ])
+    total = sum(a[0] for a in answers)
+    # route apex/hi corner credits to their owners
+    credits = np.concatenate([np.concatenate([a[1], a[2]]) for a in answers]) if answers else np.empty(0, np.int64)
+    owners = credits % P
+    order = np.argsort(owners, kind="stable")
+    credits, owners = credits[order], owners[order]
+    cuts = np.searchsorted(owners, np.arange(P + 1))
+    ray.get([
+        shards[p].tri_accumulate.remote(credits[cuts[p]:cuts[p + 1]] // P) for p in range(P)
+    ])
+    tables = ray.get([s.tri_counts_table.remote() for s in shards])
+    return int(total), _with_conv(ctx, tables)
+
+
+def _with_conv(ctx: GraphContext, tables) -> rd.Dataset:
+    if ctx.dictionary is not None:
+        import pyarrow as pa
+
+        out = []
+        for t in tables:
+            vids = t["vid"].to_numpy()
+            out.append(t.append_column("conv_id", pa.array(ctx.dictionary[vids])))
+        tables = out
+    return rd.from_arrow(tables)

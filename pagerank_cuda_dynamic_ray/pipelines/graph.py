@@ -1,0 +1,369 @@
+"""GraphContext — driver-side orchestration of the shard actor pool.
+
+Re-expresses the reference's engine entry points
+(/root/reference/inc/pagerank.hxx:371-440 ``pagerankInvoke``,
+/root/reference/inc/pagerankPrune.hxx:176-263,
+/root/reference/inc/batch.hxx:201-248 batch machinery) as a Ray driver
+loop over the fixed shard actor pool:
+
+* one **synchronous power iteration** = contribution slicing on every
+  shard -> per-destination-shard exchange through the object store ->
+  per-shard pull update + local L∞ delta -> **global tree-reduce** of the
+  deltas (and dangling mass in ``dangling='redistribute'`` mode) -> an
+  optional frontier-mark exchange (DF/DF-P). Exactly two exchanges per
+  iteration, as designed in SURVEY.md §4.
+* the five public variants {static, nd, dt, df, dfp} are policy
+  instances over the same loop — mirroring the reference's lambda-
+  injection seam (fi/fm/fa/fu, pagerank.hxx:371) and its five CUDA
+  entries (/root/reference/inc/pagerankCuda.hxx:865-988).
+* per-iteration per-partition rank checkpoints with lineage
+  (run_id/batch/iter/part) + metrics, resumable mid-convergence.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..options import PagerankOptions, PagerankResult
+from ..state.partitioner import route_edges, split_pairs_by_owner
+from ..state.shard import GraphShard
+
+VARIANTS = ("static", "nd", "dt", "df", "dfp")
+
+
+class GraphContext:
+    """A graph snapshot distributed over a fixed pool of GraphShard actors."""
+
+    def __init__(self, num_vertices: int, num_parts: int = 8, dictionary: np.ndarray | None = None,
+                 add_self_loops: bool = True, num_cpus_per_shard: float = 0.5):
+        # num_cpus_per_shard defaults to 0.5 so a pool of P shards reserves
+        # P/2 CPU slots, leaving headroom for the Ray Data ingest/derive
+        # tasks that feed the pool — a pool reserving every CPU deadlocks
+        # the routing map_batches stage (its tasks can never schedule).
+        self.N = int(num_vertices)
+        self.P = int(num_parts)
+        self.dictionary = dictionary
+        self.self_loops = add_self_loops
+        actor_cls = ray.remote(num_cpus=num_cpus_per_shard)(GraphShard)
+        self.shards = [actor_cls.remote(p, self.P, self.N) for p in range(self.P)]
+        self._sym_built = False
+
+    def shutdown(self) -> None:
+        """Release the actor pool (free its CPU reservations immediately).
+
+        Call when done with a context — actor handles are otherwise only
+        released on GC, and a session can starve if stale pools linger.
+        """
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_edges(cls, encoded_edges: rd.Dataset, num_vertices: int, num_parts: int = 8,
+                   dictionary: np.ndarray | None = None, add_self_loops: bool = True,
+                   num_cpus_per_shard: float = 0.5) -> "GraphContext":
+        ctx = cls(num_vertices, num_parts, dictionary, add_self_loops, num_cpus_per_shard)
+        route_edges(encoded_edges, ctx.shards)
+        ctx.finalize()
+        return ctx
+
+    def ingest_pairs(self, src: np.ndarray, dst: np.ndarray) -> None:
+        """Driver-side ingest of small edge arrays (tests / tiny graphs)."""
+        outs = split_pairs_by_owner(src, dst, self.P, "src")
+        ins = split_pairs_by_owner(src, dst, self.P, "dst")
+        refs = []
+        for p in range(self.P):
+            o = pa.table({"src": outs[p][0], "dst": outs[p][1]})
+            i = pa.table({"src": ins[p][0], "dst": ins[p][1]})
+            refs.append(self.shards[p].ingest.remote(o, i))
+        ray.get(refs)
+
+    def finalize(self) -> None:
+        """Build CSRs on every shard and exchange the pull/send indices —
+        the distributed analogue of csrCreate* (/root/reference/inc/
+        csr.hxx:100-287) + the H2D transfer (pagerankCuda.hxx:797-805)."""
+        needs = ray.get([s.build.remote(add_self_loops=self.self_loops) for s in self.shards])
+        self._exchange(needs)
+        self._sym_built = False
+
+    def _exchange(self, needs: list[dict[int, np.ndarray]]) -> None:
+        """needs[p][q] = locals p needs from q  ->  send_idx[q][p]."""
+        ray.get([
+            self.shards[q].set_send_index.remote([needs[p][q] for p in range(self.P)])
+            for q in range(self.P)
+        ])
+
+    def num_edges(self) -> int:
+        return int(sum(o for o, _ in ray.get([s.num_edges.remote() for s in self.shards])))
+
+    def count_self_loops(self) -> int:
+        return int(sum(ray.get([s.count_self_loops.remote() for s in self.shards])))
+
+    def out_degrees(self) -> rd.Dataset:
+        tables = ray.get([s.out_degree_table.remote() for s in self.shards])
+        return rd.from_arrow(tables)
+
+    # ------------------------------------------------------------------
+    # batch updates (temporal protocol, main.cu:79-147)
+    # ------------------------------------------------------------------
+
+    def tidy_batch(self, deletions: np.ndarray, insertions: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Canonicalize a batch: existence filter + sort + exact dedup —
+        tidyBatchUpdateU (/root/reference/inc/batch.hxx:201-208).
+        Inputs/outputs are (2,k) [src,dst] vid arrays; the existence
+        check runs against each src-owner shard's current edge set."""
+
+        def tidy(pairs: np.ndarray, kind: str) -> np.ndarray:
+            if pairs.size == 0:
+                return pairs.reshape(2, 0)
+            # sort + unique (batch.hxx:168-191)
+            keys = np.unique(pairs[0] * np.int64(self.N) + pairs[1])
+            src, dst = keys // self.N, keys % self.N
+            parts = split_pairs_by_owner(src, dst, self.P, "src")
+            masks = ray.get([
+                self.shards[p].filter_batch_by_existence.remote(parts[p][0], parts[p][1], kind)
+                for p in range(self.P)
+            ])
+            kept = [parts[p][:, masks[p]] for p in range(self.P)]
+            merged = np.concatenate(kept, axis=1)
+            order = np.lexsort((merged[1], merged[0]))
+            return merged[:, order]
+
+        return tidy(np.asarray(deletions), "deletions"), tidy(np.asarray(insertions), "insertions")
+
+    def apply_batch(self, deletions: np.ndarray, insertions: np.ndarray) -> None:
+        """Fold a (tidied) batch into every shard and re-exchange pull
+        indices — applyBatchUpdateU + update (/root/reference/inc/
+        batch.hxx:222-248, inc/update.hxx:130-150)."""
+        d = np.asarray(deletions).reshape(2, -1)
+        i = np.asarray(insertions).reshape(2, -1)
+        del_out = split_pairs_by_owner(d[0], d[1], self.P, "src")
+        ins_out = split_pairs_by_owner(i[0], i[1], self.P, "src")
+        del_in = split_pairs_by_owner(d[0], d[1], self.P, "dst")
+        ins_in = split_pairs_by_owner(i[0], i[1], self.P, "dst")
+        needs = ray.get([
+            self.shards[p].apply_update.remote(del_out[p], ins_out[p], del_in[p], ins_in[p])
+            for p in range(self.P)
+        ])
+        self._exchange(needs)
+        self._sym_built = False
+
+    # ------------------------------------------------------------------
+    # affected-vertex marking
+    # ------------------------------------------------------------------
+
+    def compute_frontier_marks(self, deletions: np.ndarray, insertions: np.ndarray,
+                               x_ctx: "GraphContext | None" = None) -> list[np.ndarray]:
+        """One-hop DF marking (/root/reference/inc/pagerank.hxx:645-676):
+        out-neighbors of each deletion source in the OLD graph (x_ctx)
+        plus out-neighbors of each insertion source in this (updated)
+        graph. Returns per-shard local-id arrays (not yet applied)."""
+        acc: list[list[np.ndarray]] = [[] for _ in range(self.P)]
+
+        def expand(ctx: "GraphContext", sources: np.ndarray):
+            if sources.size == 0:
+                return
+            uniq = np.unique(sources)
+            owners = uniq % self.P
+            refs = []
+            for q in range(self.P):
+                loc = uniq[owners == q] // self.P
+                refs.append(
+                    ctx.shards[q].expand_out_neighbors.options(num_returns=self.P + 1).remote(loc)
+                )
+            for q in range(self.P):
+                outs = ray.get(list(refs[q][1:]))
+                for p in range(self.P):
+                    if len(outs[p]):
+                        acc[p].append(outs[p])
+
+        d = np.asarray(deletions).reshape(2, -1)
+        i = np.asarray(insertions).reshape(2, -1)
+        expand(x_ctx if x_ctx is not None else self, d[0])
+        expand(self, i[0])
+        return [
+            np.unique(np.concatenate(a)) if a else np.empty(0, dtype=np.int64) for a in acc
+        ]
+
+    def _apply_initial_marks(self, marks: list[np.ndarray], traversal: bool) -> None:
+        """Install initial marks; for DT, close them under reachability in
+        this graph — the BFS fixpoint of pagerankAffectedTraversalW
+        (/root/reference/inc/pagerank.hxx:543-578) run as bulk-synchronous
+        frontier rounds (the reference's CUDA variant does the same
+        count-fixpoint loop, pagerankCuda.hxx:439-456)."""
+        ray.get([s.clear_flags.remote() for s in self.shards])
+        frontier = ray.get([
+            self.shards[p].apply_marks_frontier.remote(marks[p]) for p in range(self.P)
+        ])
+        if not traversal:
+            return
+        while any(f.size for f in frontier):
+            refs = [
+                self.shards[p].expand_out_neighbors.options(num_returns=self.P + 1).remote(frontier[p])
+                for p in range(self.P)
+            ]
+            incoming: list[list] = [[refs[q][1 + p] for q in range(self.P)] for p in range(self.P)]
+            frontier = ray.get([
+                self.shards[p].apply_marks_frontier.remote(*incoming[p]) for p in range(self.P)
+            ])
+
+    # ------------------------------------------------------------------
+    # PageRank (all five variants)
+    # ------------------------------------------------------------------
+
+    def pagerank(
+        self,
+        variant: str = "static",
+        warm: list[np.ndarray] | None = None,
+        options: PagerankOptions | None = None,
+        initial_marks: list[np.ndarray] | None = None,
+        resume: bool = False,
+        batch_idx: int = 0,
+    ) -> PagerankResult:
+        """Run one PageRank computation to convergence.
+
+        variant: static | nd (warm start) | dt (fixed affected set) |
+        df (frontier) | dfp (frontier + pruning). ``warm`` is the
+        per-shard rank list from a previous result (required for the
+        dynamic variants). ``initial_marks`` comes from
+        ``compute_frontier_marks`` (required for dt/df/dfp).
+        """
+        o = options or PagerankOptions()
+        assert variant in VARIANTS, variant
+        use_affected = variant in ("dt", "df", "dfp")
+        frontier = variant in ("df", "dfp")
+        prune = variant == "dfp"
+        shards, P = self.shards, self.P
+        C0 = (1.0 - o.damping) / self.N
+        redistribute = not self.self_loops and o.dangling == "redistribute"
+        metrics: list[dict] = []
+        t_total0 = time.perf_counter()
+        l = 0
+        ti = tm = 0.0
+
+        resumed = False
+        if resume and o.checkpoint_dir:
+            it = _latest_complete_iteration(o.checkpoint_dir, o.run_id, batch_idx)
+            if it is not None:
+                ray.get([s.restore.remote(o.checkpoint_dir, o.run_id, batch_idx, it) for s in shards])
+                l = it
+                resumed = True
+
+        if not resumed:
+            t0 = time.perf_counter()
+            if variant == "static" or warm is None:
+                ray.get([s.init_ranks.remote(None) for s in shards])
+            else:
+                ray.get([s.init_ranks.remote(warm[p]) for p, s in enumerate(shards)])
+            ti = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            if use_affected:
+                marks = initial_marks or [np.empty(0, dtype=np.int64) for _ in range(P)]
+                self._apply_initial_marks(marks, traversal=(variant == "dt"))
+            tm = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        linf = float("inf")
+        while l < o.max_iterations:
+            contrib_refs = [
+                shards[q].contribs.options(num_returns=P + 1).remote() for q in range(P)
+            ]
+            dangling_mass = (
+                float(sum(ray.get([contrib_refs[q][0] for q in range(P)]))) if redistribute else 0.0
+            )
+            step_refs = [
+                shards[p].step.options(num_returns=P + 1).remote(
+                    C0, o.damping, use_affected, frontier, prune,
+                    o.frontier_tolerance, o.prune_tolerance, dangling_mass,
+                    *[contrib_refs[q][1 + p] for q in range(P)],
+                )
+                for p in range(P)
+            ]
+            stats = ray.get([step_refs[p][0] for p in range(P)])
+            if frontier:
+                ray.get([
+                    shards[p].apply_marks.remote(*[step_refs[q][1 + p] for q in range(P)])
+                    for p in range(P)
+                ])
+            l += 1
+            linf = max(s["linf"] for s in stats)  # global L∞ tree-reduce (pagerank.hxx:433)
+            metrics.append({"iteration": l, "linf": linf, "parts": stats})
+            if o.checkpoint_every and o.checkpoint_dir and l % o.checkpoint_every == 0:
+                self._checkpoint(o, batch_idx, l, linf, metrics[-1])
+            if linf < o.tolerance:
+                break
+        tc = time.perf_counter() - t0
+        ranks = ray.get([s.get_ranks.remote() for s in shards])
+        return PagerankResult(
+            ranks=ranks, iterations=l, time=time.perf_counter() - t_total0,
+            initialization_time=ti, marking_time=tm, computation_time=tc,
+            linf_delta=linf, metrics=metrics,
+        )
+
+    def _checkpoint(self, o: PagerankOptions, batch_idx: int, iteration: int, linf: float, metric: dict) -> None:
+        ray.get([
+            s.checkpoint.remote(o.checkpoint_dir, o.run_id, batch_idx, iteration) for s in self.shards
+        ])
+        d = os.path.join(o.checkpoint_dir, o.run_id, f"batch={batch_idx}", f"iter={iteration}")
+        with open(os.path.join(d, "_COMPLETE.json"), "w") as f:
+            json.dump({"iteration": iteration, "linf": linf, "num_parts": self.P}, f)
+        with open(os.path.join(o.checkpoint_dir, o.run_id, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps({"batch": batch_idx, **_light(metric)}) + "\n")
+
+    # ------------------------------------------------------------------
+    # result access
+    # ------------------------------------------------------------------
+
+    def assemble(self, parts: list[np.ndarray]) -> np.ndarray:
+        """Per-shard arrays -> dense vid-indexed vector (scatterValuesW,
+        /root/reference/inc/_vector.hxx:155-272)."""
+        full = np.zeros(self.N, dtype=parts[0].dtype if parts else np.float64)
+        for p, arr in enumerate(parts):
+            full[p::self.P] = arr
+        return full
+
+    def split(self, full: np.ndarray) -> list[np.ndarray]:
+        """Dense vid-indexed vector -> per-shard arrays (gatherValuesW)."""
+        return [full[p::self.P] for p in range(self.P)]
+
+    def ranks_dataset(self, parts: list[np.ndarray]) -> rd.Dataset:
+        """Ranks as a Ray Data Dataset (vid, rank[, conv_id])."""
+        tables = []
+        for p, arr in enumerate(parts):
+            vids = np.arange(len(arr), dtype=np.int64) * self.P + p
+            cols = {"vid": pa.array(vids), "rank": pa.array(arr)}
+            if self.dictionary is not None:
+                cols["conv_id"] = pa.array(self.dictionary[vids])
+            tables.append(pa.table(cols))
+        return rd.from_arrow(tables)
+
+
+def _light(metric: dict) -> dict:
+    return {
+        "iteration": metric["iteration"],
+        "linf": metric["linf"],
+        "parts": [
+            {k: v for k, v in p.items() if k in ("part", "affected", "gathered", "step_s")}
+            for p in metric["parts"]
+        ],
+    }
+
+
+def _latest_complete_iteration(ckpt_dir: str, run_id: str, batch_idx: int) -> int | None:
+    pat = os.path.join(ckpt_dir, run_id, f"batch={batch_idx}", "iter=*", "_COMPLETE.json")
+    its = []
+    for m in glob.glob(pat):
+        its.append(int(os.path.basename(os.path.dirname(m)).split("=")[1]))
+    return max(its) if its else None

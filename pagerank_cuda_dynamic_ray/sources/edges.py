@@ -1,0 +1,156 @@
+"""Transcript -> edge-table derivation (Ray Data, zero-copy Arrow).
+
+Re-expresses the reference's temporal edge-stream source
+(/root/reference/inc/snap.hxx:41-109 ``readTemporalDo``) Ray-Data-first:
+instead of parsing ``u v`` text lines in file order, we
+
+1. ``read_parquet`` the transcript table (column-pruned),
+2. ``map_batches`` (pyarrow, vectorized regex) to extract
+   conv_id -> conv_id mention edges: ``text`` turns carrying a
+   ``see:<conv_id>`` token and ``tool`` turns carrying ``ref:<conv_id>``,
+3. globally ``sort`` by ``(ts, src, turn_idx)`` — the stable per-turn
+   ordering that replaces the reference's load-bearing file-line order
+   (/root/reference/inc/snap.hxx:41-53),
+4. split the ordered log into base graph (first 90%) + insertion batches
+   (next ``batch_fraction * M`` rows each), exactly the protocol of
+   /root/reference/main.cu:167, 79-85 — via ``Dataset.split_at_indices``
+   (order-preserving, no driver materialization).
+
+Vertex universe: every conv_id present in the transcripts (even if it
+never appears in an edge) — mirroring the reference pre-declaring the
+full vertex range before edges (/root/reference/inc/snap.hxx:133), so
+isolated conversations still receive ranks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+TEXT_MENTION_RE = r"see:(?P<dst>[A-Za-z0-9_\-]+)"
+TOOL_MENTION_RE = r"^ref:(?P<dst>[A-Za-z0-9_\-]+)$"
+
+EDGE_SCHEMA = pa.schema(
+    [
+        ("src", pa.string()),
+        ("dst", pa.string()),
+        ("ts", pa.timestamp("us")),
+        ("turn_idx", pa.int32()),
+    ]
+)
+
+
+def read_transcripts(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Column-pruned Parquet read of a transcript table."""
+    return rd.read_parquet(path, columns=columns)
+
+
+def _extract_edges_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized mention extraction; one output row per mention-carrying turn."""
+    text_m = pc.extract_regex(batch["text"], TEXT_MENTION_RE)
+    tool_m = pc.extract_regex(batch["tool"], TOOL_MENTION_RE)
+    text_dst = pc.struct_field(text_m, "dst")
+    tool_dst = pc.struct_field(tool_m, "dst")
+    # a turn carries at most one mention; tool takes precedence if both
+    dst = pc.coalesce(tool_dst, text_dst)
+    mask = pc.is_valid(dst)
+    out = pa.table(
+        {
+            "src": batch["conv_id"],
+            "dst": dst,
+            "ts": batch["ts"],
+            "turn_idx": batch["turn_idx"],
+        }
+    )
+    return out.filter(mask).cast(EDGE_SCHEMA)
+
+
+def extract_edges(transcripts: rd.Dataset) -> rd.Dataset:
+    """Transcripts -> raw (unordered) string edge table."""
+    return transcripts.map_batches(_extract_edges_batch, batch_format="pyarrow")
+
+
+def edge_log(transcripts: rd.Dataset) -> rd.Dataset:
+    """The authoritative ordered edge log: extract + global temporal sort.
+
+    The sort is a range-partitioned distributed sort (Ray Data); its key
+    ``(ts, src, turn_idx)`` is a total order on mention-carrying turns, so
+    the log is deterministic. This replaces the reference's reliance on
+    file-line order (snap.hxx:41-53).
+    """
+    return extract_edges(transcripts).sort(["ts", "src", "turn_idx"])
+
+
+def temporal_split(
+    log: rd.Dataset,
+    base_fraction: float = 0.90,
+    batch_fraction: float = 1e-3,
+    num_batches: int = 5,
+    total: int | None = None,
+) -> tuple[rd.Dataset, list[rd.Dataset]]:
+    """Split the ordered log into (base graph edges, insertion batches).
+
+    base = first ``base_fraction * M`` rows; batch i = the next
+    ``ceil(batch_fraction * M)`` rows, consumed consecutively — the exact
+    protocol of /root/reference/main.cu:79-85, 167. Uses
+    ``split_at_indices`` (order-preserving row split, no shuffle).
+    """
+    m = total if total is not None else log.count()
+    base_n = int(base_fraction * m)
+    b = max(1, int(np.ceil(batch_fraction * m)))
+    idx, cuts = base_n, [base_n]
+    for _ in range(num_batches):
+        idx = min(m, idx + b)
+        cuts.append(idx)
+    parts = log.split_at_indices(cuts)
+    return parts[0], list(parts[1 : 1 + num_batches])
+
+
+def vertex_dictionary(transcripts: rd.Dataset, edges: rd.Dataset | None = None) -> np.ndarray:
+    """Sorted distinct conv_id universe -> dense vid space (vid = position).
+
+    Mirrors the reference's dense-id compaction ``vertexKeys``/``ksMap``
+    (/root/reference/inc/properties.hxx:26-33,
+    /root/reference/inc/pagerankCuda.hxx:765-775). The universe is the
+    set of transcript conv_ids plus any mentioned id (mentions of ids
+    outside the transcript set still become vertices, like the reference
+    creating vertices for every endpoint).
+
+    Returns the sorted numpy string array; ``vid`` of a conv_id is its
+    index (np.searchsorted). At sandbox scale this is collected to the
+    driver and broadcast via ``ray.put``; the 100 TB path is the same
+    distinct+sort expressed as sort + per-partition offset assignment
+    (two-pass prefix-sum of block counts) with the dictionary kept as a
+    Dataset and joined instead of broadcast.
+    """
+    ids = set(transcripts.unique("conv_id"))
+    if edges is not None:
+        ids.update(edges.unique("dst"))
+    return np.array(sorted(ids))
+
+
+def encode_edges(edges: rd.Dataset, dictionary_ref) -> rd.Dataset:
+    """Map string conv_ids -> dense int64 vids via the broadcast dictionary.
+
+    ``dictionary_ref`` is a ``ray.put`` ObjectRef of the sorted string
+    array — fetched once per task/actor (zero-copy per node), never
+    re-shipped per batch.
+    """
+
+    def enc(batch: pa.Table) -> pa.Table:
+        d = ray.get(dictionary_ref)
+        src = np.searchsorted(d, np.asarray(batch["src"]))
+        dst = np.searchsorted(d, np.asarray(batch["dst"]))
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "ts": batch["ts"],
+                "turn_idx": batch["turn_idx"],
+            }
+        )
+
+    return edges.map_batches(enc, batch_format="pyarrow")

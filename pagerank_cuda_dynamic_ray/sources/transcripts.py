@@ -1,0 +1,153 @@
+"""Deterministic synthetic transcript tables (FIXTURES.md §1).
+
+The engine's primary input (BASELINE.json ``input_hint``) is a Parquet
+table of multi-turn conversation transcripts::
+
+    conv_id:string, turn_idx:int32, role:string, text:string,
+    tool:string, ts:timestamp[us]
+
+This module synthesizes that table deterministically (hash-derived, fully
+vectorized, chunk-parallelizable — every row is a pure function of
+``(seed, conv index, turn index)``) at small scale for tests/benchmarks.
+It mirrors the reference workload shape: a temporal edge stream whose
+prefix forms the base graph and whose suffix is replayed as insertion
+batches (/root/reference/main.cu:167, 79-85), with a power-law-ish target
+mix so high-degree hubs exist (the skew the reference's degree-64 kernel
+split targets, /root/reference/inc/pagerankCuda.hxx:471-475).
+
+Per-row invariant vs the reference pipeline: per-turn text equality under
+stable turn ordering — sorting by (ts, conv_id, turn_idx) reproduces
+generation order exactly (ts is strictly increasing across the table).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.hashing import splitmix64, mix2
+
+EPOCH_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z, arbitrary fixed origin
+
+# Fraction of turns that carry a mention edge; of those, the share whose
+# target is drawn from the "hub" range (lowest 1% of conv ids).
+EDGE_PROB_PCT = 50
+HUB_PCT = 20
+
+SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+_ROLES = np.array(["user", "assistant", "tool"])
+
+
+def conv_name(idx: np.ndarray) -> np.ndarray:
+    """conv_id string for a conv index array: 'c%08d'."""
+    return np.char.add("c", np.char.zfill(idx.astype(np.int64).astype(str), 8))
+
+
+def turns_per_conv(n_conv: int, seed: int = 42) -> np.ndarray:
+    """Deterministic turn count per conversation: 1 + (h(i) mod 12)."""
+    h = splitmix64(np.arange(n_conv, dtype=np.uint64) + np.uint64(seed * 0x9E37))
+    return (1 + (h % np.uint64(12))).astype(np.int64)
+
+
+def generate_table(n_conv: int, seed: int = 42) -> pa.Table:
+    """Generate the full transcript table for ``n_conv`` conversations.
+
+    Rows are emitted grouped by conversation, turns in order; the global
+    row index doubles as the timestamp offset (strictly increasing ts).
+    """
+    turns = turns_per_conv(n_conv, seed)
+    offsets = np.concatenate([[0], np.cumsum(turns)])
+    total = int(offsets[-1])
+
+    conv_idx = np.repeat(np.arange(n_conv, dtype=np.int64), turns)
+    # turn index within conversation: global index minus conv start
+    g = np.arange(total, dtype=np.int64)
+    turn_idx = g - offsets[conv_idx]
+
+    h_conv = splitmix64(conv_idx.astype(np.uint64) + np.uint64(seed * 0x9E37))
+    role = _ROLES[((h_conv % np.uint64(3)).astype(np.int64) + turn_idx) % 3]
+
+    he = mix2(g.astype(np.uint64), np.uint64(seed * 0xA5A5 + 1))
+    has_edge = (he % np.uint64(100)) < np.uint64(EDGE_PROB_PCT)
+    is_hub = (mix2(g.astype(np.uint64), np.uint64(seed * 0xC3C3 + 2)) % np.uint64(100)) < np.uint64(HUB_PCT)
+    ht = mix2(g.astype(np.uint64), np.uint64(seed * 0x5C5C + 3))
+    hub_range = max(1, n_conv // 100)
+    target = np.where(
+        is_hub, (ht % np.uint64(hub_range)).astype(np.int64), (ht % np.uint64(n_conv)).astype(np.int64)
+    )
+    # channel: even -> text mention ("see:cXXXXXXXX"), odd -> tool mention ("ref:cXXXXXXXX")
+    via_tool = (he % np.uint64(2)).astype(bool)
+
+    conv_str = conv_name(conv_idx)
+    target_str = conv_name(target)
+    base_text = np.char.add(
+        np.char.add(np.char.add("turn ", turn_idx.astype(str)), " of "), conv_str
+    )
+    text_mention = has_edge & ~via_tool
+    text = np.where(text_mention, np.char.add(np.char.add(base_text, " see:"), target_str), base_text)
+    tool_mention = has_edge & via_tool
+    tool = np.where(tool_mention, np.char.add("ref:", target_str), "")
+
+    ts = (EPOCH_US + g * 1_000_000).astype("datetime64[us]")
+
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_str),
+            "turn_idx": pa.array(turn_idx.astype(np.int32)),
+            "role": pa.array(role),
+            "text": pa.array(text),
+            "tool": pa.array(tool),
+            "ts": pa.array(ts),
+        },
+        schema=SCHEMA,
+    )
+
+
+def write_transcripts(path: str, n_conv: int, seed: int = 42, row_group_size: int = 200_000) -> str:
+    """Write the synthetic transcript table to a Parquet file (idempotent)."""
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        pq.write_table(generate_table(n_conv, seed), tmp, row_group_size=row_group_size)
+        os.replace(tmp, path)  # atomic publish so concurrent readers never see partial files
+    return path
+
+
+# Scale presets (FIXTURES.md §1). sf-keyed so the driver's sf0.01 checks
+# and the bench runs all use stable, documented inputs.
+SCALE_N_CONV = {
+    "tiny": 64,
+    "small": 2_000,
+    "sf0.001": 2_000,
+    "sf0.01": 20_000,
+    "sf0.1": 200_000,
+    "bench": 200_000,
+}
+
+
+def fixture_path(scale: str, root: str = "/tmp/graft_fixtures") -> str:
+    return os.path.join(root, scale, "transcripts.parquet")
+
+
+def ensure_fixture(scale: str, root: str = "/tmp/graft_fixtures", seed: int = 42) -> str:
+    """Idempotently materialize the transcript fixture for a scale preset."""
+    return write_transcripts(fixture_path(scale, root), SCALE_N_CONV[scale], seed)
+
+
+def scale_for_sf_dir(sf_dir: str) -> str:
+    """Map a driver sf dir ('/root/testdata/sf0.01') to a scale preset."""
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base if base in SCALE_N_CONV else "small"

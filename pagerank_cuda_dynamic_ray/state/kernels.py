@@ -1,0 +1,140 @@
+"""Vectorized per-shard numpy kernels.
+
+These are the Ray-engine equivalents of the reference's dense-vector /
+CSR primitives (/root/reference/inc/_vector.hxx, inc/csr.hxx,
+inc/_algorithm.hxx) — re-derived for Arrow/numpy buffers, not translated.
+Everything here is pure (no Ray, no state) so it unit-tests directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def ranges_from_lengths(lens: np.ndarray) -> np.ndarray:
+    """[0..lens[0]), [0..lens[1]), ... concatenated (within-segment arange)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.cumsum(lens) - lens
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+
+def segment_sums(values: np.ndarray, boundaries: np.ndarray) -> np.ndarray:
+    """Sum of values within [boundaries[i], boundaries[i+1]) per segment.
+
+    Cumulative-sum formulation: O(n), empty-segment-safe (unlike
+    ``np.add.reduceat``, which repeats the element at the boundary for
+    empty segments). float64 cumsum keeps error ~1e-13 at 1e6-element
+    shards — well inside the 1e-6 allclose budget; this is the Ray-shard
+    analogue of the reference's per-vertex sequential in-edge sum
+    (/root/reference/inc/pagerank.hxx:132-141).
+    """
+    cs = np.concatenate(([0.0], np.cumsum(values, dtype=np.float64)))
+    return cs[boundaries[1:]] - cs[boundaries[:-1]]
+
+
+def build_csr(local_key: np.ndarray, other: np.ndarray, n_local: int,
+              dedup: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """Build (offsets, sorted neighbor array) from (local row, neighbor) pairs.
+
+    Rows sorted by (local_key, other); exact duplicates collapsed — the
+    set semantics of the reference's ``LazyBitset`` adjacency
+    (/root/reference/inc/_bitset.hxx:20, 227-289).
+    """
+    if len(local_key) == 0:
+        return np.zeros(n_local + 1, dtype=np.int64), np.empty(0, dtype=np.int64)
+    order = np.lexsort((other, local_key))
+    lk, ot = local_key[order], other[order]
+    if dedup:
+        keep = np.empty(len(lk), dtype=bool)
+        keep[0] = True
+        keep[1:] = (lk[1:] != lk[:-1]) | (ot[1:] != ot[:-1])
+        lk, ot = lk[keep], ot[keep]
+    counts = np.bincount(lk, minlength=n_local)
+    offsets = np.zeros(n_local + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return offsets, ot
+
+
+def gather_subset_edges(offsets: np.ndarray, rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Edge indices + per-row boundaries for a subset of CSR rows.
+
+    Returns (edge_idx, boundaries) where edge_idx indexes the CSR's edge
+    array restricted to ``rows`` and boundaries delimit each row's slice.
+    This is the work-skipping path: dynamic variants touch only affected
+    rows (/root/reference/inc/pagerankCuda.hxx:94-97 DYNAMIC skip).
+    """
+    lens = offsets[rows + 1] - offsets[rows]
+    edge_idx = np.repeat(offsets[rows], lens) + ranges_from_lengths(lens)
+    boundaries = np.zeros(len(rows) + 1, dtype=np.int64)
+    np.cumsum(lens, out=boundaries[1:])
+    return edge_idx, boundaries
+
+
+def segmented_searchsorted(values: np.ndarray, lo: np.ndarray, hi: np.ndarray,
+                           queries: np.ndarray) -> np.ndarray:
+    """Vectorized binary search of queries[i] within values[lo[i]:hi[i]].
+
+    Each segment of ``values`` must be sorted ascending. Returns the
+    left-insertion position (absolute index into ``values``). O(Q log D)
+    with fully vectorized iterations — the engine's replacement for the
+    reference's per-edge ``hasEdge`` binary search
+    (/root/reference/inc/_bitset.hxx:165-194), used by triangle counting.
+    """
+    lo = lo.astype(np.int64, copy=True)
+    hi = hi.astype(np.int64, copy=True)
+    while True:
+        active = lo < hi
+        if not active.any():
+            break
+        mid = (lo + hi) // 2
+        go_right = active & (values[np.minimum(mid, len(values) - 1)] < queries)
+        lo = np.where(go_right, mid + 1, lo)
+        hi = np.where(active & ~go_right, mid, hi)
+    return lo
+
+
+def encode_pairs(local: np.ndarray, other: np.ndarray, n_other: int) -> np.ndarray:
+    """Encode (local row, neighbor) pairs as single int64 keys for set ops.
+
+    Requires local * n_other + other < 2^63 — holds for any shard whose
+    edge-id product space fits int64 (documented limit; at larger scale
+    switch to lexsort-based merge set ops).
+    """
+    return local * np.int64(n_other) + other
+
+
+def set_minus_union(current: np.ndarray, deletions: np.ndarray, insertions: np.ndarray) -> np.ndarray:
+    """(current \\ deletions) ∪ insertions on sorted-unique int64 key arrays.
+
+    The per-shard fold of a tidied batch update — same semantics as the
+    reference's set_difference_inplace + set_union_last_inplace
+    (/root/reference/inc/_algorithm.hxx:114-159, 177-231) and
+    applyBatchUpdateU (/root/reference/inc/batch.hxx:222-248).
+    """
+    kept = current
+    if len(deletions):
+        kept = current[~np.isin(current, deletions, assume_unique=False)]
+    if len(insertions):
+        kept = np.union1d(kept, insertions)
+    return kept
+
+
+def topk_per_group(group: np.ndarray, score: np.ndarray, payload: np.ndarray, k: int):
+    """Per-group top-k by descending score (deterministic: payload tie-break).
+
+    Returns (group, score, payload, rank) arrays. Used by similarity
+    search partial top-k combining.
+    """
+    order = np.lexsort((payload, -score, group))
+    g, s, p = group[order], score[order], payload[order]
+    # rank within group
+    new_grp = np.empty(len(g), dtype=bool)
+    if len(g):
+        new_grp[0] = True
+        new_grp[1:] = g[1:] != g[:-1]
+    starts = np.flatnonzero(new_grp)
+    ranks = np.arange(len(g), dtype=np.int64) - np.repeat(starts, np.diff(np.append(starts, len(g))))
+    keep = ranks < k
+    return g[keep], s[keep], p[keep], ranks[keep]

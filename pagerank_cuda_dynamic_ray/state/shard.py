@@ -1,0 +1,651 @@
+"""GraphShard — the stateful per-partition actor holding CSR graph state.
+
+The Ray-native re-expression of the reference's frozen CSR + dense
+vector state (/root/reference/inc/Graph.hxx:384-639 ``DiGraphCsr``,
+/root/reference/inc/pagerankCuda.hxx:714-849 device lifecycle): graph
+state lives as hash-partitioned CSR shards in numpy/Arrow buffers held
+by a **fixed actor pool**, one actor per partition; rank/flag vectors
+are per-shard dense arrays. Partitioning: vertex ``v`` is owned by shard
+``v % P`` with dense local index ``v // P``.
+
+Per power-iteration dataflow (SURVEY.md §3.2):
+  1. every shard computes contributions ``c = r / outdeg`` for its owned
+     sources and slices them per destination shard (``send_idx``, a
+     build-time exchanged pull index) — the transfer volume is the
+     number of *unique* (source, destination-shard) pairs, so a
+     high-in-degree hub inflates no traffic: its thousands of in-edges
+     reuse contribution entries already shipped for other edges. This is
+     the engine's skew answer to the reference's degree-64 two-kernel
+     split (/root/reference/inc/pagerankCuda.hxx:88-217): hub in-edge
+     sums are a single vectorized segment-sum at the owner, and the
+     combining the reference does in shared memory happens in the
+     contribution exchange.
+  2. each shard gathers its incoming slices (Ray object store, zero-copy
+     numpy) and applies ``a[v] = C0 + d * sum`` (or the DF-P closed form
+     /root/reference/inc/pagerankPrune.hxx:30-41) over affected rows
+     only, computes its local L∞ delta, and emits frontier marks.
+  3. the driver tree-reduces L∞ deltas (and dangling mass, when running
+     in ``dangling="redistribute"`` mode) across shards.
+
+All methods are synchronous actor calls; the driver loop lives in
+``pipelines/graph.py``. No method touches ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from . import kernels as K
+
+
+def _np(col) -> np.ndarray:
+    """Arrow column -> numpy (combining chunks if needed)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
+class GraphShard:
+    """One graph partition: CSR adjacency + rank/flag/label state."""
+
+    def __init__(self, part_id: int, num_parts: int, num_vertices: int):
+        self.p = part_id
+        self.P = num_parts
+        self.N = num_vertices
+        self.n_local = max(0, (num_vertices - part_id + num_parts - 1) // num_parts)
+        # raw edge-set state (authoritative, sorted-unique int64 keys):
+        # out_keys = src_local * N + dst ; in_keys = dst_local * N + src
+        self.out_keys = np.empty(0, dtype=np.int64)
+        self.in_keys = np.empty(0, dtype=np.int64)
+        self._out_chunks: list[np.ndarray] = []
+        self._in_chunks: list[np.ndarray] = []
+        # derived CSR state (build() / _rebuild())
+        self.out_offsets = self.out_dst = None
+        self.in_offsets = self.in_src = None
+        self.outdeg = self.inv_outdeg = None
+        self.gather_ids = self.in_key = None
+        self.gather_counts = None          # rows needed from each owner q
+        self.send_idx: list[np.ndarray] | None = None
+        # iteration state
+        self.r = np.zeros(self.n_local)
+        self.a = np.zeros(self.n_local)
+        self.vaff = np.zeros(self.n_local, dtype=bool)
+        # symmetrized view (built on demand)
+        self.sym_offsets = self.sym_adj = None
+        self.labels = None
+        self._label_frontier = None
+        self._next_labels = None
+        # oriented view for triangles
+        self.ori_offsets = self.ori_adj = None
+
+    # ------------------------------------------------------------------
+    # ingest & build
+    # ------------------------------------------------------------------
+
+    def owned_vids(self) -> np.ndarray:
+        return np.arange(self.n_local, dtype=np.int64) * self.P + self.p
+
+    def ingest(self, out_tbl: pa.Table | None, in_tbl: pa.Table | None) -> int:
+        """Accumulate routed edge chunks. out_tbl: edges with owned src;
+        in_tbl: edges with owned dst. Both (src,dst) int64 global vids."""
+        n = 0
+        if out_tbl is not None and out_tbl.num_rows:
+            src, dst = _np(out_tbl["src"]), _np(out_tbl["dst"])
+            self._out_chunks.append(K.encode_pairs(src // self.P, dst, self.N))
+            n += out_tbl.num_rows
+        if in_tbl is not None and in_tbl.num_rows:
+            src, dst = _np(in_tbl["src"]), _np(in_tbl["dst"])
+            self._in_chunks.append(K.encode_pairs(dst // self.P, src, self.N))
+            n += in_tbl.num_rows
+        return n
+
+    def build(self, add_self_loops: bool = True) -> dict[int, np.ndarray]:
+        """Finalize ingested edges into CSR state; returns the pull index
+        (owner -> local source indices this shard needs).
+
+        ``add_self_loops=True`` replicates the reference driver's
+        dead-end elimination — a self loop on every vertex
+        (/root/reference/main.cu:168-169, inc/selfLoop.hxx:33-79)."""
+        chunks_out, chunks_in = self._out_chunks, self._in_chunks
+        if add_self_loops and self.n_local:
+            loops = K.encode_pairs(np.arange(self.n_local, dtype=np.int64), self.owned_vids(), self.N)
+            chunks_out = chunks_out + [loops]
+            chunks_in = chunks_in + [loops]
+        self.out_keys = (
+            np.unique(np.concatenate(chunks_out)) if chunks_out else np.empty(0, dtype=np.int64)
+        )
+        self.in_keys = (
+            np.unique(np.concatenate(chunks_in)) if chunks_in else np.empty(0, dtype=np.int64)
+        )
+        self._out_chunks, self._in_chunks = [], []
+        return self._rebuild()
+
+    def _rebuild(self) -> dict[int, np.ndarray]:
+        """Derive CSR structures + pull index from the raw edge sets."""
+        n, N = self.n_local, self.N
+        o_local, o_dst = self.out_keys // N, self.out_keys % N
+        self.out_offsets, self.out_dst = K.build_csr(o_local, o_dst, n, dedup=False)
+        i_local, i_src = self.in_keys // N, self.in_keys % N
+        self.in_offsets, self.in_src = K.build_csr(i_local, i_src, n, dedup=False)
+        self.outdeg = np.diff(self.out_offsets).astype(np.float64)
+        with np.errstate(divide="ignore"):
+            self.inv_outdeg = np.where(self.outdeg > 0, 1.0 / self.outdeg, 0.0)
+        # pull index: unique needed sources, grouped by owner then local id
+        uniq = np.unique(self.in_src)
+        owner, local = uniq % self.P, uniq // self.P
+        order = np.lexsort((local, owner))
+        gather_ids = uniq[order]
+        inv = np.empty(len(uniq), dtype=np.int64)
+        inv[order] = np.arange(len(uniq))
+        self.in_key = inv[np.searchsorted(uniq, self.in_src)]
+        self.gather_ids = gather_ids
+        g_owner = gather_ids % self.P
+        self.gather_counts = np.bincount(g_owner, minlength=self.P)
+        # invalidate derived views
+        self.sym_offsets = self.sym_adj = None
+        self.ori_offsets = self.ori_adj = None
+        return {q: (gather_ids[g_owner == q] // self.P) for q in range(self.P)}
+
+    def set_send_index(self, send_idx: list[np.ndarray]) -> None:
+        """send_idx[p] = local source indices whose contributions shard p pulls."""
+        self.send_idx = send_idx
+
+    def num_edges(self) -> tuple[int, int]:
+        return len(self.out_keys), len(self.in_keys)
+
+    def count_self_loops(self) -> int:
+        """countSelfLoops equivalent (/root/reference/inc/selfLoop.hxx:15-19)."""
+        if self.out_offsets is None:
+            return 0
+        lk, dst = self.out_keys // self.N, self.out_keys % self.N
+        return int(np.count_nonzero(dst == lk * self.P + self.p))
+
+    def out_degree_table(self) -> pa.Table:
+        """(vid, outdeg) for owned vertices — degreesW equivalent
+        (/root/reference/inc/properties.hxx:53-55)."""
+        return pa.table(
+            {"vid": pa.array(self.owned_vids()), "outdeg": pa.array(self.outdeg.astype(np.int64))}
+        )
+
+    # ------------------------------------------------------------------
+    # batch updates (dynamic graph)
+    # ------------------------------------------------------------------
+
+    def filter_batch_by_existence(self, src: np.ndarray, dst: np.ndarray, kind: str) -> np.ndarray:
+        """Existence mask for tidy: deletions keep edges present, insertions
+        keep edges absent (/root/reference/inc/batch.hxx:153-160). Input
+        edges must have owned src."""
+        keys = K.encode_pairs(src // self.P, dst, self.N)
+        present = np.isin(keys, self.out_keys)
+        return present if kind == "deletions" else ~present
+
+    def apply_update(
+        self,
+        del_out: np.ndarray | None, ins_out: np.ndarray | None,
+        del_in: np.ndarray | None, ins_in: np.ndarray | None,
+    ) -> dict[int, np.ndarray]:
+        """Fold a tidied batch into this shard's edge sets and rebuild —
+        applyBatchUpdateU (/root/reference/inc/batch.hxx:222-248) as a
+        per-partition Arrow/numpy set operation. Arguments are (2,n)
+        [src,dst] arrays routed by src owner (out) / dst owner (in)."""
+
+        def keys_of(pairs, by_dst):
+            if pairs is None or pairs.shape[1] == 0:
+                return np.empty(0, dtype=np.int64)
+            s, d = pairs[0], pairs[1]
+            return (
+                K.encode_pairs(d // self.P, s, self.N) if by_dst
+                else K.encode_pairs(s // self.P, d, self.N)
+            )
+
+        self.out_keys = K.set_minus_union(self.out_keys, keys_of(del_out, False), keys_of(ins_out, False))
+        self.in_keys = K.set_minus_union(self.in_keys, keys_of(del_in, True), keys_of(ins_in, True))
+        return self._rebuild()
+
+    # ------------------------------------------------------------------
+    # PageRank iteration
+    # ------------------------------------------------------------------
+
+    def init_ranks(self, warm: np.ndarray | None = None) -> None:
+        """Uniform 1/N init (pagerank.hxx:285-313) or warm start from
+        previous ranks (pagerank.hxx:325-352 — the 'dynamic' seed)."""
+        if warm is not None:
+            self.r = np.asarray(warm, dtype=np.float64).copy()
+        else:
+            self.r = np.full(self.n_local, 1.0 / self.N)
+        self.a = self.r.copy()
+
+    def get_ranks(self) -> np.ndarray:
+        return self.r
+
+    def clear_flags(self) -> None:
+        self.vaff[:] = False
+
+    def affected_count(self) -> int:
+        return int(self.vaff.sum())
+
+    def contribs(self):
+        """Phase 1: contribution slices per destination shard + local
+        dangling mass (for dangling='redistribute').
+
+        Returns (dangling_mass, slice_for_shard_0, ..., slice_for_shard_{P-1});
+        call with num_returns=P+1 so each destination fetches only its slice."""
+        c = self.r * self.inv_outdeg
+        dangling = float(self.r[self.outdeg == 0].sum()) if self.n_local else 0.0
+        slices = [c[idx] for idx in self.send_idx]
+        return (dangling, *slices)
+
+    def step(
+        self,
+        C0: float,
+        damping: float,
+        use_affected: bool,
+        frontier: bool,
+        prune: bool,
+        frontier_tol: float,
+        prune_tol: float,
+        dangling_mass: float,
+        *slices: np.ndarray,
+    ):
+        """Phase 2: apply one synchronous pull update over owned rows.
+
+        Returns (stats, marks_for_shard_0, ..., marks_for_shard_{P-1});
+        marks are local dst indices to OR into each owner's vaff (empty
+        unless ``frontier``). Semantics per variant:
+          static/nd: use_affected=False — update all rows
+            (pagerank.hxx:155-174 sync sweep);
+          dt: use_affected=True, frontier=False — fixed affected set
+            (pagerank.hxx:595-628);
+          df: +frontier — expand out-neighbors of rows whose relative
+            delta exceeds frontier_tol (pagerank.hxx:700, 726);
+          dfp: +prune — DF-P closed-form update, prune rows whose
+            relative delta falls below prune_tol, expansion excludes
+            self (pagerankPrune.hxx:57-126).
+        """
+        t0 = time.perf_counter()
+        d = damping
+        gathered = np.concatenate(slices) if len(slices) > 1 else (slices[0] if slices else np.empty(0))
+        dang = d * dangling_mass / self.N
+        r, n = self.r, self.n_local
+        if not use_affected:
+            per_edge = gathered[self.in_key]
+            sums = K.segment_sums(per_edge, self.in_offsets)
+            a = C0 + d * sums + dang
+            rows = None
+        else:
+            a = r.copy()
+            rows = np.flatnonzero(self.vaff)
+            if rows.size:
+                edge_idx, bounds = K.gather_subset_edges(self.in_offsets, rows)
+                per_edge = gathered[self.in_key[edge_idx]]
+                sums = K.segment_sums(per_edge, bounds)
+                if prune:
+                    deg = self.outdeg[rows]
+                    # closed-form self-loop fixpoint (pagerankPrune.hxx:38-39);
+                    # deg >= 1 guaranteed by the self-loop transform
+                    a[rows] = (C0 + d * (sums - r[rows] / deg)) / (1.0 - d / deg)
+                else:
+                    a[rows] = C0 + d * sums + dang
+        delta = np.abs(a - r)
+        linf = float(delta.max()) if n else 0.0
+
+        marks: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(self.P)]
+        if frontier:
+            cand = rows if rows is not None else np.arange(n, dtype=np.int64)
+            if cand.size:
+                rel = delta[cand] / np.maximum(np.maximum(r[cand], a[cand]), 1e-300)
+                if prune:
+                    pruned = cand[rel <= prune_tol]
+                    self.vaff[pruned] = False
+                expand = cand[rel > frontier_tol]
+                if expand.size:
+                    edge_idx, bounds = K.gather_subset_edges(self.out_offsets, expand)
+                    dsts = self.out_dst[edge_idx]
+                    if prune:
+                        # DF-P expansion excludes self (pagerankPrune.hxx:64: v != u)
+                        own = np.repeat(expand * self.P + self.p, np.diff(bounds))
+                        dsts = dsts[dsts != own]
+                    owners = dsts % self.P
+                    order = np.argsort(owners, kind="stable")
+                    dsts, owners = dsts[order], owners[order]
+                    cuts = np.searchsorted(owners, np.arange(self.P + 1))
+                    marks = [np.unique(dsts[cuts[q]:cuts[q + 1]] // self.P) for q in range(self.P)]
+        self.r, self.a = a, r  # swap: final ranks live in r (pagerank.hxx:434)
+        stats = {
+            "part": self.p,
+            "linf": linf,
+            "affected": int(rows.size) if rows is not None else n,
+            "gathered": int(gathered.size),
+            "step_s": time.perf_counter() - t0,
+        }
+        return (stats, *marks)
+
+    def apply_marks(self, *mark_arrays: np.ndarray) -> int:
+        """OR incoming frontier marks into vaff; returns newly-marked count."""
+        newly = 0
+        for m in mark_arrays:
+            if m is not None and len(m):
+                fresh = m[~self.vaff[m]]
+                self.vaff[fresh] = True
+                newly += len(fresh)
+        return newly
+
+    def apply_marks_frontier(self, *mark_arrays: np.ndarray) -> np.ndarray:
+        """Like apply_marks but returns the newly-marked local ids (BFS frontier)."""
+        fresh_all = []
+        for m in mark_arrays:
+            if m is not None and len(m):
+                fresh = m[~self.vaff[m]]
+                self.vaff[fresh] = True
+                fresh_all.append(fresh)
+        return np.unique(np.concatenate(fresh_all)) if fresh_all else np.empty(0, dtype=np.int64)
+
+    def expand_out_neighbors(self, src_locals: np.ndarray) -> list[np.ndarray]:
+        """Out-neighbor local-ids per owner for the given owned sources —
+        one hop of DF marking (pagerank.hxx:645-676) / DT BFS
+        (pagerank.hxx:543-578, bfs.hxx:22-55)."""
+        out: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(self.P)]
+        if src_locals.size:
+            edge_idx, _ = K.gather_subset_edges(self.out_offsets, src_locals)
+            dsts = self.out_dst[edge_idx]
+            if dsts.size:
+                owners = dsts % self.P
+                order = np.argsort(owners, kind="stable")
+                dsts, owners = dsts[order], owners[order]
+                cuts = np.searchsorted(owners, np.arange(self.P + 1))
+                out = [np.unique(dsts[cuts[q]:cuts[q + 1]] // self.P) for q in range(self.P)]
+        return (sum(len(o) for o in out), *out)
+
+    # ------------------------------------------------------------------
+    # checkpointing (mandated: per-iteration per-partition lineage)
+    # ------------------------------------------------------------------
+
+    def checkpoint(self, ckpt_dir: str, run_id: str, batch_idx: int, iteration: int) -> str:
+        """Write this partition's ranks+flags as Parquet under the lineage
+        path {dir}/{run}/batch={b}/iter={i}/part-{p}.parquet (atomic)."""
+        d = os.path.join(ckpt_dir, run_id, f"batch={batch_idx}", f"iter={iteration}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"part-{self.p}.parquet")
+        tbl = pa.table(
+            {
+                "vid": pa.array(self.owned_vids()),
+                "rank": pa.array(self.r),
+                "affected": pa.array(self.vaff),
+            }
+        )
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+        return path
+
+    def restore(self, ckpt_dir: str, run_id: str, batch_idx: int, iteration: int) -> None:
+        d = os.path.join(ckpt_dir, run_id, f"batch={batch_idx}", f"iter={iteration}")
+        tbl = pq.read_table(os.path.join(d, f"part-{self.p}.parquet"))
+        self.r = _np(tbl["rank"]).astype(np.float64)
+        self.a = self.r.copy()
+        self.vaff = _np(tbl["affected"]).astype(bool)
+
+    # ------------------------------------------------------------------
+    # symmetrized view + connected components + label propagation
+    # ------------------------------------------------------------------
+
+    def build_symmetric(self) -> None:
+        """Per-owned-vertex undirected adjacency = out_dst ∪ in_src minus
+        self — symmetrizeW (/root/reference/inc/symmetrize.hxx:14-82) as a
+        local merge (both directions of every incident edge are already
+        routed here)."""
+        n, N = self.n_local, self.N
+        o_local, o_dst = self.out_keys // N, self.out_keys % N
+        i_local, i_src = self.in_keys // N, self.in_keys % N
+        local = np.concatenate([o_local, i_local])
+        other = np.concatenate([o_dst, i_src])
+        own = local * self.P + self.p
+        keep = other != own
+        self.sym_offsets, self.sym_adj = K.build_csr(local[keep], other[keep], n, dedup=True)
+
+    def cc_init(self) -> None:
+        """Min-label CC init: label[v] = vid; whole shard is the frontier."""
+        self.labels = self.owned_vids().copy()
+        self._label_frontier = np.arange(self.n_local, dtype=np.int64)
+
+    def cc_push(self) -> list[np.ndarray]:
+        """Push current labels of frontier vertices to neighbors, min-combined
+        per (owner, dst): returns (k, pairs_for_0, ..., pairs_for_{P-1}),
+        each a (2,k) array [dst_local, label]."""
+        out: list[np.ndarray] = [np.empty((2, 0), dtype=np.int64) for _ in range(self.P)]
+        fr = self._label_frontier
+        if fr.size:
+            edge_idx, bounds = K.gather_subset_edges(self.sym_offsets, fr)
+            dsts = self.sym_adj[edge_idx]
+            labs = np.repeat(self.labels[fr], np.diff(bounds))
+            if dsts.size:
+                # min label per destination (combiner before the exchange)
+                order = np.lexsort((labs, dsts))
+                dsts, labs = dsts[order], labs[order]
+                first = np.empty(len(dsts), dtype=bool)
+                first[0] = True
+                first[1:] = dsts[1:] != dsts[:-1]
+                dsts, labs = dsts[first], labs[first]
+                owners = dsts % self.P
+                cuts = np.searchsorted(owners, np.arange(self.P + 1))
+                out = [np.stack([dsts[cuts[q]:cuts[q + 1]] // self.P, labs[cuts[q]:cuts[q + 1]]]) for q in range(self.P)]
+        return (sum(o.shape[1] for o in out), *out)
+
+    def cc_apply(self, *pair_arrays: np.ndarray) -> int:
+        """Apply min-label candidates; new frontier = vertices whose label
+        shrank. Returns the change count (global fixpoint = sum == 0)."""
+        dsts = [p[0] for p in pair_arrays if p is not None and p.shape[1]]
+        labs = [p[1] for p in pair_arrays if p is not None and p.shape[1]]
+        if not dsts:
+            self._label_frontier = np.empty(0, dtype=np.int64)
+            return 0
+        dst = np.concatenate(dsts)
+        lab = np.concatenate(labs)
+        order = np.lexsort((lab, dst))
+        dst, lab = dst[order], lab[order]
+        first = np.empty(len(dst), dtype=bool)
+        first[0] = True
+        first[1:] = dst[1:] != dst[:-1]
+        dst, lab = dst[first], lab[first]
+        improved = lab < self.labels[dst]
+        self.labels[dst[improved]] = lab[improved]
+        self._label_frontier = dst[improved]
+        return int(improved.sum())
+
+    def labels_table(self, colname: str = "component") -> pa.Table:
+        return pa.table({"vid": pa.array(self.owned_vids()), colname: pa.array(self.labels)})
+
+    # --- synchronous label propagation (community detection) ---
+
+    def lp_init(self) -> None:
+        self.labels = self.owned_vids().copy()
+
+    def lp_emit(self) -> list[np.ndarray]:
+        """Emit (dst_local, label, count) triples per owner: each owned v
+        votes its current label to every undirected neighbor, pre-counted
+        per shard (the combiner before the shuffle)."""
+        out: list[np.ndarray] = [np.empty((3, 0), dtype=np.int64) for _ in range(self.P)]
+        if self.sym_adj is None or self.sym_adj.size == 0:
+            return (0, *out)
+        lens = np.diff(self.sym_offsets)
+        dsts = self.sym_adj
+        labs = np.repeat(self.labels, lens)
+        order = np.lexsort((labs, dsts))
+        dsts, labs = dsts[order], labs[order]
+        new = np.empty(len(dsts), dtype=bool)
+        new[0] = True
+        new[1:] = (dsts[1:] != dsts[:-1]) | (labs[1:] != labs[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, len(dsts)))
+        dsts, labs = dsts[starts], labs[starts]
+        owners = dsts % self.P
+        cuts = np.searchsorted(owners, np.arange(self.P + 1))
+        out = [
+            np.stack([dsts[cuts[q]:cuts[q + 1]] // self.P, labs[cuts[q]:cuts[q + 1]], counts[cuts[q]:cuts[q + 1]]])
+            for q in range(self.P)
+        ]
+        return (sum(o.shape[1] for o in out), *out)
+
+    def lp_apply(self, *triples: np.ndarray) -> int:
+        """Synchronous LP update: per owned vertex, the most frequent
+        neighbor label, ties broken toward the lowest label; vertices with
+        no neighbors keep their label. Returns changed count."""
+        parts = [t for t in triples if t is not None and t.shape[1]]
+        if not parts:
+            return 0
+        dst = np.concatenate([t[0] for t in parts])
+        lab = np.concatenate([t[1] for t in parts])
+        cnt = np.concatenate([t[2] for t in parts])
+        order = np.lexsort((lab, dst))
+        dst, lab, cnt = dst[order], lab[order], cnt[order]
+        new = np.empty(len(dst), dtype=bool)
+        new[0] = True
+        new[1:] = (dst[1:] != dst[:-1]) | (lab[1:] != lab[:-1])
+        grp = np.cumsum(new) - 1
+        tot = np.zeros(grp[-1] + 1, dtype=np.int64)
+        np.add.at(tot, grp, cnt)
+        g_dst, g_lab = dst[new], lab[new]
+        # winner per dst: max count, then min label (lexsort is stable)
+        order2 = np.lexsort((g_lab, -tot, g_dst))
+        g_dst, g_lab = g_dst[order2], g_lab[order2]
+        first = np.empty(len(g_dst), dtype=bool)
+        first[0] = True
+        first[1:] = g_dst[1:] != g_dst[:-1]
+        w_dst, w_lab = g_dst[first], g_lab[first]
+        changed = int((self.labels[w_dst] != w_lab).sum())
+        new_labels = self.labels.copy()
+        new_labels[w_dst] = w_lab
+        self._next_labels = new_labels
+        return changed
+
+    def lp_swap(self) -> None:
+        """Install the synchronously-computed labels (all shards barrier)."""
+        if self._next_labels is not None:
+            self.labels = self._next_labels
+            self._next_labels = None
+
+    # ------------------------------------------------------------------
+    # triangle counting (degree-ordered orientation)
+    # ------------------------------------------------------------------
+
+    def sym_degree_table(self) -> np.ndarray:
+        """Undirected degree of owned vertices (aligned to local index)."""
+        return np.diff(self.sym_offsets)
+
+    def tri_needed_neighbors(self) -> list[np.ndarray]:
+        """Unique undirected neighbors per owner (to fetch their degrees)."""
+        uniq = np.unique(self.sym_adj)
+        owners = uniq % self.P
+        order = np.argsort(owners, kind="stable")
+        srt, owners = uniq[order], owners[order]
+        cuts = np.searchsorted(owners, np.arange(self.P + 1))
+        self._tri_uniq = uniq
+        return (len(uniq), *[srt[cuts[q]:cuts[q + 1]] // self.P for q in range(self.P)])
+
+    def degrees_for(self, locals_: np.ndarray) -> np.ndarray:
+        deg = np.diff(self.sym_offsets)
+        return deg[locals_]
+
+    def tri_orient(self, *deg_slices: np.ndarray) -> None:
+        """Build the degree-ordered oriented adjacency N>(v): keep neighbor
+        w iff (deg(w), w) > (deg(v), v) — the standard skew-bounding
+        orientation (wedge work per vertex is O(oriented-degree²), hubs
+        end up on the 'high' side). Stored vid-sorted for membership
+        queries; neighbor degrees cached for rank-sorted wedge emission."""
+        uniq = self._tri_uniq
+        deg_map = np.concatenate(deg_slices) if deg_slices else np.empty(0, dtype=np.int64)
+        # deg_map aligned with uniq (owner-grouped order == uniq sorted order
+        # grouped by owner; uniq sorted ascending groups owners arbitrarily —
+        # rebuild alignment explicitly)
+        owners = uniq % self.P
+        order = np.argsort(owners, kind="stable")
+        aligned = np.empty(len(uniq), dtype=np.int64)
+        aligned[order] = deg_map
+        pos = np.searchsorted(uniq, self.sym_adj)
+        nb_deg = aligned[pos]
+        own_deg = np.repeat(np.diff(self.sym_offsets), np.diff(self.sym_offsets))
+        own_vid = np.repeat(self.owned_vids(), np.diff(self.sym_offsets))
+        keep = (nb_deg > own_deg) | ((nb_deg == own_deg) & (self.sym_adj > own_vid))
+        rows = np.repeat(np.arange(self.n_local, dtype=np.int64), np.diff(self.sym_offsets))[keep]
+        adj, adeg = self.sym_adj[keep], nb_deg[keep]
+        order2 = np.lexsort((adj, rows))
+        self.ori_offsets = np.zeros(self.n_local + 1, dtype=np.int64)
+        np.cumsum(np.bincount(rows, minlength=self.n_local), out=self.ori_offsets[1:])
+        self.ori_adj = adj[order2]
+        self.ori_adj_deg = adeg[order2]
+
+    def tri_wedges(self) -> list[np.ndarray]:
+        """Emit wedge queries: for each owned apex v and rank-ordered pair
+        (lo, hi) in N>(v), ask owner(lo) whether edge lo->hi exists.
+        Returns per-owner (3,k) arrays [lo_local, hi_vid, apex_vid]."""
+        out: list[np.ndarray] = [np.empty((3, 0), dtype=np.int64) for _ in range(self.P)]
+        lens = np.diff(self.ori_offsets)
+        if lens.max(initial=0) < 2:
+            return (0, *out)
+        # rank-sort each row by (deg, vid) so pairs (i<j) are rank-ordered
+        rows_all = np.repeat(np.arange(self.n_local, dtype=np.int64), lens)
+        order = np.lexsort((self.ori_adj, self.ori_adj_deg, rows_all))
+        adj_r = self.ori_adj[order]
+        # generate (i, j) index pairs with i<j per row
+        starts = self.ori_offsets[:-1]
+        # expand rows to (row, j) for j in 1..len-1
+        jl = np.maximum(lens - 1, 0)
+        row_j = np.repeat(np.arange(self.n_local, dtype=np.int64), jl)
+        j = K.ranges_from_lengths(jl) + 1
+        # expand each (row, j) to i = 0..j-1
+        lo_i = K.ranges_from_lengths(j)
+        row_ij = np.repeat(row_j, j)
+        j_ij = np.repeat(j, j)
+        base = starts[row_ij]
+        lo = adj_r[base + lo_i]
+        hi = adj_r[base + j_ij]
+        apex = row_ij * self.P + self.p
+        owners = lo % self.P
+        order3 = np.argsort(owners, kind="stable")
+        lo, hi, apex, owners = lo[order3], hi[order3], apex[order3], owners[order3]
+        cuts = np.searchsorted(owners, np.arange(self.P + 1))
+        out = [
+            np.stack([lo[cuts[q]:cuts[q + 1]] // self.P, hi[cuts[q]:cuts[q + 1]], apex[cuts[q]:cuts[q + 1]]])
+            for q in range(self.P)
+        ]
+        return (sum(o.shape[1] for o in out), *out)
+
+    def tri_answer(self, *query_arrays: np.ndarray):
+        """Answer wedge queries: edge lo->hi present in the oriented CSR?
+        Credits the lo corner into local state; returns
+        (n_found, found_hi_vids, found_apex_vids) so the driver can route
+        the other two corners' credits to their owners."""
+        qs = [q for q in query_arrays if q is not None and q.shape[1]]
+        if not qs:
+            return 0, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        lo = np.concatenate([q[0] for q in qs])
+        hi = np.concatenate([q[1] for q in qs])
+        apex = np.concatenate([q[2] for q in qs])
+        pos = K.segmented_searchsorted(self.ori_adj, self.ori_offsets[lo], self.ori_offsets[lo + 1], hi)
+        found = (pos < self.ori_offsets[lo + 1]) & (
+            self.ori_adj[np.minimum(pos, max(len(self.ori_adj) - 1, 0))] == hi
+        )
+        np.add.at(self._tri_counts, lo[found], 1)
+        return int(found.sum()), hi[found], apex[found]
+
+    def tri_reset_counts(self) -> None:
+        self._tri_counts = np.zeros(self.n_local, dtype=np.int64)
+
+    def tri_credit(self, counts_inc: np.ndarray) -> None:
+        """Add per-owned-vertex triangle-corner credits (dense aligned array)."""
+        self._tri_counts += counts_inc
+
+    def tri_accumulate(self, locals_: np.ndarray) -> None:
+        """Add +1 credits for a (possibly repeated) list of owned local ids."""
+        if locals_.size:
+            np.add.at(self._tri_counts, locals_, 1)
+
+    def tri_counts_table(self) -> pa.Table:
+        return pa.table(
+            {"vid": pa.array(self.owned_vids()), "triangles": pa.array(self._tri_counts)}
+        )

@@ -1,0 +1,106 @@
+"""Pure-numpy semantic oracles (≤100 lines each, FIXTURES.md §3).
+
+``pagerank_oracle`` transcribes the reference's serial sync semantics
+(/root/reference/inc/pagerank.hxx:455-482 pagerankStaticOmp -> invoke ->
+pagerankUpdateRanksSync): pull iteration, C0=(1-P)/N, L∞ tolerance,
+double buffering. The graph oracles are brute force on tiny graphs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def dedup_edges(src, dst, n, add_self_loops=True):
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    if add_self_loops:
+        src = np.concatenate([src, np.arange(n, dtype=np.int64)])
+        dst = np.concatenate([dst, np.arange(n, dtype=np.int64)])
+    keys = np.unique(src * np.int64(n) + dst)
+    return keys // n, keys % n
+
+
+def pagerank_oracle(src, dst, n, damping=0.85, tol=1e-10, max_iter=500,
+                    add_self_loops=True, warm=None, dangling="selfloops"):
+    """Returns (ranks, iterations)."""
+    s, d = dedup_edges(src, dst, n, add_self_loops)
+    outdeg = np.bincount(s, minlength=n).astype(np.float64)
+    inv = np.where(outdeg > 0, 1.0 / np.maximum(outdeg, 1), 0.0)
+    r = np.full(n, 1.0 / n) if warm is None else np.asarray(warm, dtype=np.float64).copy()
+    C0 = (1.0 - damping) / n
+    for it in range(1, max_iter + 1):
+        contrib = r * inv
+        sums = np.zeros(n)
+        np.add.at(sums, d, contrib[s])
+        dang = damping * r[outdeg == 0].sum() / n if dangling == "redistribute" else 0.0
+        a = C0 + damping * sums + dang
+        linf = np.abs(a - r).max()
+        r = a
+        if linf < tol:
+            return r, it
+    return r, max_iter
+
+
+def cc_oracle(src, dst, n):
+    """Min-vid label per weakly-connected component (brute force)."""
+    labels = np.arange(n, dtype=np.int64)
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    changed = True
+    while changed:
+        changed = False
+        for u, v in zip(s, d):
+            if labels[v] > labels[u]:
+                labels[v] = labels[u]
+                changed = True
+            elif labels[u] > labels[v]:
+                labels[u] = labels[v]
+                changed = True
+    return labels
+
+
+def lp_oracle(src, dst, n, max_iterations=10):
+    """Synchronous label propagation, lowest-label tie-break (engine spec)."""
+    adj = [set() for _ in range(n)]
+    for u, v in zip(src, dst):
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(max_iterations):
+        new = labels.copy()
+        for v in range(n):
+            if not adj[v]:
+                continue
+            counts: dict[int, int] = {}
+            for w in adj[v]:
+                counts[labels[w]] = counts.get(labels[w], 0) + 1
+            best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[v] = best
+        if (new == labels).all():
+            break
+        labels = new
+    return labels
+
+
+def triangles_oracle(src, dst, n):
+    """(global_count, per-vertex corner counts) by brute force."""
+    adj = [set() for _ in range(n)]
+    for u, v in zip(src, dst):
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    count = 0
+    per = np.zeros(n, dtype=np.int64)
+    for u in range(n):
+        for v in adj[u]:
+            if v <= u:
+                continue
+            for w in adj[u] & adj[v]:
+                if w > v:
+                    count += 1
+                    per[u] += 1
+                    per[v] += 1
+                    per[w] += 1
+    return count, per

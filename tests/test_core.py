@@ -1,0 +1,101 @@
+"""Core engine correctness: generator, extraction, static PageRank vs oracle."""
+
+import numpy as np
+import pytest
+
+from pagerank_cuda_dynamic_ray.pipelines.graph import GraphContext
+from pagerank_cuda_dynamic_ray.sources import edges as E
+from pagerank_cuda_dynamic_ray.sources import transcripts as T
+
+from .oracle import pagerank_oracle
+
+
+@pytest.fixture(scope="module")
+def tiny_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("fixtures") / "tiny.parquet"
+    T.write_transcripts(str(p), n_conv=64, seed=42)
+    return str(p)
+
+
+def test_generator_deterministic(tmp_path):
+    t1 = T.generate_table(100, seed=42)
+    t2 = T.generate_table(100, seed=42)
+    assert t1.equals(t2)
+    # ts strictly increasing == generation order (stable turn ordering invariant)
+    ts = t1["ts"].to_numpy()
+    assert (np.diff(ts.astype("int64")) > 0).all()
+
+
+def test_extraction_matches_manual(tiny_path):
+    import pyarrow.parquet as pq
+    import re
+
+    tbl = pq.read_table(tiny_path)
+    ds = E.read_transcripts(tiny_path)
+    got = E.extract_edges(ds).to_pandas().sort_values(["ts", "src", "turn_idx"]).reset_index(drop=True)
+    # manual row-wise oracle
+    rows = []
+    for cid, ti, text, tool, ts in zip(
+        tbl["conv_id"].to_pylist(), tbl["turn_idx"].to_pylist(),
+        tbl["text"].to_pylist(), tbl["tool"].to_pylist(), tbl["ts"].to_pylist(),
+    ):
+        m = re.fullmatch(r"ref:([A-Za-z0-9_\-]+)", tool) or re.search(r"see:([A-Za-z0-9_\-]+)", text)
+        if m:
+            rows.append((cid, m.group(1), ts, ti))
+    rows.sort(key=lambda r: (r[2], r[0], r[3]))
+    assert len(got) == len(rows)
+    assert got["src"].tolist() == [r[0] for r in rows]
+    assert got["dst"].tolist() == [r[1] for r in rows]
+
+
+def _edge_arrays(path):
+    ds = E.read_transcripts(path)
+    raw = E.extract_edges(ds)
+    dictionary = E.vertex_dictionary(ds, raw)
+    pdf = raw.to_pandas()
+    src = np.searchsorted(dictionary, pdf["src"].to_numpy())
+    dst = np.searchsorted(dictionary, pdf["dst"].to_numpy())
+    return src, dst, len(dictionary), dictionary
+
+
+@pytest.mark.parametrize("num_parts", [1, 3])
+def test_static_pagerank_matches_oracle(tiny_path, num_parts):
+    src, dst, n, _ = _edge_arrays(tiny_path)
+    ctx = GraphContext(n, num_parts)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    res = ctx.pagerank("static")
+    got = ctx.assemble(res.ranks)
+    want, want_iters = pagerank_oracle(src, dst, n)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert abs(res.iterations - want_iters) <= 1
+    assert abs(got.sum() - 1.0) < 1e-6  # self-loop graph: rank mass conserved
+
+
+def test_static_pagerank_redistribute_dangling(tiny_path):
+    src, dst, n, _ = _edge_arrays(tiny_path)
+    ctx = GraphContext(n, 2, add_self_loops=False)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    from pagerank_cuda_dynamic_ray.options import PagerankOptions
+
+    res = ctx.pagerank("static", options=PagerankOptions(dangling="redistribute"))
+    got = ctx.assemble(res.ranks)
+    want, _ = pagerank_oracle(src, dst, n, add_self_loops=False, dangling="redistribute")
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert abs(got.sum() - 1.0) < 1e-6
+
+
+def test_degrees_and_self_loops(tiny_path):
+    src, dst, n, _ = _edge_arrays(tiny_path)
+    ctx = GraphContext(n, 3)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    assert ctx.count_self_loops() == n
+    from .oracle import dedup_edges
+
+    s, d = dedup_edges(src, dst, n, add_self_loops=True)
+    assert ctx.num_edges() == len(s)
+    deg = ctx.out_degrees().to_pandas().sort_values("vid")["outdeg"].to_numpy()
+    want_deg = np.bincount(s, minlength=n)
+    np.testing.assert_array_equal(deg, want_deg)
