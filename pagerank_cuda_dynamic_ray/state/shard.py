@@ -432,6 +432,8 @@ class GraphShard:
                 first[1:] = dsts[1:] != dsts[:-1]
                 dsts, labs = dsts[first], labs[first]
                 owners = dsts % self.P
+                by_owner = np.argsort(owners, kind="stable")
+                dsts, labs, owners = dsts[by_owner], labs[by_owner], owners[by_owner]
                 cuts = np.searchsorted(owners, np.arange(self.P + 1))
                 out = [np.stack([dsts[cuts[q]:cuts[q + 1]] // self.P, labs[cuts[q]:cuts[q + 1]]]) for q in range(self.P)]
         return (sum(o.shape[1] for o in out), *out)
@@ -484,6 +486,8 @@ class GraphShard:
         counts = np.diff(np.append(starts, len(dsts)))
         dsts, labs = dsts[starts], labs[starts]
         owners = dsts % self.P
+        by_owner = np.argsort(owners, kind="stable")
+        dsts, labs, counts, owners = dsts[by_owner], labs[by_owner], counts[by_owner], owners[by_owner]
         cuts = np.searchsorted(owners, np.arange(self.P + 1))
         out = [
             np.stack([dsts[cuts[q]:cuts[q + 1]] // self.P, labs[cuts[q]:cuts[q + 1]], counts[cuts[q]:cuts[q + 1]]])

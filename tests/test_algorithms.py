@@ -1,0 +1,76 @@
+"""CC / LP / triangle counting vs brute-force oracles (exact matches)."""
+
+import numpy as np
+import pytest
+
+from pagerank_cuda_dynamic_ray.pipelines import analytics
+from pagerank_cuda_dynamic_ray.pipelines.graph import GraphContext
+
+from .oracle import cc_oracle, lp_oracle, triangles_oracle
+
+
+def _graph(seed, n, m):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, n, m).astype(np.int64), rng.randint(0, n, m).astype(np.int64)
+
+
+@pytest.mark.parametrize("num_parts", [1, 4])
+def test_connected_components_exact(num_parts):
+    n = 60
+    src, dst = _graph(5, n, 50)  # sparse -> several components
+    ctx = GraphContext(n, num_parts)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    got = analytics.connected_components(ctx).to_pandas().sort_values("vid")["component"].to_numpy()
+    want = cc_oracle(src, dst, n)
+    np.testing.assert_array_equal(got, want)
+    # idempotence: a second run returns the identical labeling
+    got2 = analytics.connected_components(ctx).to_pandas().sort_values("vid")["component"].to_numpy()
+    np.testing.assert_array_equal(got, got2)
+    ctx.shutdown()
+
+
+@pytest.mark.parametrize("num_parts", [1, 3])
+def test_label_propagation_exact(num_parts):
+    n = 40
+    src, dst = _graph(9, n, 90)
+    ctx = GraphContext(n, num_parts)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    got = analytics.label_propagation(ctx, max_iterations=10).to_pandas().sort_values("vid")["label"].to_numpy()
+    want = lp_oracle(src, dst, n, max_iterations=10)
+    np.testing.assert_array_equal(got, want)
+    ctx.shutdown()
+
+
+@pytest.mark.parametrize("num_parts", [1, 2, 4])
+def test_triangles_exact(num_parts):
+    n = 30
+    src, dst = _graph(0, n, 120)
+    want, want_per = triangles_oracle(src, dst, n)
+    ctx = GraphContext(n, num_parts)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    got, per_ds = analytics.triangle_count(ctx)
+    per = per_ds.to_pandas().sort_values("vid")["triangles"].to_numpy()
+    assert got == want
+    np.testing.assert_array_equal(per, want_per)
+    assert per.sum() == 3 * got
+    ctx.shutdown()
+
+
+def test_cc_survives_batch_update():
+    """Symmetric view invalidates and rebuilds after apply_batch."""
+    n = 20
+    src = np.array([0, 2, 4], dtype=np.int64)
+    dst = np.array([1, 3, 5], dtype=np.int64)
+    ctx = GraphContext(n, 2)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    before = analytics.connected_components(ctx).to_pandas()
+    assert before["component"].nunique() == n - 3
+    ins = np.array([[1, 3], [2, 4]], dtype=np.int64)  # chain them together
+    ctx.apply_batch(np.empty((2, 0), dtype=np.int64), ins)
+    after = analytics.connected_components(ctx).to_pandas()
+    assert after["component"].nunique() == n - 5
+    ctx.shutdown()

@@ -1,0 +1,112 @@
+"""Dynamic PageRank variants: conformance vs fresh static oracle per batch.
+
+Mirrors the reference's protocol (/root/reference/main.cu:79-147): every
+dynamic variant, warm-started from the previous batch's own ranks, must
+land on the same fixpoint as a fresh static run on the updated graph
+(allclose 1e-6 — FIXTURES.md §3)."""
+
+import numpy as np
+import pytest
+
+from pagerank_cuda_dynamic_ray.options import PagerankOptions
+from pagerank_cuda_dynamic_ray.pipelines.graph import GraphContext
+
+from .oracle import pagerank_oracle
+
+N = 80
+EMPTY = np.empty((2, 0), dtype=np.int64)
+
+
+def _random_graph(seed, n=N, m=260):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, n, m).astype(np.int64), rng.randint(0, n, m).astype(np.int64)
+
+
+@pytest.fixture()
+def ctx():
+    src, dst = _random_graph(3)
+    c = GraphContext(N, 3)
+    c.ingest_pairs(src, dst)
+    c.finalize()
+    c._test_edges = (src, dst)
+    yield c
+    c.shutdown()
+
+
+@pytest.mark.parametrize("variant", ["nd", "dt", "df", "dfp"])
+def test_variant_converges_to_static_fixpoint_insertions(ctx, variant):
+    src, dst = ctx._test_edges
+    base = ctx.pagerank("static")
+    rng = np.random.RandomState(7)
+    ins = np.stack([rng.randint(0, N, 20), rng.randint(0, N, 20)]).astype(np.int64)
+    dels, ins_t = ctx.tidy_batch(EMPTY, ins)
+    ctx.apply_batch(dels, ins_t)
+    marks = ctx.compute_frontier_marks(EMPTY, ins_t)
+    res = ctx.pagerank(variant, warm=list(base.ranks), initial_marks=marks)
+    got = ctx.assemble(res.ranks)
+    # oracle: static on (edges + self-loops) ∪ insertions
+    s2 = np.concatenate([src, ins_t[0]])
+    d2 = np.concatenate([dst, ins_t[1]])
+    want, _ = pagerank_oracle(s2, d2, N)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@pytest.mark.parametrize("variant", ["nd", "dt", "df", "dfp"])
+def test_variant_with_deletions(ctx, variant):
+    src, dst = ctx._test_edges
+    base = ctx.pagerank("static")
+    # delete a slice of existing (non-self-loop) edges
+    keep = src != dst
+    cand = np.stack([src[keep][:15], dst[keep][:15]])
+    dels, _ = ctx.tidy_batch(cand, EMPTY)
+    assert dels.shape[1] > 0
+    marks_del = ctx.compute_frontier_marks(dels, EMPTY)  # expand in x BEFORE apply
+    ctx.apply_batch(dels, EMPTY)
+    marks = marks_del
+    res = ctx.pagerank(variant, warm=list(base.ranks), initial_marks=marks)
+    got = ctx.assemble(res.ranks)
+    # oracle graph: dedup(all edges + self-loops) minus deleted pairs
+    from .oracle import dedup_edges
+
+    s0, d0 = dedup_edges(src, dst, N, add_self_loops=True)
+    del_keys = set((dels[0] * N + dels[1]).tolist())
+    mask = np.array([k not in del_keys for k in (s0 * N + d0)])
+    want, _ = pagerank_oracle(s0[mask], d0[mask], N, add_self_loops=False)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_tidy_batch_semantics(ctx):
+    src, dst = ctx._test_edges
+    from .oracle import dedup_edges
+
+    s0, d0 = dedup_edges(src, dst, N, add_self_loops=True)
+    existing = set((s0 * N + d0).tolist())
+    rng = np.random.RandomState(11)
+    batch = np.stack([rng.randint(0, N, 40), rng.randint(0, N, 40)]).astype(np.int64)
+    # duplicate every edge once: tidy must dedup exactly (batch.hxx:183-191)
+    batch = np.concatenate([batch, batch], axis=1)
+    dels, ins = ctx.tidy_batch(batch, batch)
+    dk = dels[0] * N + dels[1]
+    ik = ins[0] * N + ins[1]
+    assert len(set(dk.tolist())) == len(dk)          # deduped
+    assert (np.diff(np.lexsort((dels[1], dels[0]))) > 0).all() or dels.shape[1] <= 1
+    assert all(k in existing for k in dk.tolist())    # deletions must exist
+    assert all(k not in existing for k in ik.tolist())  # insertions must not
+    want = {k for k in set((batch[0] * N + batch[1]).tolist())}
+    assert set(dk.tolist()) == {k for k in want if k in existing}
+    assert set(ik.tolist()) == {k for k in want if k not in existing}
+
+
+def test_dfp_prunes_and_df_monotone(ctx):
+    """DF-P must converge in <= iterations of static; affected counts shrink."""
+    base = ctx.pagerank("static")
+    rng = np.random.RandomState(13)
+    ins = np.stack([rng.randint(0, N, 5), rng.randint(0, N, 5)]).astype(np.int64)
+    _, ins_t = ctx.tidy_batch(EMPTY, ins)
+    ctx.apply_batch(EMPTY, ins_t)
+    marks = ctx.compute_frontier_marks(EMPTY, ins_t)
+    static = ctx.pagerank("static")
+    dfp = ctx.pagerank("dfp", warm=list(base.ranks), initial_marks=marks)
+    assert dfp.iterations <= static.iterations
+    aff = [sum(p["affected"] for p in m["parts"]) for m in dfp.metrics]
+    assert aff[-1] <= aff[0] or aff[0] == 0
