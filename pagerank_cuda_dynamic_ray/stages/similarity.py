@@ -1,0 +1,130 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k as the exact baseline: the query matrix is
+broadcast once (``ray.put``), each batch computes one matmul block and
+emits per-batch top-k partials (combiner), and a final tiny groupby
+merges partials — no full materialization of the score matrix.
+The LSH-bucketed variant prunes candidates with random-hyperplane
+buckets (the 100 TB path: only matching buckets are scanned).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+from ..functions.hashing import splitmix64
+from ..state import kernels as K
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _matrix(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    return pdf["vec_id"].to_numpy(), _normalize(np.stack(pdf["embedding"].to_list()).astype(np.float64))
+
+
+def knn_bruteforce(embeddings: rd.Dataset, queries: pd.DataFrame, k: int = 10,
+                   exclude_self: bool = True) -> pd.DataFrame:
+    """Exact cosine top-k of every query vector against the dataset.
+
+    queries: DataFrame (vec_id, embedding). Returns
+    (query_id, neighbor_id, cosine, rank) with rank 0..k-1, deterministic
+    (score desc, neighbor_id asc tie-break).
+    """
+    q_ids, q_mat = _matrix(queries)
+    ref = ray.put((q_ids, q_mat))
+
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qi, qm = ray.get(ref)
+        ids, m = _matrix(batch)
+        sims = qm @ m.T                             # (Q, batch)
+        if exclude_self:
+            self_mask = qi[:, None] == ids[None, :]
+            sims[self_mask] = -np.inf
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(qi, kk)
+        cols = ids[part.reshape(-1)]
+        vals = np.take_along_axis(sims, part, axis=1).reshape(-1)
+        keep = vals > -np.inf
+        return pd.DataFrame({"query_id": rows[keep], "neighbor_id": cols[keep], "cosine": vals[keep]})
+
+    partials = embeddings.map_batches(block_topk, batch_format="pandas", batch_size=4096)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g, s, p, r = K.topk_per_group(
+            group["query_id"].to_numpy(), group["cosine"].to_numpy(),
+            group["neighbor_id"].to_numpy(), k,
+        )
+        return pd.DataFrame({"query_id": g, "neighbor_id": p, "cosine": s, "rank": r})
+
+    out = partials.groupby("query_id").map_groups(merge, batch_format="pandas").to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+class HyperplaneLSH:
+    """Seeded random-hyperplane bucketer: embedding -> nbits-bit bucket id."""
+
+    def __init__(self, dim: int, nbits: int = 8, seed: int = 5):
+        raw = splitmix64(np.arange(dim * nbits, dtype=np.uint64) + np.uint64(seed * 0x777))
+        # uniform(-1,1) from the hash bits — deterministic across processes
+        self.planes = (raw.astype(np.float64) / 2**63 - 1.0).reshape(nbits, dim)
+
+    def bucket(self, mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ self.planes.T) > 0
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+
+
+def knn_lsh(embeddings: rd.Dataset, queries: pd.DataFrame, k: int = 10,
+            nbits: int = 8, probes: int = 2, seed: int = 5) -> pd.DataFrame:
+    """Approximate top-k: scan only vectors whose hyperplane bucket is
+    within ``probes-1`` bit flips of the query's bucket (multi-probe).
+    Same output schema as knn_bruteforce; recall measured in tests."""
+    q_ids, q_mat = _matrix(queries)
+    dim = q_mat.shape[1]
+    lsh = HyperplaneLSH(dim, nbits, seed)
+    q_buckets = lsh.bucket(q_mat)
+    # multi-probe: query bucket + single-bit flips (probes levels)
+    probe_sets = [q_buckets]
+    if probes > 1:
+        for b in range(nbits):
+            probe_sets.append(q_buckets ^ (1 << b))
+    probe_map: dict[int, list[int]] = {}
+    for qi, buckets in enumerate(zip(*[p.tolist() for p in probe_sets])):
+        for b in buckets:
+            probe_map.setdefault(b, []).append(qi)
+    ref = ray.put((q_ids, q_mat, probe_map))
+
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qi_ids, qm, pmap = ray.get(ref)
+        ids, m = _matrix(batch)
+        buckets = lsh.bucket(m)
+        out_q, out_n, out_s = [], [], []
+        for b in np.unique(buckets):
+            qrows = pmap.get(int(b))
+            if not qrows:
+                continue
+            cols = np.flatnonzero(buckets == b)
+            sims = qm[qrows] @ m[cols].T
+            for row_i, qrow in enumerate(qrows):
+                mask = ids[cols] != qi_ids[qrow]
+                out_q.extend([qi_ids[qrow]] * int(mask.sum()))
+                out_n.extend(ids[cols][mask].tolist())
+                out_s.extend(sims[row_i][mask].tolist())
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_s})
+
+    partials = embeddings.map_batches(block_topk, batch_format="pandas", batch_size=4096)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("neighbor_id")
+        g, s, p, r = K.topk_per_group(
+            g["query_id"].to_numpy(), g["cosine"].to_numpy(), g["neighbor_id"].to_numpy(), k
+        )
+        return pd.DataFrame({"query_id": g, "neighbor_id": p, "cosine": s, "rank": r})
+
+    out = partials.groupby("query_id").map_groups(merge, batch_format="pandas").to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)

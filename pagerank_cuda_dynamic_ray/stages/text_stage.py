@@ -1,0 +1,58 @@
+"""Text-analysis actor stage over the documents table.
+
+Stateful ``map_batches`` class: regexes compiled once per actor in
+``__init__``, vectorized pandas/numpy kernels per batch — the canonical
+Ray Data stateful-stage pattern. Produces language id, quality features,
+token counts and a rolling-hash fingerprint per document.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..functions import text as X
+
+
+class TextAnalysis:
+    def __init__(self, with_fingerprint: bool = True):
+        # compile once per actor (not per batch)
+        self.ws_re = X.WS_RE
+        self.bpe_re = X.BPE_RE
+        self.with_fingerprint = with_fingerprint
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        feats = X.quality_features(texts)
+        out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()})
+        out["n_chars"] = feats["n_chars"]
+        out["n_tokens_ws"] = feats["n_tokens"]
+        out["n_tokens_bpe"] = X.bpe_token_count(texts)
+        out["punct_ratio"] = feats["punct_ratio"]
+        out["upper_ratio"] = feats["upper_ratio"]
+        out["stop_ratio"] = feats["stop_ratio"]
+        out["quality"] = feats["quality"]
+        out["lang"] = X.lang_id(texts).to_numpy()
+        if self.with_fingerprint:
+            out["fingerprint"] = X.fingerprint(texts).astype(np.int64)
+        return out
+
+
+def analyze_documents(docs: rd.Dataset, concurrency: int = 2, batch_size: int = 2048,
+                      with_fingerprint: bool = True) -> rd.Dataset:
+    return docs.map_batches(
+        TextAnalysis, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency, fn_constructor_kwargs={"with_fingerprint": with_fingerprint},
+    )
+
+
+def quality_filter(docs: rd.Dataset, min_quality: float = 0.2,
+                   min_tokens: int = 5) -> rd.Dataset:
+    """Filter stage a training-data pipeline chains after scoring."""
+    scored = analyze_documents(docs)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[(batch["quality"] >= min_quality) & (batch["n_tokens_ws"] >= min_tokens)]
+
+    return scored.map_batches(keep, batch_format="pandas")

@@ -1,0 +1,131 @@
+"""Training-data pipeline stages: dedup, similarity, text, multimodal."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from pagerank_cuda_dynamic_ray.stages import dedup, multimodal, similarity, text_stage
+
+
+def _docs(texts):
+    return rd.from_pandas(pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}))
+
+
+def test_exact_dedup():
+    texts = ["alpha beta", "gamma", "alpha beta", "delta", "gamma", "gamma"]
+    out = dedup.exact_dedup(_docs(texts)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [0, 1, 3]
+    assert dict(zip(out["doc_id"], out["n_dups"])) == {0: 2, 1: 3, 3: 1}
+
+
+def test_minhash_dedup_finds_near_dups():
+    base = "the quick brown fox jumps over the lazy dog again and again until done"
+    near = base.replace("lazy", "sleepy")
+    other = "completely different words about graph engines and arrow batches here now"
+    out = dedup.minhash_dedup(_docs([base, near, other, base]), threshold=0.5)
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert cl[0] == cl[3] == 0          # exact dup clustered
+    assert cl[1] == 0                   # near dup joins cluster
+    assert cl[2] == 2                   # unrelated stays alone
+    assert out[out["doc_id"] == 0]["keep"].item()
+    assert not out[out["doc_id"] == 3]["keep"].item()
+
+
+def test_simhash_dedup():
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    near = base.replace("twelve", "thirteen")
+    other = "zz yy xx ww vv uu tt ss rr qq pp oo"
+    out = dedup.simhash_dedup(_docs([base, near, other]), max_hamming=16)
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert cl[0] == cl[1]
+    assert cl[2] != cl[0]
+
+
+def _emb_ds(mat):
+    return rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(len(mat), dtype=np.int64),
+        "embedding": [row.astype(np.float32).tolist() for row in mat],
+    }))
+
+
+def test_embedding_neardup_pairs():
+    rng = np.random.RandomState(0)
+    mat = rng.randn(40, 16)
+    mat[7] = mat[3] + 0.01 * rng.randn(16)   # planted near-dup
+    out = dedup.embedding_neardup_pairs(_emb_ds(mat), threshold=0.99)
+    assert [tuple(r) for r in out[["a", "b"]].to_numpy()] == [(3, 7)]
+
+
+def test_knn_bruteforce_matches_numpy():
+    rng = np.random.RandomState(1)
+    mat = rng.randn(60, 8)
+    ds = _emb_ds(mat)
+    queries = ds.to_pandas().iloc[:3]
+    got = similarity.knn_bruteforce(ds, queries, k=5)
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for qid in range(3):
+        sims = m[qid] @ m.T
+        sims[qid] = -np.inf
+        want = np.argsort(-sims, kind="stable")[:5]
+        rows = got[got["query_id"] == qid].sort_values("rank")
+        assert rows["neighbor_id"].tolist() == want.tolist()
+        np.testing.assert_allclose(rows["cosine"].to_numpy(), sims[want], atol=1e-9)
+
+
+def test_knn_lsh_recall():
+    # clustered data: LSH recall is meaningful when neighbors are close
+    rng = np.random.RandomState(2)
+    centers = rng.randn(10, 16) * 3
+    mat = np.concatenate([c + 0.1 * rng.randn(30, 16) for c in centers])
+    ds = _emb_ds(mat)
+    queries = ds.to_pandas().iloc[:5]
+    exact = similarity.knn_bruteforce(ds, queries, k=5)
+    approx = similarity.knn_lsh(ds, queries, k=5, nbits=6, probes=2)
+    hits = 0
+    for qid in range(5):
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        hits += len(e & a)
+    assert hits / 25 >= 0.8  # multi-probe recall on clustered data
+
+
+def test_text_analysis():
+    texts = [
+        "The quick brown fox, it is the best of the dogs!",
+        "der hund und die katze sind nicht ein problem",
+        "",
+    ]
+    docs = _docs(texts)
+    out = text_stage.analyze_documents(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["n_tokens_ws"].tolist() == [len(t.split()) for t in texts]
+    assert out["n_chars"].tolist() == [len(t) for t in texts]
+    assert out["lang"].tolist()[:2] == ["en", "de"]
+    assert out["lang"].tolist()[2] == "und"
+    # deterministic across runs
+    out2 = text_stage.analyze_documents(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_multimodal_plumbing():
+    tbl = multimodal.synth_media_table(30, seed=1)
+    ds = rd.from_arrow(tbl)
+    feats = multimodal.decode_features(ds, mode="fake", feature_dim=8).to_pandas()
+    assert len(feats) == 30
+    assert all(len(f) == 8 for f in feats["features"])
+    feats2 = multimodal.decode_features(rd.from_arrow(tbl), mode="fake", feature_dim=8).to_pandas()
+    a = feats.sort_values("media_id").reset_index(drop=True)
+    b = feats2.sort_values("media_id").reset_index(drop=True)
+    assert all(np.allclose(x, y) for x, y in zip(a["features"], b["features"]))
+    frames = multimodal.sample_frames(ds, every_k=10).to_pandas()
+    videos = tbl.to_pandas().query("kind == 'video'")
+    want = int(sum(int(np.ceil(nf / 10)) for nf in videos["n_frames"]))
+    assert len(frames) == want
+    assert set(frames["media_id"]) == set(videos["media_id"])
+
+
+def test_multimodal_real_mode_raises():
+    tbl = multimodal.synth_media_table(4, seed=2)
+    ds = rd.from_arrow(tbl)
+    with pytest.raises(Exception):
+        multimodal.decode_features(ds, mode="real").to_pandas()
