@@ -263,5 +263,9 @@ def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.95) -> 
         return pd.DataFrame({"a": a[keep], "b": b[keep],
                              "cosine": sims[ai, bj][keep]})
 
-    out = embeddings.map_batches(block, batch_format="pandas", batch_size=1024)
-    return out.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    out = embeddings.map_batches(block, batch_format="pandas", batch_size=1024).to_pandas()
+    if "a" not in out.columns:  # every block empty -> schema-less result
+        out = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                            "b": pd.Series([], dtype=np.int64),
+                            "cosine": pd.Series([], dtype=np.float64)})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
