@@ -1,0 +1,225 @@
+#!/usr/bin/env python
+"""Benchmark harness for the Ray-Data link-graph engine.
+
+Default mode runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N}
+
+``--scaling`` runs the flagship graph pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32 — the sandbox evidence for the reference's
+N-vs-4N-node cluster criterion) on the same input and reports both
+throughputs plus scaling efficiency. Results land in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCALING_LEVELS = (8, 32)
+# fixed iteration count for throughput measurement (tolerance can't
+# terminate early -> comparable work across parallelism levels)
+SCALING_ITERS = 30
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=num_cpus, include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _graph_parts(num_cpus: int) -> int:
+    # one full CPU per shard actor (honest scaling), leaving 2 slots for
+    # the Ray Data routing/ingest tasks that feed the pool
+    return max(2, num_cpus - 2)
+
+
+def run_suite(sf_dir: str, num_cpus: int) -> dict:
+    ray = _init_ray(num_cpus)
+    import numpy as np
+    import ray.data as rd
+
+    from pagerank_cuda_dynamic_ray import api
+    from pagerank_cuda_dynamic_ray.options import PagerankOptions
+    from pagerank_cuda_dynamic_ray.pipelines import analytics as A
+    from pagerank_cuda_dynamic_ray.sources import transcripts as T
+    from pagerank_cuda_dynamic_ray.stages import dedup as D
+    from pagerank_cuda_dynamic_ray.stages import similarity as S
+    from pagerank_cuda_dynamic_ray.stages import text_stage as TS
+
+    q: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    P = _graph_parts(num_cpus)
+    fixture = T.ensure_fixture(T.scale_for_sf_dir(sf_dir))
+
+    t0 = time.perf_counter()
+    ctx, batches = api.build_graph(
+        fixture, num_parts=P, temporal=True, base_fraction=0.9,
+        batch_fraction=1e-3, num_batches=1,
+    )
+    q["graph_build"] = time.perf_counter() - t0
+    E = ctx.num_edges()
+
+    t0 = time.perf_counter()
+    res = ctx.pagerank("static")
+    q["pagerank_static"] = time.perf_counter() - t0
+    extra["pr_iterations"] = res.iterations
+    extra["pr_edges"] = E
+    extra["pr_edges_per_sec_per_iter"] = E * res.iterations / q["pagerank_static"]
+
+    # one insertion batch, the reference's dynamic protocol (main.cu:79-147)
+    warm = list(res.ranks)
+    empty = np.empty((2, 0), dtype=np.int64)
+    batch = batches[0] if batches else empty
+    t0 = time.perf_counter()
+    dels, ins = ctx.tidy_batch(empty, batch)
+    ctx.apply_batch(dels, ins)
+    marks = ctx.compute_frontier_marks(empty, ins)
+    q["batch_apply"] = time.perf_counter() - t0
+    for variant in ("nd", "df", "dfp"):
+        t0 = time.perf_counter()
+        r = ctx.pagerank(variant, warm=warm, initial_marks=marks)
+        q[f"pagerank_{variant}"] = time.perf_counter() - t0
+        extra[f"{variant}_iterations"] = r.iterations
+
+    t0 = time.perf_counter()
+    A.connected_components(ctx).materialize()
+    q["connected_components"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    A.label_propagation(ctx, max_iterations=10).materialize()
+    q["label_propagation"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tri, _ = A.triangle_count(ctx)
+    q["triangle_count"] = time.perf_counter() - t0
+    extra["triangles"] = tri
+    ctx.shutdown()
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    t0 = time.perf_counter()
+    D.exact_dedup(docs).materialize()
+    q["exact_dedup"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    D.minhash_dedup(docs)
+    q["minhash_dedup"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    TS.analyze_documents(docs, concurrency=4).materialize()
+    q["text_analysis"] = time.perf_counter() - t0
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    queries = emb.to_pandas().sort_values("vec_id").head(16).reset_index(drop=True)
+    t0 = time.perf_counter()
+    S.knn_bruteforce(emb, queries, k=10)
+    q["knn_bruteforce"] = time.perf_counter() - t0
+
+    return {
+        "metric": "headline_suite_total",
+        "value": round(sum(q.values()), 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in q.items()},
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+        "extra": {k: (round(v, 1) if isinstance(v, float) else v) for k, v in extra.items()},
+    }
+
+
+def run_scaling_child(sf_dir: str, num_cpus: int) -> dict:
+    """Flagship graph pipeline at a fixed iteration count, fresh session."""
+    ray = _init_ray(num_cpus)
+
+    from pagerank_cuda_dynamic_ray import api
+    from pagerank_cuda_dynamic_ray.options import PagerankOptions
+    from pagerank_cuda_dynamic_ray.sources import transcripts as T
+
+    P = _graph_parts(num_cpus)
+    fixture = T.ensure_fixture(T.scale_for_sf_dir(sf_dir))
+    t0 = time.perf_counter()
+    ctx, _ = api.build_graph(fixture, num_parts=P)
+    build_s = time.perf_counter() - t0
+    E = ctx.num_edges()
+    opts = PagerankOptions(tolerance=0.0, max_iterations=SCALING_ITERS)
+    t0 = time.perf_counter()
+    res = ctx.pagerank("static", options=opts)
+    pr_s = time.perf_counter() - t0
+    ctx.shutdown()
+    return {
+        "num_cpus": num_cpus,
+        "num_parts": P,
+        "edges": E,
+        "iterations": res.iterations,
+        "build_sec": round(build_s, 3),
+        "pr_sec": round(pr_s, 3),
+        "total_sec": round(build_s + pr_s, 3),
+        "edges_per_sec_per_iter": round(E * res.iterations / pr_s, 1),
+        "pipeline_edges_per_sec": round(E * res.iterations / (build_s + pr_s), 1),
+    }
+
+
+def run_scaling(sf_dir: str) -> dict:
+    results = []
+    for cpus in SCALING_LEVELS:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child"],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results.append(json.loads(line))
+    lo, hi = results
+    ratio = hi["num_cpus"] / lo["num_cpus"]
+    eff_iter = (hi["edges_per_sec_per_iter"] / lo["edges_per_sec_per_iter"]) / ratio
+    eff_total = (lo["total_sec"] / hi["total_sec"]) / ratio
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff_iter, 3),
+        "unit": "fraction",
+        "queries": {
+            f"cpus{r['num_cpus']}_pr_sec": r["pr_sec"] for r in results
+        },
+        "sf": _sf_of(sf_dir),
+        "num_cpus": hi["num_cpus"],
+        "levels": results,
+        "efficiency_pr_iter_throughput": round(eff_iter, 3),
+        "efficiency_total_pipeline": round(eff_total, 3),
+    }
+
+
+def main() -> None:
+    import ray
+
+    if "--scaling-child" in sys.argv:
+        out = run_scaling_child(SF_DIR, NUM_CPUS)
+    elif "--scaling" in sys.argv:
+        out = run_scaling(SF_DIR)
+    else:
+        out = run_suite(SF_DIR, NUM_CPUS)
+    print(json.dumps(out))
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

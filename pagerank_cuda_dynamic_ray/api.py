@@ -44,7 +44,10 @@ def build_graph(
     dict_ref = ray.put(dictionary)
     batches: list[np.ndarray] = []
     if temporal:
-        log = raw_edges.sort(["ts", "src", "turn_idx"])
+        # materialize the globally-sorted log ONCE — split_at_indices and
+        # every per-batch encode below would otherwise re-execute the
+        # distributed sort per consumer
+        log = raw_edges.sort(["ts", "src", "turn_idx"]).materialize()
         base, batch_ds = E.temporal_split(log, base_fraction, batch_fraction, num_batches)
         encoded = E.encode_edges(base, dict_ref)
         for b in batch_ds:

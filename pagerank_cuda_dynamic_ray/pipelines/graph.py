@@ -99,11 +99,24 @@ class GraphContext:
         self._sym_built = False
 
     def _exchange(self, needs: list[dict[int, np.ndarray]]) -> None:
-        """needs[p][q] = locals p needs from q  ->  send_idx[q][p]."""
-        ray.get([
+        """needs[p][q] = locals p needs from q  ->  send_idx[q][p], plus the
+        packed-exchange layout: each source shard q emits ONE packed
+        contribution array per iteration laid out destination-major, and
+        destination p slices segment [cum[p][q], cum[p+1][q]) from it."""
+        refs = [
             self.shards[q].set_send_index.remote([needs[p][q] for p in range(self.P)])
             for q in range(self.P)
-        ])
+        ]
+        sizes = np.array(
+            [[len(needs[p][q]) for q in range(self.P)] for p in range(self.P)],
+            dtype=np.int64,
+        )
+        cum = np.vstack([np.zeros((1, self.P), dtype=np.int64), np.cumsum(sizes, axis=0)])
+        refs += [
+            self.shards[p].set_gather_layout.remote(np.stack([cum[p], cum[p + 1]], axis=1))
+            for p in range(self.P)
+        ]
+        ray.get(refs)
 
     def num_edges(self) -> int:
         return int(sum(o for o, _ in ray.get([s.num_edges.remote() for s in self.shards])))
@@ -231,6 +244,7 @@ class GraphContext:
         initial_marks: list[np.ndarray] | None = None,
         resume: bool = False,
         batch_idx: int = 0,
+        mode: str = "p2p",
     ) -> PagerankResult:
         """Run one PageRank computation to convergence.
 
@@ -239,6 +253,13 @@ class GraphContext:
         per-shard rank list from a previous result (required for the
         dynamic variants). ``initial_marks`` comes from
         ``compute_frontier_marks`` (required for dt/df/dfp).
+
+        mode: "p2p" (default) runs the whole loop inside the actor pool
+        — one driver dispatch per run, shards exchange contributions /
+        marks / L∞ directly (see GraphShard.run_iterations); "driver"
+        coordinates every iteration from the client (same math,
+        bit-equal results — kept for debugging and as the reference for
+        the equivalence tests).
         """
         o = options or PagerankOptions()
         assert variant in VARIANTS, variant
@@ -276,27 +297,62 @@ class GraphContext:
 
         t0 = time.perf_counter()
         linf = float("inf")
+
+        if mode == "p2p":
+            start = l
+            # peers are passed per-run (NOT stored in actor state): shards
+            # holding each other's handles permanently would form a
+            # reference cycle that keeps the whole pool alive after the
+            # driver drops its handles
+            refs = [
+                s.run_iterations.remote(
+                    shards, l, o.max_iterations, C0, o.damping, use_affected, frontier, prune,
+                    o.frontier_tolerance, o.prune_tolerance, o.tolerance, redistribute,
+                    o.checkpoint_every or 0, o.checkpoint_dir, o.run_id, batch_idx,
+                )
+                for s in shards
+            ]
+            per_shard = ray.get(refs)
+            n_it = len(per_shard[0])
+            for k in range(n_it):
+                linf = per_shard[0][k]["linf_global"]
+                metrics.append(
+                    {"iteration": start + k + 1, "linf": linf, "parts": [ps[k] for ps in per_shard]}
+                )
+            l = start + n_it
+            if o.checkpoint_every and o.checkpoint_dir:
+                for m in metrics[-n_it:]:
+                    if m["iteration"] % o.checkpoint_every == 0:
+                        self._finish_checkpoint(o, batch_idx, m["iteration"], m["linf"], m)
+            tc = time.perf_counter() - t0
+            ranks = ray.get([s.get_ranks.remote() for s in shards])
+            return PagerankResult(
+                ranks=ranks, iterations=l, time=time.perf_counter() - t_total0,
+                initialization_time=ti, marking_time=tm, computation_time=tc,
+                linf_delta=linf, metrics=metrics,
+            )
+
+        nret = 3 if frontier else 1
         while l < o.max_iterations:
             contrib_refs = [
-                shards[q].contribs.options(num_returns=P + 1).remote() for q in range(P)
+                shards[q].contribs.options(num_returns=2).remote() for q in range(P)
             ]
             dangling_mass = (
                 float(sum(ray.get([contrib_refs[q][0] for q in range(P)]))) if redistribute else 0.0
             )
+            packed = [contrib_refs[q][1] for q in range(P)]
             step_refs = [
-                shards[p].step.options(num_returns=P + 1).remote(
+                shards[p].step.options(num_returns=nret).remote(
                     C0, o.damping, use_affected, frontier, prune,
                     o.frontier_tolerance, o.prune_tolerance, dangling_mass,
-                    *[contrib_refs[q][1 + p] for q in range(P)],
+                    *packed,
                 )
                 for p in range(P)
             ]
-            stats = ray.get([step_refs[p][0] for p in range(P)])
+            stats = ray.get([step_refs[p][0] if frontier else step_refs[p] for p in range(P)])
             if frontier:
-                ray.get([
-                    shards[p].apply_marks.remote(*[step_refs[q][1 + p] for q in range(P)])
-                    for p in range(P)
-                ])
+                flat = [r for q in range(P) for r in (step_refs[q][1], step_refs[q][2])]
+                ray.get([shards[p].apply_marks_packed.remote(*flat) for p in range(P)])
             l += 1
             linf = max(s["linf"] for s in stats)  # global L∞ tree-reduce (pagerank.hxx:433)
             metrics.append({"iteration": l, "linf": linf, "parts": stats})
@@ -316,6 +372,12 @@ class GraphContext:
         ray.get([
             s.checkpoint.remote(o.checkpoint_dir, o.run_id, batch_idx, iteration) for s in self.shards
         ])
+        self._finish_checkpoint(o, batch_idx, iteration, linf, metric)
+
+    def _finish_checkpoint(self, o: PagerankOptions, batch_idx: int, iteration: int, linf: float, metric: dict) -> None:
+        """Publish the completeness marker + metrics line for an iteration
+        whose per-partition parquet files are already on disk (written by
+        the shards themselves in p2p mode)."""
         d = os.path.join(o.checkpoint_dir, o.run_id, f"batch={batch_idx}", f"iter={iteration}")
         with open(os.path.join(d, "_COMPLETE.json"), "w") as f:
             json.dump({"iteration": iteration, "linf": linf, "num_parts": self.P}, f)

@@ -33,6 +33,7 @@ All methods are synchronous actor calls; the driver loop lives in
 
 from __future__ import annotations
 
+import asyncio
 import os
 import time
 
@@ -71,10 +72,17 @@ class GraphShard:
         self.gather_ids = self.in_key = None
         self.gather_counts = None          # rows needed from each owner q
         self.send_idx: list[np.ndarray] | None = None
+        self.send_cat: np.ndarray | None = None
+        self.gather_layout: np.ndarray | None = None  # (P,2) segment per source
         # iteration state
         self.r = np.zeros(self.n_local)
         self.a = np.zeros(self.n_local)
         self.vaff = np.zeros(self.n_local, dtype=bool)
+        # p2p iteration state (run_iterations)
+        self._cv: asyncio.Condition | None = None
+        self._contrib_inbox: dict[int, dict[int, tuple]] = {}
+        self._marks_inbox: dict[int, dict[int, tuple]] = {}
+        self._linf_inbox: dict[int, dict[int, float]] = {}
         # symmetrized view (built on demand)
         self.sym_offsets = self.sym_adj = None
         self.labels = None
@@ -152,8 +160,24 @@ class GraphShard:
         return {q: (gather_ids[g_owner == q] // self.P) for q in range(self.P)}
 
     def set_send_index(self, send_idx: list[np.ndarray]) -> None:
-        """send_idx[p] = local source indices whose contributions shard p pulls."""
+        """send_idx[p] = local source indices whose contributions shard p pulls.
+
+        The concatenation (destination order) is precomputed: each
+        iteration emits ONE packed contribution array per source shard
+        (P objects per iteration instead of P² slice objects — on a
+        single node every destination maps the same shared-memory object
+        zero-copy and slices its segment; on a real multi-node cluster
+        the per-destination-slice exchange trades object count for
+        shipping only each node's segment)."""
         self.send_idx = send_idx
+        self.send_cat = (
+            np.concatenate(send_idx) if send_idx else np.empty(0, dtype=np.int64)
+        )
+
+    def set_gather_layout(self, layout: np.ndarray) -> None:
+        """layout[q] = (start, end) of this shard's segment inside source
+        shard q's packed contribution array."""
+        self.gather_layout = layout
 
     def num_edges(self) -> tuple[int, int]:
         return len(self.out_keys), len(self.in_keys)
@@ -230,15 +254,12 @@ class GraphShard:
         return int(self.vaff.sum())
 
     def contribs(self):
-        """Phase 1: contribution slices per destination shard + local
-        dangling mass (for dangling='redistribute').
-
-        Returns (dangling_mass, slice_for_shard_0, ..., slice_for_shard_{P-1});
-        call with num_returns=P+1 so each destination fetches only its slice."""
+        """Phase 1: packed contribution array (all destinations, segment
+        layout shipped at build time) + local dangling mass (for
+        dangling='redistribute'). Call with num_returns=2."""
         c = self.r * self.inv_outdeg
         dangling = float(self.r[self.outdeg == 0].sum()) if self.n_local else 0.0
-        slices = [c[idx] for idx in self.send_idx]
-        return (dangling, *slices)
+        return (dangling, c[self.send_cat])
 
     def step(
         self,
@@ -250,13 +271,20 @@ class GraphShard:
         frontier_tol: float,
         prune_tol: float,
         dangling_mass: float,
-        *slices: np.ndarray,
+        *packed: np.ndarray,
     ):
         """Phase 2: apply one synchronous pull update over owned rows.
 
-        Returns (stats, marks_for_shard_0, ..., marks_for_shard_{P-1});
-        marks are local dst indices to OR into each owner's vaff (empty
-        unless ``frontier``). Semantics per variant:
+        ``packed`` is every source shard's packed contribution array
+        (passed as direct ObjectRef args so Ray pre-resolves them before
+        scheduling; zero-copy shared memory on a node); this shard
+        slices its segment per ``gather_layout``.
+
+        Returns ``stats`` alone when ``frontier`` is False (call with
+        num_returns=1), else (stats, packed_marks, mark_offsets) where
+        ``packed_marks`` holds local dst indices destination-major and
+        ``mark_offsets[p]`` delimits destination p's segment. Semantics
+        per variant:
           static/nd: use_affected=False — update all rows
             (pagerank.hxx:155-174 sync sweep);
           dt: use_affected=True, frontier=False — fixed affected set
@@ -269,6 +297,7 @@ class GraphShard:
         """
         t0 = time.perf_counter()
         d = damping
+        slices = [pk[int(s):int(e)] for pk, (s, e) in zip(packed, self.gather_layout)]
         gathered = np.concatenate(slices) if len(slices) > 1 else (slices[0] if slices else np.empty(0))
         dang = d * dangling_mass / self.N
         r, n = self.r, self.n_local
@@ -294,7 +323,8 @@ class GraphShard:
         delta = np.abs(a - r)
         linf = float(delta.max()) if n else 0.0
 
-        marks: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(self.P)]
+        packed_marks = np.empty(0, dtype=np.int64)
+        mark_offsets = np.zeros(self.P + 1, dtype=np.int64)
         if frontier:
             cand = rows if rows is not None else np.arange(n, dtype=np.int64)
             if cand.size:
@@ -314,7 +344,9 @@ class GraphShard:
                     order = np.argsort(owners, kind="stable")
                     dsts, owners = dsts[order], owners[order]
                     cuts = np.searchsorted(owners, np.arange(self.P + 1))
-                    marks = [np.unique(dsts[cuts[q]:cuts[q + 1]] // self.P) for q in range(self.P)]
+                    segs = [np.unique(dsts[cuts[q]:cuts[q + 1]] // self.P) for q in range(self.P)]
+                    packed_marks = np.concatenate(segs)
+                    mark_offsets[1:] = np.cumsum([len(s) for s in segs])
         self.r, self.a = a, r  # swap: final ranks live in r (pagerank.hxx:434)
         stats = {
             "part": self.p,
@@ -323,7 +355,24 @@ class GraphShard:
             "gathered": int(gathered.size),
             "step_s": time.perf_counter() - t0,
         }
-        return (stats, *marks)
+        if frontier:
+            return (stats, packed_marks, mark_offsets)
+        return stats
+
+    def apply_marks_packed(self, *flat: np.ndarray) -> int:
+        """OR in the frontier marks destined to this shard. ``flat`` is
+        the interleaved (packed_marks_0, offsets_0, packed_marks_1,
+        offsets_1, ...) from every source shard's step output. Returns
+        newly-marked count."""
+        newly = 0
+        for q in range(0, len(flat), 2):
+            m, off = flat[q], flat[q + 1]
+            seg = m[off[self.p]:off[self.p + 1]]
+            if len(seg):
+                fresh = seg[~self.vaff[seg]]
+                self.vaff[fresh] = True
+                newly += len(fresh)
+        return newly
 
     def apply_marks(self, *mark_arrays: np.ndarray) -> int:
         """OR incoming frontier marks into vaff; returns newly-marked count."""
@@ -360,6 +409,146 @@ class GraphShard:
                 cuts = np.searchsorted(owners, np.arange(self.P + 1))
                 out = [np.unique(dsts[cuts[q]:cuts[q + 1]] // self.P) for q in range(self.P)]
         return (sum(len(o) for o in out), *out)
+
+    # ------------------------------------------------------------------
+    # p2p bulk-synchronous iteration (the scale path)
+    #
+    # The driver-coordinated loop above dispatches O(P) actor calls per
+    # iteration, which becomes the bottleneck long before compute does
+    # (and on a real multi-node cluster would make the driver the
+    # scaling wall). run_iterations() instead runs the whole power-
+    # iteration loop inside the actor pool: each shard pushes its packed
+    # contribution object to every peer (P control messages per shard,
+    # one shared-memory object), an L∞ allreduce doubles as the
+    # iteration barrier and convergence vote, and frontier marks ride a
+    # third message type. The driver dispatches ONE call per shard per
+    # PageRank run. Math is identical to the driver loop (same segment
+    # order, same kernels) — results are bit-equal.
+    # ------------------------------------------------------------------
+
+    async def recv_contribs(self, it: int, q: int, dangling: float, packed: np.ndarray) -> None:
+        cv = self._ensure_cv()
+        async with cv:
+            self._contrib_inbox.setdefault(it, {})[q] = (dangling, packed)
+            cv.notify_all()
+
+    async def recv_marks(self, it: int, q: int, marks: np.ndarray, offs: np.ndarray) -> None:
+        cv = self._ensure_cv()
+        async with cv:
+            self._marks_inbox.setdefault(it, {})[q] = (marks, offs)
+            cv.notify_all()
+
+    async def recv_linf(self, it: int, q: int, v: float) -> None:
+        cv = self._ensure_cv()
+        async with cv:
+            self._linf_inbox.setdefault(it, {})[q] = v
+            cv.notify_all()
+
+    def _ensure_cv(self) -> asyncio.Condition:
+        if self._cv is None:
+            self._cv = asyncio.Condition()
+        return self._cv
+
+    async def run_iterations(
+        self,
+        peers: list,
+        start_iter: int,
+        max_iterations: int,
+        C0: float,
+        damping: float,
+        use_affected: bool,
+        frontier: bool,
+        prune: bool,
+        frontier_tol: float,
+        prune_tol: float,
+        tolerance: float,
+        redistribute: bool,
+        checkpoint_every: int = 0,
+        ckpt_dir: str | None = None,
+        run_id: str | None = None,
+        batch_idx: int = 0,
+    ) -> list[dict]:
+        """Run power iterations to convergence inside the pool; returns
+        this shard's per-iteration stats (identical stopping iteration on
+        every shard — the allreduce makes the decision data-identical).
+
+        ``peers`` arrives per call so actor handles are never stored in
+        actor state (a stored all-to-all handle mesh is a reference
+        cycle that leaks the pool)."""
+        import ray
+
+        cv = self._ensure_cv()
+        P, me = self.P, self.p
+        out: list[dict] = []
+        it = start_iter
+        while it < max_iterations:
+            t0 = time.perf_counter()
+            # 1. broadcast packed contributions for iteration `it`
+            c = self.r * self.inv_outdeg
+            dangling = (
+                float(self.r[self.outdeg == 0].sum()) if redistribute and self.n_local else 0.0
+            )
+            packed = c[self.send_cat]
+            if P > 1:
+                pref = ray.put(packed)
+                for p, h in enumerate(peers):
+                    if p != me:
+                        h.recv_contribs.remote(it, me, dangling, pref)
+            async with cv:
+                self._contrib_inbox.setdefault(it, {})[me] = (dangling, packed)
+                cv.notify_all()
+                await cv.wait_for(lambda: len(self._contrib_inbox.get(it, {})) == P)
+                inbox = self._contrib_inbox.pop(it)
+            # 2. frontier marks from the previous iteration gate this step
+            if frontier and it > start_iter:
+                async with cv:
+                    await cv.wait_for(lambda: len(self._marks_inbox.get(it - 1, {})) == P)
+                    marks_in = self._marks_inbox.pop(it - 1)
+                for q in range(P):
+                    m, off = marks_in[q]
+                    seg = m[off[me]:off[me + 1]]
+                    if len(seg):
+                        self.vaff[seg[~self.vaff[seg]]] = True
+            dangling_mass = sum(v[0] for v in inbox.values()) if redistribute else 0.0
+            # 3. local step (same kernel as the driver loop)
+            res = self.step(
+                C0, damping, use_affected, frontier, prune,
+                frontier_tol, prune_tol, dangling_mass,
+                *[inbox[q][1] for q in range(P)],
+            )
+            stats = res[0] if frontier else res
+            # 4. L∞ allreduce = barrier + convergence vote
+            if P > 1:
+                for p, h in enumerate(peers):
+                    if p != me:
+                        h.recv_linf.remote(it, me, stats["linf"])
+            async with cv:
+                self._linf_inbox.setdefault(it, {})[me] = stats["linf"]
+                cv.notify_all()
+                await cv.wait_for(lambda: len(self._linf_inbox.get(it, {})) == P)
+                linfs = self._linf_inbox.pop(it)
+            linf_g = max(linfs.values())
+            stats["linf_global"] = linf_g
+            stats["iter_s"] = time.perf_counter() - t0
+            out.append(stats)
+            done = (linf_g < tolerance) or (it + 1 >= max_iterations)
+            # 5. marks ship only if another iteration will consume them
+            if frontier and not done:
+                _, packed_marks, mark_offsets = res
+                if P > 1:
+                    mref = ray.put(packed_marks)
+                    for p, h in enumerate(peers):
+                        if p != me:
+                            h.recv_marks.remote(it, me, mref, mark_offsets)
+                async with cv:
+                    self._marks_inbox.setdefault(it, {})[me] = (packed_marks, mark_offsets)
+                    cv.notify_all()
+            it += 1
+            if checkpoint_every and ckpt_dir and it % checkpoint_every == 0:
+                self.checkpoint(ckpt_dir, run_id, batch_idx, it)
+            if linf_g < tolerance:
+                break
+        return out
 
     # ------------------------------------------------------------------
     # checkpointing (mandated: per-iteration per-partition lineage)
