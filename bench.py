@@ -146,6 +146,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
+SCALING_SCALE = os.environ.get("GRAFT_SCALING_SCALE", "scaling")
+
+
 def run_scaling_child(sf_dir: str, num_cpus: int) -> dict:
     """Flagship graph pipeline at a fixed iteration count, fresh session."""
     ray = _init_ray(num_cpus)
@@ -155,11 +158,14 @@ def run_scaling_child(sf_dir: str, num_cpus: int) -> dict:
     from pagerank_cuda_dynamic_ray.sources import transcripts as T
 
     P = _graph_parts(num_cpus)
-    fixture = T.ensure_fixture(T.scale_for_sf_dir(sf_dir))
+    fixture = T.ensure_fixture(SCALING_SCALE)
     t0 = time.perf_counter()
-    ctx, _ = api.build_graph(fixture, num_parts=P)
+    ctx, _ = api.build_graph(fixture, num_parts=P, num_cpus_per_shard=1.0)
     build_s = time.perf_counter() - t0
     E = ctx.num_edges()
+    # compile the iteration dataflow + a short warmup outside the timed
+    # region (one-time cost, like the reference's CSR build / H2D copies)
+    ctx.pagerank("static", options=PagerankOptions(tolerance=0.0, max_iterations=3))
     opts = PagerankOptions(tolerance=0.0, max_iterations=SCALING_ITERS)
     t0 = time.perf_counter()
     res = ctx.pagerank("static", options=opts)
@@ -179,6 +185,13 @@ def run_scaling_child(sf_dir: str, num_cpus: int) -> dict:
 
 
 def run_scaling(sf_dir: str) -> dict:
+    # pre-generate the scaling fixture with full parallelism so the
+    # fresh-session children hit the disk cache
+    ray = _init_ray(max(SCALING_LEVELS))
+    from pagerank_cuda_dynamic_ray.sources import transcripts as T
+
+    T.ensure_fixture(SCALING_SCALE)
+    ray.shutdown()
     results = []
     for cpus in SCALING_LEVELS:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir)

@@ -27,6 +27,7 @@ def build_graph(
     base_fraction: float = 0.90,
     batch_fraction: float = 1e-3,
     num_batches: int = 5,
+    num_cpus_per_shard: float = 0.5,
 ):
     """Transcripts Parquet -> (GraphContext, insertion batches).
 
@@ -59,7 +60,8 @@ def build_graph(
     else:
         encoded = E.encode_edges(raw_edges, dict_ref)
     ctx = GraphContext.from_edges(
-        encoded.select_columns(["src", "dst"]), n, num_parts, dictionary, add_self_loops
+        encoded.select_columns(["src", "dst"]), n, num_parts, dictionary, add_self_loops,
+        num_cpus_per_shard=num_cpus_per_shard,
     )
     return ctx, batches
 

@@ -55,6 +55,7 @@ class GraphContext:
         actor_cls = ray.remote(num_cpus=num_cpus_per_shard)(GraphShard)
         self.shards = [actor_cls.remote(p, self.P, self.N) for p in range(self.P)]
         self._sym_built = False
+        self._cdag = None
 
     def shutdown(self) -> None:
         """Release the actor pool (free its CPU reservations immediately).
@@ -62,9 +63,50 @@ class GraphContext:
         Call when done with a context — actor handles are otherwise only
         released on GC, and a session can starve if stale pools linger.
         """
+        self._teardown_cdag()
         for s in self.shards:
             ray.kill(s)
         self.shards = []
+
+    def _teardown_cdag(self) -> None:
+        if self._cdag is not None:
+            try:
+                self._cdag.teardown()
+            except Exception:
+                pass
+            self._cdag = None
+
+    def __del__(self):
+        # a compiled DAG pins its actor handles in Ray's global compiled-
+        # graph registry, so plain handle GC never releases the pool —
+        # kill it explicitly when the context is dropped
+        try:
+            self.shutdown()
+        except Exception:
+            pass
+
+    def _compiled_dag(self):
+        """Compile (once) the per-iteration dataflow: P contribs_dag ->
+        all-to-all shared-memory channels -> P step_dag. One graph serves
+        every variant — the variant flags travel in the input channel."""
+        if self._cdag is None:
+            from ray.dag import InputNode, MultiOutputNode
+
+            P = self.P
+            with InputNode() as inp:
+                if P == 1:
+                    prods = [self.shards[0].contribs_dag.bind(inp)]
+                    steps = [self.shards[0].step_dag.bind(inp, prods[0])]
+                else:
+                    prods = [
+                        s.contribs_dag.options(num_returns=P).bind(inp) for s in self.shards
+                    ]
+                    steps = [
+                        self.shards[p].step_dag.bind(inp, *[prods[q][p] for q in range(P)])
+                        for p in range(P)
+                    ]
+                self._cdag = MultiOutputNode(steps).experimental_compile()
+        return self._cdag
 
     # ------------------------------------------------------------------
     # construction
@@ -244,7 +286,7 @@ class GraphContext:
         initial_marks: list[np.ndarray] | None = None,
         resume: bool = False,
         batch_idx: int = 0,
-        mode: str = "p2p",
+        mode: str = "auto",
     ) -> PagerankResult:
         """Run one PageRank computation to convergence.
 
@@ -254,12 +296,15 @@ class GraphContext:
         dynamic variants). ``initial_marks`` comes from
         ``compute_frontier_marks`` (required for dt/df/dfp).
 
-        mode: "p2p" (default) runs the whole loop inside the actor pool
-        — one driver dispatch per run, shards exchange contributions /
-        marks / L∞ directly (see GraphShard.run_iterations); "driver"
-        coordinates every iteration from the client (same math,
-        bit-equal results — kept for debugging and as the reference for
-        the equivalence tests).
+        mode: "compiled" (the "auto" default) executes one pre-compiled
+        Ray dataflow graph per iteration (shared-memory channels, lowest
+        per-iteration overhead — the single-node fast path); "p2p" runs
+        the whole loop inside the actor pool with direct peer exchange
+        (one driver dispatch per run — the multi-node scale path);
+        "driver" coordinates every iteration from the client (debugging
+        reference). All three are bit-equal. dangling="redistribute"
+        forces "driver" (its pre-step global sum isn't wired through the
+        other loops' exchanges).
         """
         o = options or PagerankOptions()
         assert variant in VARIANTS, variant
@@ -297,6 +342,39 @@ class GraphContext:
 
         t0 = time.perf_counter()
         linf = float("inf")
+        if mode == "auto":
+            mode = "driver" if redistribute else "compiled"
+        elif redistribute and mode != "driver":
+            mode = "driver"
+
+        if mode == "compiled":
+            cdag = self._compiled_dag()
+            params = (
+                C0, o.damping, use_affected, frontier, prune,
+                o.frontier_tolerance, o.prune_tolerance,
+            )
+            marks_fb = None
+            while l < o.max_iterations:
+                out = ray.get(cdag.execute((params, marks_fb)))
+                if frontier:
+                    stats = [t[0] for t in out]
+                    marks_fb = [(t[1], t[2]) for t in out]
+                else:
+                    stats = list(out)
+                l += 1
+                linf = max(s["linf"] for s in stats)
+                metrics.append({"iteration": l, "linf": linf, "parts": stats})
+                if o.checkpoint_every and o.checkpoint_dir and l % o.checkpoint_every == 0:
+                    self._checkpoint(o, batch_idx, l, linf, metrics[-1])
+                if linf < o.tolerance:
+                    break
+            tc = time.perf_counter() - t0
+            ranks = ray.get([s.get_ranks.remote() for s in shards])
+            return PagerankResult(
+                ranks=ranks, iterations=l, time=time.perf_counter() - t_total0,
+                initialization_time=ti, marking_time=tm, computation_time=tc,
+                linf_delta=linf, metrics=metrics,
+            )
 
         if mode == "p2p":
             start = l

@@ -119,17 +119,35 @@ def vertex_dictionary(transcripts: rd.Dataset, edges: rd.Dataset | None = None) 
     outside the transcript set still become vertices, like the reference
     creating vertices for every endpoint).
 
-    Returns the sorted numpy string array; ``vid`` of a conv_id is its
-    index (np.searchsorted). At sandbox scale this is collected to the
-    driver and broadcast via ``ray.put``; the 100 TB path is the same
-    distinct+sort expressed as sort + per-partition offset assignment
-    (two-pass prefix-sum of block counts) with the dictionary kept as a
-    Dataset and joined instead of broadcast.
+    Distinct runs distributed (per-block ``pc.unique`` inside
+    map_batches — the combiner — then a driver-side merge of the small
+    per-block results); the result is a **fixed-width** numpy unicode
+    array: it ships zero-copy through the object store (object-dtype
+    string arrays pickle element-wise) and ``np.searchsorted`` against
+    it is vectorized C. At 100 TB the same distinct+sort stays a
+    Dataset with per-partition offset assignment and a shuffle join
+    instead of a broadcast.
     """
-    ids = set(transcripts.unique("conv_id"))
+
+    def _uniq(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"id": pc.unique(t[col])})
+
+        return f
+
+    chunks: list[np.ndarray] = []
+    for b in transcripts.map_batches(_uniq("conv_id"), batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        chunks.append(np.asarray(b["id"]))
     if edges is not None:
-        ids.update(edges.unique("dst"))
-    return np.array(sorted(ids))
+        for b in edges.map_batches(_uniq("dst"), batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            chunks.append(np.asarray(b["id"]))
+    merged = np.concatenate(chunks) if chunks else np.empty(0, dtype=object)
+    maxlen = max((len(s) for s in merged), default=1)
+    return np.unique(merged.astype(f"U{max(maxlen, 1)}"))
 
 
 def encode_edges(edges: rd.Dataset, dictionary_ref) -> rd.Dataset:
@@ -142,8 +160,8 @@ def encode_edges(edges: rd.Dataset, dictionary_ref) -> rd.Dataset:
 
     def enc(batch: pa.Table) -> pa.Table:
         d = ray.get(dictionary_ref)
-        src = np.searchsorted(d, np.asarray(batch["src"]))
-        dst = np.searchsorted(d, np.asarray(batch["dst"]))
+        src = np.searchsorted(d, np.asarray(batch["src"]).astype(d.dtype))
+        dst = np.searchsorted(d, np.asarray(batch["dst"]).astype(d.dtype))
         return pa.table(
             {
                 "src": pa.array(src, pa.int64()),

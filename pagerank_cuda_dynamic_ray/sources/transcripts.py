@@ -58,24 +58,38 @@ def conv_name(idx: np.ndarray) -> np.ndarray:
 
 def turns_per_conv(n_conv: int, seed: int = 42) -> np.ndarray:
     """Deterministic turn count per conversation: 1 + (h(i) mod 12)."""
-    h = splitmix64(np.arange(n_conv, dtype=np.uint64) + np.uint64(seed * 0x9E37))
+    return _turns_range(0, n_conv, seed)
+
+
+def _turns_range(lo: int, hi: int, seed: int) -> np.ndarray:
+    h = splitmix64(np.arange(lo, hi, dtype=np.uint64) + np.uint64(seed * 0x9E37))
     return (1 + (h % np.uint64(12))).astype(np.int64)
 
 
 def generate_table(n_conv: int, seed: int = 42) -> pa.Table:
-    """Generate the full transcript table for ``n_conv`` conversations.
+    """Generate the full transcript table for ``n_conv`` conversations."""
+    return generate_chunk(n_conv, 0, n_conv, 0, seed)
+
+
+def generate_chunk(n_conv: int, lo: int, hi: int, g0: int, seed: int = 42) -> pa.Table:
+    """Rows for conversations [lo, hi) of an ``n_conv``-conversation
+    table. Every row is a pure function of (seed, conv idx, turn idx,
+    global row idx) so generation chunk-parallelizes exactly: the full
+    table is the concatenation of its chunks, bit-for-bit.
 
     Rows are emitted grouped by conversation, turns in order; the global
-    row index doubles as the timestamp offset (strictly increasing ts).
+    row index ``g0 + local`` doubles as the timestamp offset (strictly
+    increasing ts).
     """
-    turns = turns_per_conv(n_conv, seed)
+    turns = _turns_range(lo, hi, seed)
     offsets = np.concatenate([[0], np.cumsum(turns)])
     total = int(offsets[-1])
 
-    conv_idx = np.repeat(np.arange(n_conv, dtype=np.int64), turns)
-    # turn index within conversation: global index minus conv start
-    g = np.arange(total, dtype=np.int64)
-    turn_idx = g - offsets[conv_idx]
+    local_conv = np.repeat(np.arange(hi - lo, dtype=np.int64), turns)
+    conv_idx = local_conv + lo
+    gl = np.arange(total, dtype=np.int64)
+    turn_idx = gl - offsets[local_conv]
+    g = gl + g0
 
     h_conv = splitmix64(conv_idx.astype(np.uint64) + np.uint64(seed * 0x9E37))
     role = _ROLES[((h_conv % np.uint64(3)).astype(np.int64) + turn_idx) % 3]
@@ -116,13 +130,49 @@ def generate_table(n_conv: int, seed: int = 42) -> pa.Table:
     )
 
 
+CHUNK_CONVS = 250_000  # conversations per generation chunk / parquet part
+
+
 def write_transcripts(path: str, n_conv: int, seed: int = 42, row_group_size: int = 200_000) -> str:
-    """Write the synthetic transcript table to a Parquet file (idempotent)."""
-    if not os.path.exists(path):
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+    """Write the synthetic transcript table to Parquet (idempotent).
+
+    Small scales produce one file; above CHUNK_CONVS conversations the
+    table is written as a directory of chunk files (one per conversation
+    range — resumable layout), generated in parallel as Ray tasks when a
+    Ray session exists (np.char string kernels are slow; chunk tasks
+    make a 10M-conversation fixture a ~1 minute job instead of ~10)."""
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    if n_conv <= CHUNK_CONVS:
         tmp = path + ".tmp"
         pq.write_table(generate_table(n_conv, seed), tmp, row_group_size=row_group_size)
         os.replace(tmp, path)  # atomic publish so concurrent readers never see partial files
+        return path
+    turns = turns_per_conv(n_conv, seed)
+    cum = np.concatenate([[0], np.cumsum(turns)])
+    bounds = list(range(0, n_conv, CHUNK_CONVS)) + [n_conv]
+    specs = [
+        (bounds[i], bounds[i + 1], int(cum[bounds[i]])) for i in range(len(bounds) - 1)
+    ]
+    tmpdir = path + ".tmpdir"
+    os.makedirs(tmpdir, exist_ok=True)
+
+    def _write_one(i: int, lo: int, hi: int, g0: int) -> None:
+        out = os.path.join(tmpdir, f"part-{i:05d}.parquet")
+        pq.write_table(generate_chunk(n_conv, lo, hi, g0, seed), out, row_group_size=row_group_size)
+
+    import ray
+
+    if ray.is_initialized():
+        task = ray.remote(num_cpus=1)(
+            lambda i, lo, hi, g0: _write_one(i, lo, hi, g0)
+        )
+        ray.get([task.remote(i, lo, hi, g0) for i, (lo, hi, g0) in enumerate(specs)])
+    else:
+        for i, (lo, hi, g0) in enumerate(specs):
+            _write_one(i, lo, hi, g0)
+    os.replace(tmpdir, path)
     return path
 
 
@@ -135,6 +185,9 @@ SCALE_N_CONV = {
     "sf0.01": 20_000,
     "sf0.1": 200_000,
     "bench": 200_000,
+    # scaling-criterion fixture: big enough that per-iteration PageRank
+    # compute dominates the per-iteration dispatch floor (~40M edges)
+    "scaling": 10_000_000,
 }
 
 

@@ -295,9 +295,18 @@ class GraphShard:
             relative delta falls below prune_tol, expansion excludes
             self (pagerankPrune.hxx:57-126).
         """
+        slices = [pk[int(s):int(e)] for pk, (s, e) in zip(packed, self.gather_layout)]
+        return self._step_core(
+            slices, C0, damping, use_affected, frontier, prune,
+            frontier_tol, prune_tol, dangling_mass,
+        )
+
+    def _step_core(
+        self, slices, C0, damping, use_affected, frontier, prune,
+        frontier_tol, prune_tol, dangling_mass,
+    ):
         t0 = time.perf_counter()
         d = damping
-        slices = [pk[int(s):int(e)] for pk, (s, e) in zip(packed, self.gather_layout)]
         gathered = np.concatenate(slices) if len(slices) > 1 else (slices[0] if slices else np.empty(0))
         dang = d * dangling_mass / self.N
         r, n = self.r, self.n_local
@@ -549,6 +558,45 @@ class GraphShard:
             if linf_g < tolerance:
                 break
         return out
+
+    # ------------------------------------------------------------------
+    # compiled-graph iteration (ray.dag)
+    #
+    # The third loop mode: the per-iteration dataflow (P contribs ->
+    # all-to-all -> P steps) is compiled ONCE into a Ray compiled graph
+    # whose actor tasks communicate over pre-allocated shared-memory
+    # channels — per-iteration overhead drops from ~1.5ms×P (driver
+    # dispatch) to tens of µs per task. The driver executes the graph
+    # once per iteration and reads back only the P stats dicts; frontier
+    # marks round-trip through the (tiny) input channel.
+    # ------------------------------------------------------------------
+
+    def contribs_dag(self, inp) -> tuple:
+        """Per-destination contribution slices for one compiled-graph
+        iteration (bound with num_returns=P so each destination's channel
+        carries ONLY its segment — an all-to-all that ships exactly the
+        needed bytes, not a P× broadcast of the full packed array)."""
+        c = self.r * self.inv_outdeg
+        return tuple(c[idx] for idx in self.send_idx)
+
+    def step_dag(self, inp, *segs):
+        """One compiled-graph step over pre-sliced per-source segments.
+        ``inp`` = ((C0, damping, use_affected, frontier, prune,
+        frontier_tol, prune_tol), marks) with ``marks`` the previous
+        iteration's per-source (packed_marks, offsets) list (applied
+        before stepping), or None."""
+        params, marks = inp
+        C0, damping, use_affected, frontier, prune, ftol, ptol = params
+        if len(segs) == 1 and isinstance(segs[0], tuple):
+            segs = segs[0]  # P=1: num_returns=1 delivers the tuple whole
+        if marks is not None:
+            for m, off in marks:
+                seg = m[off[self.p]:off[self.p + 1]]
+                if len(seg):
+                    self.vaff[seg[~self.vaff[seg]]] = True
+        return self._step_core(
+            list(segs), C0, damping, use_affected, frontier, prune, ftol, ptol, 0.0
+        )
 
     # ------------------------------------------------------------------
     # checkpointing (mandated: per-iteration per-partition lineage)
