@@ -166,6 +166,18 @@ def _q_pagerank_dynamic(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _q_bfs_distances(sf_dir: str):
+    ctx = _graph(sf_dir)
+    return A.bfs_distances(ctx, 0).select_columns(["conv_id", "distance"])
+
+
+def _q_modularity(sf_dir: str):
+    ctx = _graph(sf_dir)
+    A.label_propagation(ctx, max_iterations=10)
+    q = A.modularity(ctx)
+    return pa.table({"modularity": pa.array([q], pa.float64())})
+
+
 def _q_connected_components(sf_dir: str):
     return A.connected_components(_graph(sf_dir)).select_columns(["conv_id", "component"])
 
@@ -390,6 +402,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_dynamic": _q_pagerank_dynamic,
         "connected_components": _q_connected_components,
         "label_propagation": _q_label_propagation,
+        "bfs_distances": _q_bfs_distances,
+        "modularity": _q_modularity,
         # relational family (SURVEY.md §2.6)
         "lineitem_agg": _q_lineitem_agg,
         "top_customers": _q_top_customers,

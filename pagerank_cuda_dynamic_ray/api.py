@@ -19,9 +19,17 @@ from .sources import edges as E
 from .sources import transcripts as T
 
 
+def auto_num_parts(num_edges: int) -> int:
+    """Partition count sized to the data: ~150k edges per shard, clamped
+    to [2, cpus-2] — small graphs avoid paying P×-scale exchange setup,
+    big graphs use every core."""
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return int(np.clip(num_edges // 150_000, 2, max(2, cpus - 2)))
+
+
 def build_graph(
     transcripts_path: str,
-    num_parts: int = 8,
+    num_parts: int | None = 8,
     add_self_loops: bool = True,
     temporal: bool = False,
     base_fraction: float = 0.90,
@@ -36,10 +44,13 @@ def build_graph(
     the first ``base_fraction`` of the ordered mention-edge log is the
     base graph and the next ``num_batches`` windows of
     ``batch_fraction * M`` edges are returned as insertion batches
-    ((2,k) vid arrays, temporal order preserved).
+    ((2,k) vid arrays, temporal order preserved). ``num_parts=None``
+    auto-sizes the shard count from the edge count.
     """
     ts = E.read_transcripts(transcripts_path)
     raw_edges = E.extract_edges(ts).materialize()
+    if num_parts is None:
+        num_parts = auto_num_parts(raw_edges.count())
     dictionary = E.vertex_dictionary(ts, raw_edges)
     n = len(dictionary)
     dict_ref = ray.put(dictionary)

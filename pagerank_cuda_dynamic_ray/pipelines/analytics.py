@@ -123,6 +123,75 @@ def triangle_count(ctx: GraphContext) -> tuple[int, rd.Dataset]:
     return int(total), _with_conv(ctx, tables)
 
 
+def bfs_distances(ctx: GraphContext, source_vid: int, max_rounds: int = 100_000) -> rd.Dataset:
+    """Level-synchronous BFS hop distances from a source on the undirected
+    view — the reference's frontier BFS (/root/reference/inc/bfs.hxx:22-55)
+    as bulk-synchronous expansion rounds over the shard pool. Unreached
+    vertices get distance -1. Returns Dataset(vid, distance[, conv_id])."""
+    _ensure_symmetric(ctx)
+    P, shards = ctx.P, ctx.shards
+    frontier = ray.get([s.bfs_init.remote(source_vid) for s in shards])
+    level = 0
+    while any(f.size for f in frontier) and level < max_rounds:
+        level += 1
+        refs = [
+            shards[p].expand_sym_neighbors.options(num_returns=P + 1).remote(frontier[p])
+            for p in range(P)
+        ]
+        frontier = ray.get([
+            shards[p].bfs_apply.remote(level, *[refs[q][1 + p] for q in range(P)])
+            for p in range(P)
+        ])
+    tables = ray.get([s.dist_table.remote() for s in shards])
+    return _with_conv(ctx, tables)
+
+
+def modularity(ctx: GraphContext, labels: rd.Dataset | None = None) -> float:
+    """Modularity Q of the current shard labels (run connected_components
+    or label_propagation first; or pass a (vid,label) Dataset to install).
+
+    Q = Σ_c [ within_c/(2m) − (deg_c/(2m))² ] on the undirected view —
+    the distributed form of the reference's grouped community sums
+    (/root/reference/inc/properties.hxx:123-256)."""
+    import numpy as np
+
+    _ensure_symmetric(ctx)
+    P, shards = ctx.P, ctx.shards
+    if labels is None and not ray.get(shards[0].has_labels.remote()):
+        raise ValueError(
+            "no labels installed — run connected_components()/label_propagation() "
+            "first, or pass labels=Dataset(vid, label)"
+        )
+    if labels is not None:
+        pdf = labels.to_pandas()
+        col = [c for c in pdf.columns if c != "vid"][0]
+        full = np.zeros(ctx.N, dtype=np.int64)
+        full[pdf["vid"].to_numpy()] = pdf[col].to_numpy()
+        ray.get([
+            s.install_labels.remote(full[p::P]) for p, s in enumerate(shards)
+        ])
+    need_refs = [s.mod_needed_neighbors.options(num_returns=P + 1).remote() for s in shards]
+    lab_refs = [
+        [shards[q].labels_for.remote(need_refs[p][1 + q]) for q in range(P)]
+        for p in range(P)
+    ]
+    terms = ray.get([
+        shards[p].modularity_terms.remote(*lab_refs[p]) for p in range(P)
+    ])
+    from collections import defaultdict
+
+    within: dict[int, int] = defaultdict(int)
+    degsum: dict[int, int] = defaultdict(int)
+    for labs, w, d in terms:
+        for c, wi, di in zip(labs.tolist(), w.tolist(), d.tolist()):
+            within[c] += wi
+            degsum[c] += di
+    two_m = float(sum(degsum.values()))
+    if two_m == 0:
+        return 0.0
+    return float(sum(w / two_m - (degsum[c] / two_m) ** 2 for c, w in within.items()))
+
+
 def _with_conv(ctx: GraphContext, tables) -> rd.Dataset:
     if ctx.dictionary is not None:
         import pyarrow as pa

@@ -28,42 +28,79 @@ MAX_BUCKET = 64  # candidate-pair cap per LSH bucket (quadratic guard; logged)
 # ----------------------------------------------------------------------
 
 def exact_dedup(docs: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
-    """Exact dedup: hash-partition on content hash, keep min id per
-    distinct text. Returns (doc_id, n_dups) — one row per distinct text.
-    """
+    """Exact dedup: distributed sort on content hash, keep min id per
+    distinct text (collision-safe: grouping is by exact text within each
+    hash segment). Returns (doc_id, n_dups) — one row per distinct text.
+
+    A sorted-segment pass instead of groupby().map_groups: every hash
+    segment fully inside a block aggregates with one vectorized pandas
+    groupby per block; only segments straddling block boundaries (≤ 2
+    per block) merge driver-side."""
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[[id_col, text_col]].copy()
-        batch["h"] = H.hash_strings(batch[text_col].tolist()).astype(np.int64)
-        return batch
+        out = batch[[id_col, text_col]].copy()
+        out["h"] = H.hash_strings(batch[text_col].tolist()).astype(np.int64)
+        return out
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        # within a hash bucket, dedup by exact text (collision-safe)
-        agg = group.groupby(text_col, sort=True)[id_col].agg(["min", "count"]).reset_index(drop=True)
-        return pd.DataFrame({"doc_id": agg["min"].astype(np.int64), "n_dups": agg["count"].astype(np.int64)})
+    srt = docs.map_batches(add_hash, batch_format="pandas").sort("h").materialize()
 
-    return (
-        docs.map_batches(add_hash, batch_format="pandas")
-        .groupby("h")
-        .map_groups(keep_first, batch_format="pandas")
-    )
+    def agg_texts(pdf: pd.DataFrame) -> pd.DataFrame:
+        agg = pdf.groupby(text_col, sort=True)[id_col].agg(["min", "count"]).reset_index(drop=True)
+        return pd.DataFrame({"doc_id": agg["min"].astype(np.int64),
+                             "n_dups": agg["count"].astype(np.int64)})
+
+    def block_complete(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["h"].to_numpy()
+        bounds = np.flatnonzero(np.diff(k)) + 1
+        if len(bounds) == 0:  # single segment: all boundary
+            return agg_texts(batch.iloc[0:0])
+        return agg_texts(batch.iloc[bounds[0]:bounds[-1]])
+
+    def block_boundary(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["h"].to_numpy()
+        bounds = np.flatnonzero(np.diff(k)) + 1
+        first_end = bounds[0] if len(bounds) else len(k)
+        last_start = bounds[-1] if len(bounds) else 0
+        idx = np.unique(np.concatenate([np.arange(first_end), np.arange(last_start, len(k))]))
+        return batch.iloc[idx]
+
+    complete = srt.map_batches(block_complete, batch_format="pandas", batch_size=None)
+    bnd = srt.map_batches(block_boundary, batch_format="pandas", batch_size=None).to_pandas()
+    out = complete.to_pandas()
+    if len(bnd):
+        out = pd.concat([out, agg_texts(bnd)])
+    if len(out) == 0:
+        out = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                            "n_dups": pd.Series([], dtype=np.int64)})
+    return rd.from_pandas(out.sort_values("doc_id").reset_index(drop=True))
 
 
 # ----------------------------------------------------------------------
 # shingling helpers (shared by minhash / jaccard)
 # ----------------------------------------------------------------------
 
+def _shingles_flat(texts: list[str], k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Hashed word-k-gram shingle sets for a batch of texts, flat layout.
+
+    One vectorized hash pass over ALL tokens of the batch, then a rolling
+    k-combine (functions/hashing.rolling_kgram_hashes) — no per-shingle
+    string joins. Returns (flat unique shingle hashes, (n+1,) offsets).
+    """
+    toks: list[str] = []
+    lens = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        ws = t.split()
+        toks.extend(ws)
+        lens[i] = len(ws)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    th = H.hash_strings(toks)
+    return H.rolling_kgram_hashes(th, offs, k)
+
+
 def _word_shingles(texts: list[str], k: int = 3) -> list[np.ndarray]:
     """Per-doc array of hashed word k-gram shingles (unique, uint64)."""
-    out = []
-    for t in texts:
-        ws = t.split()
-        if len(ws) < k:
-            grams = [" ".join(ws)] if ws else []
-        else:
-            grams = [" ".join(ws[i:i + k]) for i in range(len(ws) - k + 1)]
-        out.append(np.unique(H.hash_strings(grams)) if grams else np.empty(0, dtype=np.uint64))
-    return out
+    flat, offs = _shingles_flat(texts, k)
+    return [flat[offs[i]:offs[i + 1]] for i in range(len(texts))]
 
 
 class MinHashStage:
@@ -80,8 +117,9 @@ class MinHashStage:
         self.rows_per_band = num_perm // bands
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sh = _word_shingles(batch["text"].tolist(), self.k)
-        sigs = H.minhash_signatures(sh, self.num_perm, self.seed)
+        flat, offs = _shingles_flat(batch["text"].tolist(), self.k)
+        sh = [flat[offs[i]:offs[i + 1]] for i in range(len(batch))]
+        sigs = H.minhash_signatures_flat(flat, offs, self.num_perm, self.seed)
         band_hashes = np.empty((len(sh), self.bands), dtype=np.int64)
         for b in range(self.bands):
             chunk = sigs[:, b * self.rows_per_band:(b + 1) * self.rows_per_band]
@@ -108,16 +146,79 @@ def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
 
 
+def _segment_pairs(ids: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+    """Vectorized (a<b) pair emission for id segments with >= 2 members."""
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        if e - s >= 2:
+            uniq = np.unique(ids[s:e])[:MAX_BUCKET]
+            if len(uniq) >= 2:
+                iu, ju = np.triu_indices(len(uniq), k=1)
+                out_a.append(uniq[iu])
+                out_b.append(uniq[ju])
+    if not out_a:
+        return (np.empty(0, dtype=np.int64),) * 2
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
 def minhash_candidates(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
                        shingle_k: int = 3) -> rd.Dataset:
-    """documents -> distinct candidate near-dup pairs via MinHash LSH."""
+    """documents -> distinct candidate near-dup pairs via MinHash LSH.
+
+    Bucket grouping = a distributed ``sort`` on the combined bucket key
+    followed by a vectorized sort-segment pairing pass per block (Ray
+    Data's groupby-aggregate pays per-group Python cost — ruinous when
+    nearly every LSH bucket is a singleton). Buckets that straddle block
+    boundaries (at most 2 per block) are collected and paired driver-side
+    — a tiny, block-count-bounded set at any scale."""
     bands_ds = docs.map_batches(
         MinHashStage, batch_format="pandas", batch_size=2048,
         concurrency=2, fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
     )
-    pairs = bands_ds.groupby(["band", "band_hash"]).map_groups(_bucket_pairs, batch_format="pandas")
-    # distinct pairs (a,b)
-    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+        with np.errstate(over="ignore"):
+            bkey = batch["band_hash"].to_numpy() * np.int64(bands) + batch["band"].to_numpy()
+        return pd.DataFrame({"bkey": bkey, "doc_id": batch["doc_id"].to_numpy()})
+
+    srt = bands_ds.map_batches(add_key, batch_format="pandas").sort("bkey").materialize()
+
+    def block_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["bkey"].to_numpy()
+        ids = batch["doc_id"].to_numpy()
+        bounds = np.flatnonzero(np.diff(k)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(k)]])
+        # first/last segment may continue in a neighboring block — handled
+        # by the boundary pass
+        a, b = _segment_pairs(ids, starts[1:-1], ends[1:-1])
+        return pd.DataFrame({"a": a, "b": b})
+
+    def block_boundaries(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["bkey"].to_numpy()
+        ids = batch["doc_id"].to_numpy()
+        bounds = np.flatnonzero(np.diff(k)) + 1
+        first_end = bounds[0] if len(bounds) else len(k)
+        last_start = bounds[-1] if len(bounds) else 0
+        idx = np.concatenate([np.arange(first_end), np.arange(last_start, len(k))])
+        idx = np.unique(idx)
+        return pd.DataFrame({"bkey": k[idx], "doc_id": ids[idx]})
+
+    pairs_pdf = srt.map_batches(block_pairs, batch_format="pandas", batch_size=None).to_pandas()
+    bnd = srt.map_batches(block_boundaries, batch_format="pandas", batch_size=None).to_pandas()
+    if len(bnd):
+        bnd = bnd.sort_values(["bkey", "doc_id"])
+        k = bnd["bkey"].to_numpy()
+        ids = bnd["doc_id"].to_numpy()
+        bounds = np.flatnonzero(np.diff(k)) + 1
+        a, b = _segment_pairs(ids, np.concatenate([[0], bounds]), np.concatenate([bounds, [len(k)]]))
+        pairs_pdf = pd.concat([pairs_pdf, pd.DataFrame({"a": a, "b": b})])
+    if len(pairs_pdf) == 0:
+        pairs_pdf = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                  "b": pd.Series([], dtype=np.int64)})
+    pairs_pdf = pairs_pdf.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+    return rd.from_pandas(pairs_pdf)
 
 
 def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset, threshold: float = 0.7,
@@ -197,11 +298,14 @@ class SimHashStage:
         self.seed = seed
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        tokens = [
-            H.hash_strings(t.split(), seed=self.seed) if t else np.empty(0, dtype=np.uint64)
-            for t in batch["text"]
-        ]
-        sig = H.simhash64(tokens)
+        toks: list[str] = []
+        lens = np.empty(len(batch), dtype=np.int64)
+        for i, t in enumerate(batch["text"]):
+            ws = t.split() if t else []
+            toks.extend(ws)
+            lens[i] = len(ws)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        sig = H.simhash64_flat(H.hash_strings(toks, seed=self.seed), offs)
         out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(), "simhash": sig.astype(np.int64)})
         for c in range(4):
             out[f"chunk{c}"] = ((sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
@@ -210,18 +314,37 @@ class SimHashStage:
 
 def simhash_dedup(docs: rd.Dataset, max_hamming: int = 3) -> pd.DataFrame:
     """SimHash near-dup: 4×16-bit chunk blocking (pigeonhole: hamming≤3
-    guarantees one identical chunk), verify hamming, cluster."""
+    guarantees one identical chunk), verify hamming, cluster.
+
+    Signature computation is the distributed stage; blocking runs as a
+    vectorized sort-and-segment pass over the (small) signature table —
+    at corpus scale the same blocking is the minhash-style bucket
+    groupby with the singleton pre-filter."""
     sigs = docs.map_batches(SimHashStage, batch_format="pandas", batch_size=4096, concurrency=2)
     sig_pdf = sigs.to_pandas()
-    cand = []
+    ids = sig_pdf["doc_id"].to_numpy()
+    sig = sig_pdf["simhash"].to_numpy().astype(np.uint64)
+    cand_a: list[np.ndarray] = []
+    cand_b: list[np.ndarray] = []
     for c in range(4):
-        p = (
-            rd.from_pandas(sig_pdf[["doc_id", f"chunk{c}"]].rename(columns={f"chunk{c}": "band_hash"}))
-            .groupby("band_hash")
-            .map_groups(lambda g: _bucket_pairs(g), batch_format="pandas")
-        )
-        cand.append(p.to_pandas())
-    pairs = pd.concat(cand).drop_duplicates(["a", "b"]) if cand else pd.DataFrame({"a": [], "b": []})
+        ck = ((sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+        order = np.argsort(ck, kind="stable")
+        cs, cid = ck[order], ids[order]
+        bounds = np.flatnonzero(np.diff(cs)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(cs)]])
+        for s, e in zip(starts, ends):
+            if e - s >= 2:
+                bucket = np.unique(cid[s:e])[:MAX_BUCKET]
+                iu, ju = np.triu_indices(len(bucket), k=1)
+                cand_a.append(bucket[iu])
+                cand_b.append(bucket[ju])
+    if cand_a:
+        pairs = pd.DataFrame({
+            "a": np.concatenate(cand_a), "b": np.concatenate(cand_b)
+        }).drop_duplicates(["a", "b"])
+    else:
+        pairs = pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
     sig_map = dict(zip(sig_pdf["doc_id"], sig_pdf["simhash"].astype(np.uint64)))
     if len(pairs):
         av = np.array([sig_map[i] for i in pairs["a"]], dtype=np.uint64)

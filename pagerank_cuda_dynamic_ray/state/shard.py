@@ -770,6 +770,84 @@ class GraphShard:
             self.labels = self._next_labels
             self._next_labels = None
 
+    # --- level-synchronous BFS (bfs.hxx:22-55 as frontier rounds) ---
+
+    def bfs_init(self, source_vid: int) -> np.ndarray:
+        """dist = -1 everywhere; the source (if owned) seeds the frontier."""
+        self.dist = np.full(self.n_local, -1, dtype=np.int64)
+        if source_vid % self.P == self.p:
+            loc = source_vid // self.P
+            self.dist[loc] = 0
+            return np.array([loc], dtype=np.int64)
+        return np.empty(0, dtype=np.int64)
+
+    def expand_sym_neighbors(self, src_locals: np.ndarray):
+        """Undirected-neighbor expansion of a frontier, per-owner split."""
+        out: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(self.P)]
+        if src_locals.size and self.sym_adj is not None and self.sym_adj.size:
+            edge_idx, _ = K.gather_subset_edges(self.sym_offsets, src_locals)
+            dsts = self.sym_adj[edge_idx]
+            if dsts.size:
+                owners = dsts % self.P
+                order = np.argsort(owners, kind="stable")
+                dsts, owners = dsts[order], owners[order]
+                cuts = np.searchsorted(owners, np.arange(self.P + 1))
+                out = [np.unique(dsts[cuts[q]:cuts[q + 1]] // self.P) for q in range(self.P)]
+        return (sum(len(o) for o in out), *out)
+
+    def bfs_apply(self, level: int, *mark_arrays: np.ndarray) -> np.ndarray:
+        """Set dist=level on unvisited marked vertices; returns new frontier."""
+        fresh_all = []
+        for m in mark_arrays:
+            if m is not None and len(m):
+                fresh = m[self.dist[m] < 0]
+                self.dist[fresh] = level
+                fresh_all.append(fresh)
+        return np.unique(np.concatenate(fresh_all)) if fresh_all else np.empty(0, dtype=np.int64)
+
+    def dist_table(self) -> pa.Table:
+        return pa.table({"vid": pa.array(self.owned_vids()), "distance": pa.array(self.dist)})
+
+    # --- modularity (properties.hxx:123-256 grouped sums, distributed) ---
+
+    def mod_needed_neighbors(self):
+        """Unique undirected neighbors per owner (to fetch their labels)."""
+        uniq = np.unique(self.sym_adj) if self.sym_adj is not None else np.empty(0, np.int64)
+        owners = uniq % self.P
+        order = np.argsort(owners, kind="stable")
+        srt, so = uniq[order], owners[order]
+        cuts = np.searchsorted(so, np.arange(self.P + 1))
+        self._mod_uniq = uniq
+        return (len(uniq), *[srt[cuts[q]:cuts[q + 1]] // self.P for q in range(self.P)])
+
+    def labels_for(self, locals_: np.ndarray) -> np.ndarray:
+        return self.labels[locals_]
+
+    def install_labels(self, labels: np.ndarray) -> None:
+        self.labels = np.asarray(labels, dtype=np.int64).copy()
+
+    def has_labels(self) -> bool:
+        return self.labels is not None
+
+    def modularity_terms(self, *label_slices: np.ndarray):
+        """Per-community (within-community edge-endpoint count, degree sum)
+        for owned vertices: returns (labels, within, degsum) arrays."""
+        uniq = self._mod_uniq
+        owners = uniq % self.P
+        order = np.argsort(owners, kind="stable")
+        aligned = np.empty(len(uniq), dtype=np.int64)
+        aligned[order] = np.concatenate(label_slices) if label_slices else np.empty(0, np.int64)
+        deg = np.diff(self.sym_offsets)
+        own_lab = np.repeat(self.labels, deg)
+        nb_lab = aligned[np.searchsorted(uniq, self.sym_adj)]
+        within_mask = (own_lab == nb_lab).astype(np.int64)
+        # per-community sums over owned vertices
+        labs, inv = np.unique(self.labels, return_inverse=True)
+        degsum = np.bincount(inv, weights=deg, minlength=len(labs)).astype(np.int64)
+        row_within = K.segment_sums(within_mask.astype(np.float64), self.sym_offsets).astype(np.int64)
+        within = np.bincount(inv, weights=row_within, minlength=len(labs)).astype(np.int64)
+        return labs, within, degsum
+
     # ------------------------------------------------------------------
     # triangle counting (degree-ordered orientation)
     # ------------------------------------------------------------------
