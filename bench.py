@@ -172,9 +172,11 @@ def run_scaling_child(sf_dir: str, num_cpus: int) -> dict:
     # region (one-time cost, like the reference's CSR build / H2D copies)
     ctx.pagerank("static", options=PagerankOptions(tolerance=0.0, max_iterations=3))
     opts = PagerankOptions(tolerance=0.0, max_iterations=SCALING_ITERS)
-    t0 = time.perf_counter()
-    res = ctx.pagerank("static", options=opts)
-    pr_s = time.perf_counter() - t0
+    pr_s = float("inf")
+    for _ in range(3):  # REPEAT protocol (main.sh:17): report the best run
+        t0 = time.perf_counter()
+        res = ctx.pagerank("static", options=opts)
+        pr_s = min(pr_s, time.perf_counter() - t0)
     ctx.shutdown()
     return {
         "num_cpus": num_cpus,

@@ -136,40 +136,6 @@ def simhash64_flat(flat_hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return out
 
 
-def minhash_signatures(token_hashes: list[np.ndarray], num_perm: int, seed: int = 7) -> np.ndarray:
-    """MinHash signatures from per-doc token-hash arrays.
-
-    Universal-hash permutations h_i(x) = splitmix64(x ^ salt_i); signature
-    is the per-permutation min. Shape: (len(docs), num_perm), uint64.
-    Empty docs get all-max signatures.
-    """
-    salts = splitmix64(np.arange(num_perm, dtype=np.uint64) + _U64(seed * 0x51ED))
-    out = np.full((len(token_hashes), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-    for i, th in enumerate(token_hashes):
-        if len(th) == 0:
-            continue
-        # (num_perm, n_tokens) mix, min over tokens — vectorized per doc
-        with _err:
-            m = splitmix64(th[None, :] ^ salts[:, None])
-        out[i] = m.min(axis=1)
-    return out
-
-
-def simhash64(token_hashes: list[np.ndarray]) -> np.ndarray:
-    """64-bit SimHash per doc: sign of per-bit vote sums over token hashes."""
-    out = np.zeros(len(token_hashes), dtype=np.uint64)
-    bits = np.arange(64, dtype=np.uint64)
-    for i, th in enumerate(token_hashes):
-        if len(th) == 0:
-            continue
-        votes = (((th[:, None] >> bits[None, :]) & _U64(1)).astype(np.int64) * 2 - 1).sum(axis=0)
-        sig = np.uint64(0)
-        with _err:
-            sig = (np.where(votes > 0, _U64(1), _U64(0)) << bits).sum(dtype=np.uint64)
-        out[i] = sig
-    return out
-
-
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Per-element Hamming distance between two uint64 arrays."""
     x = np.bitwise_xor(a, b)

@@ -119,14 +119,16 @@ def vertex_dictionary(transcripts: rd.Dataset, edges: rd.Dataset | None = None) 
     outside the transcript set still become vertices, like the reference
     creating vertices for every endpoint).
 
-    Distinct runs distributed (per-block ``pc.unique`` inside
-    map_batches — the combiner — then a driver-side merge of the small
-    per-block results); the result is a **fixed-width** numpy unicode
-    array: it ships zero-copy through the object store (object-dtype
-    string arrays pickle element-wise) and ``np.searchsorted`` against
-    it is vectorized C. At 100 TB the same distinct+sort stays a
-    Dataset with per-partition offset assignment and a shuffle join
-    instead of a broadcast.
+    The distinct+sort is fully distributed: per-block ``pc.unique``
+    (combiner) -> distributed ``sort`` -> per-block dedup of the sorted
+    stream; the driver only concatenates the already-sorted unique
+    blocks, dropping at most one boundary duplicate per block. The
+    result is a **fixed-width** numpy unicode array: it ships zero-copy
+    through the object store (object-dtype string arrays pickle
+    element-wise) and ``np.searchsorted`` against it is vectorized C.
+    At 100 TB the dictionary would stay a Dataset (vid = per-partition
+    offset prefix-sum) with a shuffle join instead of a broadcast — the
+    construction below is exactly that plan minus the final collect.
     """
 
     def _uniq(col: str):
@@ -135,19 +137,28 @@ def vertex_dictionary(transcripts: rd.Dataset, edges: rd.Dataset | None = None) 
 
         return f
 
-    chunks: list[np.ndarray] = []
-    for b in transcripts.map_batches(_uniq("conv_id"), batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        chunks.append(np.asarray(b["id"]))
+    parts = transcripts.map_batches(_uniq("conv_id"), batch_format="pyarrow")
     if edges is not None:
-        for b in edges.map_batches(_uniq("dst"), batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        ):
-            chunks.append(np.asarray(b["id"]))
+        parts = parts.union(edges.map_batches(_uniq("dst"), batch_format="pyarrow"))
+    srt = parts.sort("id").map_batches(_uniq("id"), batch_format="pyarrow", batch_size=None)
+
+    chunks: list[np.ndarray] = []
+    last = None
+    maxlen = 1
+    for b in srt.iter_batches(batch_format="pyarrow", batch_size=None):
+        col = b["id"].combine_chunks() if isinstance(b["id"], pa.ChunkedArray) else b["id"]
+        if len(col) == 0:
+            continue
+        ml = pc.max(pc.utf8_length(col)).as_py()
+        maxlen = max(maxlen, int(ml or 1))
+        a = np.asarray(col)
+        if last is not None and a[0] == last:
+            a = a[1:]
+        if len(a):
+            last = a[-1]
+            chunks.append(a)
     merged = np.concatenate(chunks) if chunks else np.empty(0, dtype=object)
-    maxlen = max((len(s) for s in merged), default=1)
-    return np.unique(merged.astype(f"U{max(maxlen, 1)}"))
+    return merged.astype(f"U{maxlen}")
 
 
 def encode_edges(edges: rd.Dataset, dictionary_ref) -> rd.Dataset:

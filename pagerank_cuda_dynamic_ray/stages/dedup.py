@@ -137,15 +137,6 @@ class MinHashStage:
         )
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """Candidate pairs (a<b) within one LSH bucket, capped at MAX_BUCKET ids."""
-    ids = np.unique(group["doc_id"].to_numpy())[:MAX_BUCKET]
-    if len(ids) < 2:
-        return pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
-    iu, ju = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
-
-
 def _segment_pairs(ids: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     """Vectorized (a<b) pair emission for id segments with >= 2 members."""
     out_a: list[np.ndarray] = []
