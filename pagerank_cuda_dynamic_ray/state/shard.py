@@ -592,6 +592,31 @@ class GraphShard:
         c = self.r * self.inv_outdeg
         return tuple(c[idx] for idx in self.send_idx)
 
+    def contribs_packed_dag(self, inp) -> np.ndarray:
+        """Broadcast-layout variant of ``contribs_dag``: ONE packed
+        contribution array per iteration (single compiled-graph channel,
+        P consumers read it zero-copy from shared memory and slice their
+        segment). P channels total instead of P² — the single-node fast
+        path for large pools."""
+        c = self.r * self.inv_outdeg
+        return c[self.send_cat]
+
+    def step_packed_dag(self, inp, *packed):
+        """Broadcast-layout step: ``packed`` is every producer's full
+        packed array; slice this shard's segment via ``gather_layout``
+        (same consumption as the driver-mode ``step``)."""
+        params, marks = inp
+        C0, damping, use_affected, frontier, prune, ftol, ptol = params
+        if marks is not None:
+            for m, off in marks:
+                seg = m[off[self.p]:off[self.p + 1]]
+                if len(seg):
+                    self.vaff[seg[~self.vaff[seg]]] = True
+        slices = [pk[int(s):int(e)] for pk, (s, e) in zip(packed, self.gather_layout)]
+        return self._step_core(
+            slices, C0, damping, use_affected, frontier, prune, ftol, ptol, 0.0
+        )
+
     def step_dag(self, inp, *segs):
         """One compiled-graph step over pre-sliced per-source segments.
         ``inp`` = ((C0, damping, use_affected, frontier, prune,

@@ -63,3 +63,39 @@ def test_chunked_generation_bit_equal(tmp_path, monkeypatch):
     assert got.sort_by([("ts", "ascending")]).equals(
         whole.sort_by([("ts", "ascending")])
     )
+
+
+def test_broadcast_dag_layout_bit_equal(built):
+    """The broadcast channel layout (contribs_packed_dag -> P channels)
+    must be bit-equal to the sliced layout and the driver loop, for both
+    the full-sweep and the frontier paths."""
+    from pagerank_cuda_dynamic_ray.pipelines.graph import GraphContext
+
+    ctx, batches = built
+    old = GraphContext.DAG_SLICED_MAX_PARTS
+    try:
+        opts = PagerankOptions(max_iterations=25, tolerance=0.0)
+        ctx._teardown_cdag()
+        sliced = ctx.assemble(ctx.pagerank("static", options=opts, mode="compiled").ranks)
+
+        GraphContext.DAG_SLICED_MAX_PARTS = 1  # force broadcast at P=3
+        ctx._teardown_cdag()
+        bcast = ctx.assemble(ctx.pagerank("static", options=opts, mode="compiled").ranks)
+        drv = ctx.assemble(ctx.pagerank("static", options=opts, mode="driver").ranks)
+        np.testing.assert_array_equal(bcast, sliced)
+        np.testing.assert_array_equal(bcast, drv)
+
+        # frontier path (df): marks travel through the broadcast DAG too
+        base = ctx.pagerank("static")
+        warm = list(base.ranks)
+        empty = np.empty((2, 0), dtype=np.int64)
+        dels, ins = ctx.tidy_batch(empty, batches[0])
+        ctx.apply_batch(dels, ins)
+        marks = ctx.compute_frontier_marks(empty, ins)
+        r_b = ctx.pagerank("df", warm=warm, initial_marks=marks, mode="compiled")
+        r_d = ctx.pagerank("df", warm=warm, initial_marks=marks, mode="driver")
+        assert r_b.iterations == r_d.iterations
+        np.testing.assert_array_equal(ctx.assemble(r_b.ranks), ctx.assemble(r_d.ranks))
+    finally:
+        GraphContext.DAG_SLICED_MAX_PARTS = old
+        ctx._teardown_cdag()
