@@ -24,14 +24,11 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-# N-vs-4N parallelism pair for the scaling criterion. Default 2,8: at
-# ≤8 cores this node's DRAM bandwidth is not saturated, so the pair
-# measures the engine's scaling rather than the single socket's memory
-# ceiling (each node of a real cluster brings its own DRAM). The 8,32
-# pair on the 10x fixture probes that ceiling instead — both results
-# are recorded in BASELINE.md.
+# N-vs-4N parallelism pair for the scaling criterion (see BASELINE.md
+# for the full pair × partitioning sweep and the single-socket
+# saturation analysis).
 SCALING_LEVELS = tuple(
-    int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "2,8").split(",")
+    int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(",")
 )
 # fixed iteration count for throughput measurement (tolerance can't
 # terminate early -> comparable work across parallelism levels)
@@ -170,13 +167,13 @@ def run_scaling_child(sf_dir: str, num_cpus: int) -> dict:
     from pagerank_cuda_dynamic_ray.options import PagerankOptions
     from pagerank_cuda_dynamic_ray.sources import transcripts as T
 
-    # FIXED decomposition across both parallelism levels (sized to the
-    # larger level so it can use every core): strong scaling compares
-    # the SAME job — identical shard sizes, identical channel graph —
-    # on more or fewer cores. Letting P track the core count would
-    # confound the measurement with per-shard cache effects and a
-    # different exchange topology.
-    P = max(2, max(SCALING_LEVELS))
+    # Default: partition count tracks the core count (what a real
+    # deployment does — more nodes, more shards). Set GRAFT_SCALING_PARTS
+    # to hold the decomposition FIXED across both levels instead
+    # (identical shard sizes + channel graph; isolates core count from
+    # partitioning, at the cost of per-shard cache-size confounds —
+    # both sweeps are recorded in BASELINE.md).
+    P = int(os.environ.get("GRAFT_SCALING_PARTS", 0)) or _graph_parts(num_cpus)
     # shard actors must not reserve every CPU slot or the Ray Data
     # routing tasks that feed the pool can never schedule; when shards
     # outnumber cores they timeshare (reservation is scheduling, not
