@@ -410,6 +410,17 @@ class GraphContext:
                 linf = max(s["linf"] for s in stats)
                 metrics.append({"iteration": l, "linf": linf, "parts": stats})
                 if o.checkpoint_every and o.checkpoint_dir and l % o.checkpoint_every == 0:
+                    # flush the pending frontier marks into shard state BEFORE
+                    # checkpointing: the checkpoint saves vaff, and a resume
+                    # resets the driver-held marks_fb — unflushed marks would
+                    # be lost and the resumed run would under-mark (converging
+                    # to different ranks than an uninterrupted run)
+                    if marks_fb is not None:
+                        flat = [r for m_off in marks_fb for r in m_off]
+                        ray.get([
+                            s.apply_marks_packed.remote(*flat) for s in self.shards
+                        ])
+                        marks_fb = None
                     self._checkpoint(o, batch_idx, l, linf, metrics[-1])
                 if linf < o.tolerance:
                     break

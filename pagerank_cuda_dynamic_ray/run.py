@@ -39,7 +39,14 @@ def main(argv: list[str] | None = None) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"))
+        # attach to an existing cluster only when one is addressed
+        # (RAY_ADDRESS set by `ray job submit` / the operator); otherwise
+        # own a local session so standalone runs work out of the box
+        addr = os.environ.get("RAY_ADDRESS")
+        if addr:
+            ray.init(address=addr)
+        else:
+            ray.init(include_dashboard=False)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -71,11 +78,11 @@ def main(argv: list[str] | None = None) -> int:
     else:
         ctx, _ = api.build_graph(args.input, num_parts=P)
         metrics["edges"] = ctx.num_edges()
+        # the dynamic variants are defined relative to a batch update
+        # (--temporal); on a fresh graph their affected set is empty, so a
+        # standalone run computes the static fixpoint ONCE and reuses it
+        res = ctx.pagerank("static", options=opts, resume=bool(args.checkpoint_dir))
         for v in variants:
-            # the dynamic variants are defined relative to a batch update
-            # (--temporal); on a fresh graph their affected set is empty,
-            # so a standalone run computes the static fixpoint
-            res = ctx.pagerank("static", options=opts, resume=bool(args.checkpoint_dir))
             metrics[v] = {
                 "iterations": res.iterations,
                 "time_s": round(res.time, 3),

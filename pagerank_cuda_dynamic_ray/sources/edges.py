@@ -119,16 +119,19 @@ def vertex_dictionary(transcripts: rd.Dataset, edges: rd.Dataset | None = None) 
     outside the transcript set still become vertices, like the reference
     creating vertices for every endpoint).
 
-    The distinct+sort is fully distributed: per-block ``pc.unique``
-    (combiner) -> distributed ``sort`` -> per-block dedup of the sorted
-    stream; the driver only concatenates the already-sorted unique
-    blocks, dropping at most one boundary duplicate per block. The
-    result is a **fixed-width** numpy unicode array: it ships zero-copy
-    through the object store (object-dtype string arrays pickle
-    element-wise) and ``np.searchsorted`` against it is vectorized C.
-    At 100 TB the dictionary would stay a Dataset (vid = per-partition
-    offset prefix-sum) with a shuffle join instead of a broadcast — the
-    construction below is exactly that plan minus the final collect.
+    The distinct is distributed: per-block ``pc.unique`` (the combiner —
+    blocks shrink to their distinct ids before leaving the read tasks);
+    the driver merges only the pre-shrunk unique chunks with one
+    ``np.unique(concatenate(...))``, which is **order-insensitive** —
+    Ray Data's streaming executor does not preserve block order by
+    default (``preserve_order=False``), so no step here may assume it.
+    The result is a **fixed-width** numpy unicode array: it ships
+    zero-copy through the object store (object-dtype string arrays
+    pickle element-wise) and ``np.searchsorted`` against it is
+    vectorized C. At 100 TB the dictionary would stay a Dataset
+    (per-block unique -> distributed sort -> vid = per-partition offset
+    prefix-sum) with a shuffle join instead of a broadcast — the
+    per-block combiner below is the first stage of exactly that plan.
     """
 
     def _uniq(col: str):
@@ -140,25 +143,19 @@ def vertex_dictionary(transcripts: rd.Dataset, edges: rd.Dataset | None = None) 
     parts = transcripts.map_batches(_uniq("conv_id"), batch_format="pyarrow")
     if edges is not None:
         parts = parts.union(edges.map_batches(_uniq("dst"), batch_format="pyarrow"))
-    srt = parts.sort("id").map_batches(_uniq("id"), batch_format="pyarrow", batch_size=None)
 
     chunks: list[np.ndarray] = []
-    last = None
     maxlen = 1
-    for b in srt.iter_batches(batch_format="pyarrow", batch_size=None):
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
         col = b["id"].combine_chunks() if isinstance(b["id"], pa.ChunkedArray) else b["id"]
         if len(col) == 0:
             continue
         ml = pc.max(pc.utf8_length(col)).as_py()
         maxlen = max(maxlen, int(ml or 1))
-        a = np.asarray(col)
-        if last is not None and a[0] == last:
-            a = a[1:]
-        if len(a):
-            last = a[-1]
-            chunks.append(a)
-    merged = np.concatenate(chunks) if chunks else np.empty(0, dtype=object)
-    return merged.astype(f"U{maxlen}")
+        chunks.append(np.asarray(col))
+    if not chunks:
+        return np.empty(0, dtype="U1")
+    return np.unique(np.concatenate(chunks).astype(f"U{maxlen}"))
 
 
 def encode_edges(edges: rd.Dataset, dictionary_ref) -> rd.Dataset:

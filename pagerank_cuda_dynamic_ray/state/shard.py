@@ -521,16 +521,6 @@ class GraphShard:
                 cv.notify_all()
                 await cv.wait_for(lambda: len(self._contrib_inbox.get(it, {})) == P)
                 inbox = self._contrib_inbox.pop(it)
-            # 2. frontier marks from the previous iteration gate this step
-            if frontier and it > start_iter:
-                async with cv:
-                    await cv.wait_for(lambda: len(self._marks_inbox.get(it - 1, {})) == P)
-                    marks_in = self._marks_inbox.pop(it - 1)
-                for q in range(P):
-                    m, off = marks_in[q]
-                    seg = m[off[me]:off[me + 1]]
-                    if len(seg):
-                        self.vaff[seg[~self.vaff[seg]]] = True
             dangling_mass = sum(v[0] for v in inbox.values()) if redistribute else 0.0
             # 3. local step (same kernel as the driver loop)
             res = self.step(
@@ -554,7 +544,10 @@ class GraphShard:
             stats["iter_s"] = time.perf_counter() - t0
             out.append(stats)
             done = (linf_g < tolerance) or (it + 1 >= max_iterations)
-            # 5. marks ship only if another iteration will consume them
+            # 5. marks ship only if another iteration will consume them;
+            # they are exchanged AND applied before this iteration ends so
+            # checkpointed vaff state is complete (a resume would otherwise
+            # lose in-flight marks and under-mark the frontier)
             if frontier and not done:
                 _, packed_marks, mark_offsets = res
                 if P > 1:
@@ -565,6 +558,13 @@ class GraphShard:
                 async with cv:
                     self._marks_inbox.setdefault(it, {})[me] = (packed_marks, mark_offsets)
                     cv.notify_all()
+                    await cv.wait_for(lambda: len(self._marks_inbox.get(it, {})) == P)
+                    marks_in = self._marks_inbox.pop(it)
+                for q in range(P):
+                    m, off = marks_in[q]
+                    seg = m[off[me]:off[me + 1]]
+                    if len(seg):
+                        self.vaff[seg[~self.vaff[seg]]] = True
             it += 1
             if checkpoint_every and ckpt_dir and it % checkpoint_every == 0:
                 self.checkpoint(ckpt_dir, run_id, batch_idx, it)

@@ -35,6 +35,39 @@ def test_resume_is_exact(tmp_path):
     ctx.shutdown()
 
 
+@pytest.mark.parametrize("mode", ["compiled", "p2p", "driver"])
+def test_resume_frontier_marks_exact(tmp_path, mode):
+    """df resume mid-convergence must not lose in-flight frontier marks.
+
+    Regression test: compiled/p2p modes hold the just-emitted marks
+    outside shard state (driver feedback / p2p inbox); a checkpoint taken
+    before they are flushed would under-mark the resumed run. The
+    resumed ranks must be bit-equal to an uninterrupted run."""
+    n = 300
+    src, dst = _graph(7, n, 1200)
+    ctx = GraphContext(n, 3)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    warm = ctx.pagerank("static").ranks
+    ins = np.stack(_graph(8, n, 60))
+    dels, ins = ctx.tidy_batch(np.empty((2, 0), dtype=np.int64), ins)
+    ctx.apply_batch(dels, ins)
+    marks = ctx.compute_frontier_marks(dels, ins)
+    full = ctx.pagerank("df", warm=warm, initial_marks=marks, mode=mode)
+    assert full.iterations > 8, "fixture must need enough iterations to interrupt"
+    o1 = PagerankOptions(
+        checkpoint_every=3, checkpoint_dir=str(tmp_path), run_id=f"m-{mode}",
+        max_iterations=6,
+    )
+    ctx.pagerank("df", warm=warm, initial_marks=marks, options=o1, mode=mode)
+    o2 = PagerankOptions(checkpoint_dir=str(tmp_path), run_id=f"m-{mode}")
+    resumed = ctx.pagerank("df", warm=warm, initial_marks=marks, options=o2,
+                           resume=True, mode=mode)
+    assert resumed.iterations == full.iterations
+    assert np.array_equal(ctx.assemble(resumed.ranks), ctx.assemble(full.ranks))
+    ctx.shutdown()
+
+
 def test_partition_count_invariance():
     """Same graph, different shard counts -> identical ranks (1e-12)."""
     n = 200
