@@ -28,6 +28,7 @@ import ray
 import ray.data as rd
 
 from pagerank_cuda_dynamic_ray import api
+from pagerank_cuda_dynamic_ray.options import PagerankOptions
 from pagerank_cuda_dynamic_ray.pipelines import analytics as A
 from pagerank_cuda_dynamic_ray.sources import edges as E
 from pagerank_cuda_dynamic_ray.sources import transcripts as T
@@ -44,7 +45,16 @@ NUM_PARTS = 8
 
 _CTX: dict[str, Any] = {}
 _PR: dict[str, Any] = {}
+_PRQ: dict[str, Any] = {}
 _TRI: dict[str, Any] = {}
+
+# Fixed iteration count for the oracle-checked PageRank queries: both the
+# engine and the DuckDB recursive-CTE oracle run EXACTLY this many
+# synchronous iterations. 0.85^250 ≈ 2e-18, so both sides sit at the
+# numerical fixpoint (agreement ~1e-15 relative — dominated by float
+# summation-order noise, amplified ≤ 1/(1-d)), making the 1e10-quantized
+# integer ranks deterministic across both implementations.
+PR_ORACLE_ITERS = 250
 
 
 def _fixture(sf_dir: str) -> str:
@@ -73,6 +83,34 @@ def _tri(sf_dir: str):
     if key not in _TRI:
         _TRI[key] = A.triangle_count(_graph(sf_dir))
     return _TRI[key]
+
+
+def _pr_quantized(sf_dir: str) -> np.ndarray:
+    """1e10-quantized integer ranks from a fixed PR_ORACLE_ITERS-iteration
+    static run (dense, vid-indexed) — the oracle-comparable PageRank."""
+    key = os.path.abspath(sf_dir)
+    if key not in _PRQ:
+        ctx = _graph(sf_dir)
+        res = ctx.pagerank(
+            "static", options=PagerankOptions(tolerance=0.0, max_iterations=PR_ORACLE_ITERS)
+        )
+        _PRQ[key] = np.round(ctx.assemble(res.ranks) * 1e10).astype(np.int64)
+    return _PRQ[key]
+
+
+def _vid_to_conv(ctx, ds: rd.Dataset, src_col: str, out_col: str) -> rd.Dataset:
+    """Map an int64 vid-label column to its conv_id string via the
+    broadcast dictionary (labels are min-vids, and the dictionary is
+    sorted, so vid order == conv_id lexicographic order)."""
+    dict_ref = ray.put(ctx.dictionary)
+
+    def f(t: pa.Table) -> pa.Table:
+        d = ray.get(dict_ref)
+        return pa.table(
+            {"conv_id": t["conv_id"], out_col: pa.array(d[t[src_col].to_numpy()])}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def _rename(ds: rd.Dataset, mapping: dict[str, str]) -> rd.Dataset:
@@ -136,15 +174,25 @@ def _q_triangles_per_vertex(sf_dir: str):
 
 
 def _q_pagerank_static(sf_dir: str):
-    return _pr(sf_dir).select_columns(["conv_id", "rank"])
+    """Per-vertex PageRank, 1e10-quantized integers from a fixed
+    250-iteration run — hash-comparable against the DuckDB recursive
+    power-iteration oracle (float ranks cannot hash-match across
+    engines; at the numerical fixpoint the quantized integers do)."""
+    ctx = _graph(sf_dir)
+    e10 = _pr_quantized(sf_dir)
+    return pa.table({"conv_id": pa.array(ctx.dictionary), "rank_e10": pa.array(e10)})
 
 
 def _q_pagerank_top20(sf_dir: str):
-    return (
-        _pr(sf_dir)
-        .sort(["rank", "conv_id"], descending=[True, False])
-        .limit(20)
-        .select_columns(["conv_id", "rank"])
+    ctx = _graph(sf_dir)
+    e10 = _pr_quantized(sf_dir)
+    order = np.lexsort((ctx.dictionary, -e10))[:20]
+    return pa.table(
+        {
+            "pos": pa.array(np.arange(len(order), dtype=np.int64)),
+            "conv_id": pa.array(ctx.dictionary[order]),
+            "rank_e10": pa.array(e10[order]),
+        }
     )
 
 
@@ -175,15 +223,22 @@ def _q_modularity(sf_dir: str):
     ctx = _graph(sf_dir)
     A.label_propagation(ctx, max_iterations=10)
     q = A.modularity(ctx)
-    return pa.table({"modularity": pa.array([q], pa.float64())})
+    # 1e9-quantized: both sides combine the same exact integer
+    # (within, degsum) community terms in float — only summation order
+    # differs (~1e-16 relative), far inside the quantization step
+    return pa.table({"modularity_e9": pa.array([int(np.round(q * 1e9))], pa.int64())})
 
 
 def _q_connected_components(sf_dir: str):
-    return A.connected_components(_graph(sf_dir)).select_columns(["conv_id", "component"])
+    ctx = _graph(sf_dir)
+    ds = A.connected_components(ctx)
+    return _vid_to_conv(ctx, ds, "component", "component_id")
 
 
 def _q_label_propagation(sf_dir: str):
-    return A.label_propagation(_graph(sf_dir), max_iterations=10).select_columns(["conv_id", "label"])
+    ctx = _graph(sf_dir)
+    ds = A.label_propagation(ctx, max_iterations=10)
+    return _vid_to_conv(ctx, ds, "label", "label_id")
 
 
 # ----------------------------------------------------------------------
@@ -278,12 +333,17 @@ def _q_anti_join_users(sf_dir: str):
 
 def _q_orders_by_segment(sf_dir: str):
     cust = _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    cust = cust.sort_values("c_custkey")
+    # broadcast the small side as sorted arrays; lookups are vectorized
+    # np.searchsorted (no per-row Python dict access)
+    seg_ref = ray.put(
+        (cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy(dtype="U"))
+    )
     ds = _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def annotate(t: pa.Table) -> pa.Table:
-        seg = ray.get(seg_ref)
-        s = np.array([seg[k] for k in t["o_custkey"].to_numpy()])
+        keys, segs = ray.get(seg_ref)
+        s = segs[np.searchsorted(keys, t["o_custkey"].to_numpy())]
         return pa.table({"segment": pa.array(s), "o_totalprice": t["o_totalprice"]})
 
     def summarize(g: pd.DataFrame) -> pd.DataFrame:
@@ -373,8 +433,26 @@ def _q_knn_lsh(sf_dir: str):
 
 
 def _q_multimodal_decode(sf_dir: str):
+    """Decode-stage digest: media id/kind + four sampled feature values
+    as plain double columns — the whole decode path (payload -> feature
+    vector) exercised, in a shape DuckDB can recompute hash-exactly."""
     media = rd.from_arrow(MM.synth_media_table(256))
-    return MM.decode_features(media, mode="fake", feature_dim=16)
+    ds = MM.decode_features(media, mode="fake", feature_dim=16)
+
+    def digest(t: pa.Table) -> pa.Table:
+        f = np.array(t["features"].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "kind": t["kind"],
+                "f0": pa.array(f[:, 0]),
+                "f5": pa.array(f[:, 5]),
+                "f10": pa.array(f[:, 10]),
+                "f15": pa.array(f[:, 15]),
+            }
+        )
+
+    return ds.map_batches(digest, batch_format="pyarrow")
 
 
 def _q_frame_sample(sf_dir: str):
@@ -443,6 +521,208 @@ ids AS (SELECT DISTINCT conv_id FROM (SELECT conv_id FROM tr UNION SELECT dst AS
 uedges AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM mention UNION SELECT conv_id, conv_id FROM ids)),
 und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM uedges WHERE src <> dst)"""
 
+# ---- derived graph views shared by the iterative oracles ----
+# odeg: out-degree per vertex over the deduped edge set (incl self-loops)
+# nbr:  undirected neighbor pairs, self-loops excluded (== the engine's
+#       symmetrized view, pipelines/analytics.py)
+# nbrx: nbr plus an identity pair per vertex (keeps every vertex in the
+#       recursive min-label working set)
+_GRAPH_CTE2 = _GRAPH_CTE + """,
+odeg AS (SELECT src AS v, count(*) AS outdeg FROM uedges GROUP BY src),
+nbr AS (SELECT src AS a, dst AS b FROM uedges WHERE src <> dst
+        UNION SELECT dst AS a, src AS b FROM uedges WHERE src <> dst),
+nbrx AS (SELECT a, b FROM nbr UNION ALL SELECT conv_id AS a, conv_id AS b FROM ids)"""
+
+CC_ORACLE_ITERS = 40   # >= diameter of any component at sf0.01 (verified in tests)
+BFS_ORACLE_CAP = 64    # recursion depth cap; >= source eccentricity
+LP_ITERS = 10          # matches the engine query's max_iterations
+
+# The PageRank oracle: the exact synchronous power iteration as a
+# recursive CTE, run the same fixed number of iterations as the engine
+# query. Both sides then quantize to 1e10 — see PR_ORACLE_ITERS.
+_PR_CTE = f""",
+nverts AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ids),
+prr AS (
+  WITH RECURSIVE pr(i, v, r) AS (
+    SELECT 0, conv_id, (SELECT 1.0 / n FROM nverts) FROM ids
+    UNION ALL
+    SELECT pr.i + 1, e.dst,
+           (SELECT (1.0 - 0.85) / n FROM nverts) + 0.85 * sum(pr.r * (1.0 / od.outdeg))
+    FROM pr JOIN uedges e ON e.src = pr.v JOIN odeg od ON od.v = pr.v
+    WHERE pr.i < {PR_ORACLE_ITERS}
+    GROUP BY pr.i, e.dst
+  ) SELECT v, CAST(round(r * 1e10) AS BIGINT) AS rank_e10
+    FROM pr WHERE i = {PR_ORACLE_ITERS}
+)"""
+
+# LP oracle: 10 synchronous rounds; every vertex adopts the most frequent
+# neighbor label (ties -> lexicographically lowest), isolated vertices
+# keep their own label (identity self-vote).
+_LP_CTE = f""",
+iso AS (SELECT conv_id FROM ids WHERE conv_id NOT IN (SELECT a FROM nbr)),
+symx AS (SELECT a, b FROM nbr UNION ALL SELECT conv_id AS a, conv_id AS b FROM iso),
+lpr AS (
+  WITH RECURSIVE lp(i, v, lab) AS (
+    SELECT 0, conv_id, conv_id FROM ids
+    UNION ALL
+    SELECT i, v, lab FROM (
+      SELECT c.i AS i, c.v AS v, c.lab AS lab,
+             row_number() OVER (PARTITION BY c.i, c.v ORDER BY c.cnt DESC, c.lab) AS rn
+      FROM (SELECT lp.i + 1 AS i, e.b AS v, lp.lab AS lab, count(*) AS cnt
+            FROM lp JOIN symx e ON e.a = lp.v WHERE lp.i < {LP_ITERS}
+            GROUP BY lp.i + 1, e.b, lp.lab) c
+    ) WHERE rn = 1
+  ) SELECT v, lab FROM lp WHERE i = {LP_ITERS}
+)"""
+
+
+# ---- emulated 64-bit hashing (splitmix64) in DuckDB ----
+# DuckDB raises on UBIGINT overflow, so mod-2^64 multiply is emulated in
+# HUGEINT via 32-bit limb splitting; everything else (xor, shifts) is
+# native on UBIGINT. These generators build nested-SELECT chains so each
+# intermediate is computed once.
+
+_T64 = "18446744073709551616"
+
+
+def _mulmod64(a_col: str, b_const: int) -> str:
+    a = f"CAST({a_col} AS HUGEINT)"
+    return (
+        f"CAST((( ({a} % 4294967296) * {b_const} + "
+        f"(((({a} // 4294967296) * {b_const}) % 4294967296) * 4294967296)"
+        f") % {_T64}) AS UBIGINT)"
+    )
+
+
+def _sm64(sub: str, xexpr: str, out: str) -> str:
+    """Chain ``splitmix64(xexpr) AS out`` onto subquery ``sub``."""
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return f"""(SELECT * EXCLUDE (__z0, __z1, __z2, __z3, __z4),
+ xor(__z4, __z4 >> 31) AS {out} FROM
+ (SELECT *, {_mulmod64('__z3', c3)} AS __z4 FROM
+  (SELECT *, xor(__z2, __z2 >> 27) AS __z3 FROM
+   (SELECT *, {_mulmod64('__z1', c2)} AS __z2 FROM
+    (SELECT *, xor(__z0, __z0 >> 30) AS __z1 FROM
+     (SELECT *, CAST((CAST({xexpr} AS HUGEINT) + {c1}) % {_T64} AS UBIGINT) AS __z0
+      FROM {sub}))))))"""
+
+
+def _sql_fingerprint() -> str:
+    """Sum of the 4 smallest base-131 8-byte-window hashes mod 2^31-1
+    (functions/text.fingerprint). Assumes ASCII docs of length >= 8."""
+    pows, p = [1], 1
+    for _ in range(7):
+        p = p * 131 % 2147483647
+        pows.append(p)
+    terms = " + ".join(
+        f"CAST(ord(substr(text, i + {j + 1}, 1)) AS BIGINT) * {pows[j]}" for j in range(8)
+    )
+    # DuckDB's range() takes no lateral column bounds: cross-join a
+    # constant index table sized by a scalar subquery and filter
+    return f"""
+WITH wins AS (
+  SELECT doc_id, ({terms}) % 2147483647 AS h
+  FROM documents
+  JOIN range(0, 8192) t(i) ON t.i + 8 <= length(text)
+),
+mk AS (SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rk FROM wins)
+SELECT doc_id, CAST(sum(h) AS BIGINT) AS fingerprint FROM mk WHERE rk <= 4 GROUP BY doc_id"""
+
+
+def _sql_simhash_dedup() -> str:
+    """Full SimHash pipeline in SQL: whitespace tokens -> base-131 byte
+    fold over the first 16 bytes mod 2^31-1 -> splitmix64 -> 64-bit
+    majority-vote signature -> 4x16-bit chunk blocking (bucket capped at
+    the 64 smallest ids, as the engine does) -> hamming<=3 verify ->
+    min-label clustering over the near-dup pair graph."""
+    tok = (
+        r"(SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),"
+        r" x -> x <> '')) AS t, CAST(0 AS BIGINT) AS __f0 FROM documents)"
+    )
+    sql = tok
+    for k in range(1, 17):
+        sql = (
+            f"(SELECT * EXCLUDE (__f{k - 1}), CASE WHEN length(t) >= {k} "
+            f"THEN (__f{k - 1} * 131 + ord(substr(t, {k}, 1))) % 2147483647 "
+            f"ELSE __f{k - 1} END AS __f{k} FROM {sql})"
+        )
+    th = _sm64(sql, "__f16", "__th")
+    bitsums = ", ".join(
+        f"sum(CAST((__th >> {b}) & 1 AS BIGINT)) AS __c{b}" for b in range(64)
+    )
+    sigterms = " + ".join(
+        f"(CASE WHEN 2 * __c{b} > __n THEN CAST('{1 << b}' AS UBIGINT) "
+        f"ELSE CAST(0 AS UBIGINT) END)"
+        for b in range(64)
+    )
+    return f"""
+WITH rawsig AS (
+  SELECT doc_id, {sigterms} AS sig FROM
+  (SELECT doc_id, count(*) AS __n, {bitsums} FROM {th} GROUP BY doc_id)
+),
+sig AS (
+  SELECT d.doc_id, coalesce(s.sig, CAST(0 AS UBIGINT)) AS sig
+  FROM documents d LEFT JOIN rawsig s ON s.doc_id = d.doc_id
+),
+chunks AS (
+  SELECT doc_id, sig, c, CAST((sig >> CAST(16 * c AS INTEGER)) & 65535 AS BIGINT) AS ck
+  FROM sig, range(0, 4) t(c)
+),
+buck AS (
+  SELECT doc_id, sig, c, ck,
+         row_number() OVER (PARTITION BY c, ck ORDER BY doc_id) AS rn
+  FROM chunks
+),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+  FROM buck b1 JOIN buck b2 ON b1.c = b2.c AND b1.ck = b2.ck AND b1.doc_id < b2.doc_id
+  WHERE b1.rn <= 64 AND b2.rn <= 64
+),
+vpairs AS (
+  SELECT cand.a, cand.b
+  FROM cand JOIN sig sa ON sa.doc_id = cand.a JOIN sig sb ON sb.doc_id = cand.b
+  WHERE bit_count(xor(sa.sig, sb.sig)) <= 3
+),
+pedges AS (
+  SELECT a, b FROM vpairs UNION SELECT b AS a, a AS b FROM vpairs
+  UNION SELECT doc_id AS a, doc_id AS b FROM documents
+),
+clus AS (
+  WITH RECURSIVE cl(i, v, lab) AS (
+    SELECT 0, doc_id, doc_id FROM documents
+    UNION ALL
+    SELECT cl.i + 1, e.b, min(cl.lab) FROM cl JOIN pedges e ON e.a = cl.v
+    WHERE cl.i < 32 GROUP BY cl.i, e.b
+  ) SELECT v AS doc_id, lab AS cluster_id FROM cl WHERE i = 32
+)
+SELECT doc_id, cluster_id, (doc_id = cluster_id) AS keep FROM clus"""
+
+
+def _sql_multimodal_decode() -> str:
+    base = "(SELECT CAST(x AS BIGINT) AS media_id FROM range(256) t(x))"
+    q = _sm64(base, "media_id + 42", "__kh")
+    cols = []
+    for j in (0, 5, 10, 15):
+        q = _sm64(q, f"media_id + {42 * 1_000_003 + j}", f"__w{j}")
+        q = _sm64(q, f"__w{j}", f"__fh{j}")
+        cols.append(f"CAST(__fh{j} AS DOUBLE) / 18446744073709551616.0 AS f{j}")
+    return f"""
+SELECT media_id,
+       CASE __kh % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       {', '.join(cols)}
+FROM {q}"""
+
+
+def _sql_frame_sample() -> str:
+    base = "(SELECT CAST(x AS BIGINT) AS media_id FROM range(256) t(x))"
+    q = _sm64(base, "media_id + 42", "__h")
+    return f"""
+SELECT media_id, CAST(f AS INTEGER) AS frame_idx
+FROM (SELECT media_id, CAST((__h >> 32) % 240 + 1 AS BIGINT) AS nf
+      FROM {q} WHERE __h % 3 = 2)
+JOIN range(0, 240) t(f) ON f < nf AND f % 10 = 0"""
+
+
 _EN = "'the','and','of','to','a','in','is','it','that','for','was','with'"
 _DE = "'der','die','das','und','ist','nicht','ein','eine','mit','für','auf'"
 _FR = "'le','la','les','et','est','un','une','pour','dans','que','pas'"
@@ -474,6 +754,54 @@ tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
 corners AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
 SELECT i.conv_id AS conv_id, CAST(coalesce(c.n, 0) AS BIGINT) AS triangles
 FROM ids i LEFT JOIN (SELECT v, count(*) AS n FROM corners GROUP BY v) c ON c.v = i.conv_id""",
+        "pagerank_static": _GRAPH_CTE2 + _PR_CTE
+        + "\nSELECT v AS conv_id, rank_e10 FROM prr",
+        "pagerank_top20": _GRAPH_CTE2 + _PR_CTE
+        + """
+SELECT CAST(row_number() OVER (ORDER BY rank_e10 DESC, conv_id) - 1 AS BIGINT) AS pos,
+       conv_id, rank_e10
+FROM (SELECT v AS conv_id, rank_e10 FROM prr)
+ORDER BY pos LIMIT 20""",
+        "connected_components": _GRAPH_CTE2 + f""",
+ccr AS (
+  WITH RECURSIVE cc(i, v, lab) AS (
+    SELECT 0, conv_id, conv_id FROM ids
+    UNION ALL
+    SELECT cc.i + 1, e.b, min(cc.lab) FROM cc JOIN nbrx e ON e.a = cc.v
+    WHERE cc.i < {CC_ORACLE_ITERS} GROUP BY cc.i, e.b
+  ) SELECT v, lab FROM cc WHERE i = {CC_ORACLE_ITERS}
+)
+SELECT v AS conv_id, lab AS component_id FROM ccr""",
+        "label_propagation": _GRAPH_CTE2 + _LP_CTE
+        + "\nSELECT v AS conv_id, lab AS label_id FROM lpr",
+        "bfs_distances": _GRAPH_CTE2 + f""",
+bfsw AS (
+  WITH RECURSIVE w(v, d) AS (
+    SELECT (SELECT min(conv_id) FROM ids), 0
+    UNION
+    SELECT e.b, w.d + 1 FROM w JOIN nbr e ON e.a = w.v WHERE w.d < {BFS_ORACLE_CAP}
+  ) SELECT v, min(d) AS d FROM w GROUP BY v
+)
+SELECT i.conv_id AS conv_id, CAST(coalesce(b.d, -1) AS BIGINT) AS distance
+FROM ids i LEFT JOIN bfsw b ON b.v = i.conv_id""",
+        "modularity": _GRAPH_CTE2 + _LP_CTE
+        + """,
+m2 AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM nbr),
+terms AS (
+  SELECT la.lab AS c,
+         sum(CASE WHEN la.lab = lb.lab THEN 1 ELSE 0 END) AS within,
+         count(*) AS degsum
+  FROM nbr JOIN lpr la ON la.v = nbr.a JOIN lpr lb ON lb.v = nbr.b
+  GROUP BY la.lab
+)
+SELECT CAST(round(sum(within / (SELECT m FROM m2)
+                      - (degsum / (SELECT m FROM m2)) * (degsum / (SELECT m FROM m2))) * 1e9)
+            AS BIGINT) AS modularity_e9
+FROM terms""",
+        "doc_fingerprint": _sql_fingerprint(),
+        "simhash_dedup": _sql_simhash_dedup(),
+        "multimodal_decode": _sql_multimodal_decode(),
+        "frame_sample": _sql_frame_sample(),
         "lineitem_agg": """
 SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
        min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price

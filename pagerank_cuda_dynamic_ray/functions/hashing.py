@@ -136,6 +136,81 @@ def simhash64_flat(flat_hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return out
 
 
+POLY_BASE = np.int64(131)
+POLY_MOD = np.int64(2147483647)  # 2^31 - 1 (products stay inside int64)
+TOKEN_HASH_BYTES = 16  # tokens hash over their first 16 bytes
+
+
+def poly_token_hash64(tokens) -> np.ndarray:
+    """SQL-replicable 64-bit token hash: a base-131 byte fold mod 2^31-1
+    over the token's first 16 bytes, finalized with splitmix64.
+
+    Fully vectorized: the token list becomes a fixed-width ``S16`` byte
+    matrix (numpy truncates/NUL-pads), the fold is 16 masked
+    multiply-adds across the whole batch. Every step is expressible in
+    ANSI SQL over BIGINTs (the fold) + emulated uint64 ops (the
+    finalizer), which is what makes SimHash oracle-checkable in DuckDB.
+    ASCII-only inputs assumed (byte == character); non-ASCII tokens fall
+    back to a per-token encode."""
+    if len(tokens) == 0:
+        return np.empty(0, dtype=np.uint64)
+    try:
+        mat = np.asarray(tokens, dtype=f"S{TOKEN_HASH_BYTES}")
+    except UnicodeEncodeError:
+        mat = np.asarray(
+            [t.encode("utf-8")[:TOKEN_HASH_BYTES] for t in tokens],
+            dtype=f"S{TOKEN_HASH_BYTES}",
+        )
+    b = np.frombuffer(mat.tobytes(), dtype=np.uint8).reshape(-1, TOKEN_HASH_BYTES).astype(np.int64)
+    h = np.zeros(len(b), dtype=np.int64)
+    for k in range(TOKEN_HASH_BYTES):
+        col = b[:, k]
+        step = (h * POLY_BASE + col) % POLY_MOD
+        h = np.where(col > 0, step, h)  # NUL padding = past end (no NULs in ASCII text)
+    return splitmix64(h.astype(np.uint64))
+
+
+def poly_window_hashes_flat(
+    flat_bytes: np.ndarray, doc_offsets: np.ndarray, window: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc Rabin-style window hashes over a FLAT byte array:
+    ``h_i = sum_j b[i+j] * 131^j  mod 2^31-1`` for every in-doc window.
+
+    Docs shorter than ``window`` contribute one hash over all their
+    bytes (empty docs: the single hash 0). Vectorized: one
+    sliding-window dot across the whole flat array, invalid
+    (boundary-crossing) windows masked out. Returns (flat hashes,
+    (n_docs+1,) per-doc hash-count offsets)."""
+    offs = doc_offsets.astype(np.int64)
+    lens = np.diff(offs)
+    n_docs = len(lens)
+    b = flat_bytes.astype(np.int64)
+    pows = np.empty(window, dtype=np.int64)
+    pows[0] = 1
+    for j in range(1, window):
+        pows[j] = (pows[j - 1] * POLY_BASE) % POLY_MOD
+    counts = np.maximum(lens - window + 1, 1).astype(np.int64)
+    out_offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_offs[1:])
+    out = np.empty(int(out_offs[-1]), dtype=np.int64)
+    long_docs = np.flatnonzero(lens >= window)
+    if len(b) >= window and long_docs.size:
+        sw = np.lib.stride_tricks.sliding_window_view(b, window)
+        h_all = (sw * pows).sum(axis=1) % POLY_MOD
+        cnt = lens[long_docs] - window + 1
+        within = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        src = np.repeat(offs[long_docs], cnt) + within
+        dst = np.repeat(out_offs[long_docs], cnt) + within
+        out[dst] = h_all[src]
+    short_docs = np.flatnonzero(lens < window)
+    for d in short_docs:  # rare tail (docs shorter than the window)
+        lo, hi = int(offs[d]), int(offs[d + 1])
+        out[out_offs[d]] = int((b[lo:hi] * pows[: hi - lo]).sum() % POLY_MOD) if hi > lo else 0
+    return out, out_offs
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Per-element Hamming distance between two uint64 arrays."""
     x = np.bitwise_xor(a, b)

@@ -37,6 +37,14 @@ def bpe_token_count(texts: pd.Series) -> np.ndarray:
     return texts.str.count(BPE_RE).fillna(0).to_numpy(dtype=np.int64)
 
 
+def _stop_hits(lower_words: pd.Series, stopset: set[str]) -> np.ndarray:
+    """Per-doc stopword hit counts — vectorized (explode + isin + groupby
+    sum in pandas C kernels; no per-doc Python lambda)."""
+    flat = lower_words.explode()
+    hits = flat.isin(stopset).groupby(level=0).sum()
+    return hits.reindex(lower_words.index, fill_value=0).to_numpy(dtype=np.int64)
+
+
 def quality_features(texts: pd.Series) -> pd.DataFrame:
     """Deterministic per-doc quality features:
 
@@ -50,8 +58,7 @@ def quality_features(texts: pd.Series) -> pd.DataFrame:
     punct = texts.str.count(PUNCT_RE).fillna(0).to_numpy(dtype=np.int64)
     upper = texts.str.count(r"[A-Z]").fillna(0).to_numpy(dtype=np.int64)
     lower_words = texts.str.lower().str.findall(r"[a-zà-ÿ]+")
-    en = STOPWORDS["en"]
-    stop_hits = lower_words.map(lambda ws: sum(w in en for w in ws)).to_numpy(dtype=np.int64)
+    stop_hits = _stop_hits(lower_words, STOPWORDS["en"])
     denom = np.maximum(n_chars, 1)
     tok_denom = np.maximum(n_tok, 1)
     punct_ratio = punct / denom
@@ -77,31 +84,33 @@ def lang_id(texts: pd.Series) -> pd.Series:
     words = texts.str.lower().str.findall(r"[a-zà-ÿ]+")
     langs = sorted(STOPWORDS)
     scores = np.zeros((len(texts), len(langs)), dtype=np.int64)
-    for j, lang in enumerate(langs):
-        sw = STOPWORDS[lang]
-        scores[:, j] = words.map(lambda ws: sum(w in sw for w in ws)).to_numpy()
+    for j, lang in enumerate(langs):  # 4 languages; each count is vectorized
+        scores[:, j] = _stop_hits(words, STOPWORDS[lang])
     best = np.asarray(langs)[scores.argmax(axis=1)]
     best = np.where(scores.max(axis=1) == 0, "und", best)
     return pd.Series(best, index=texts.index)
 
 
 def fingerprint(texts: pd.Series, window: int = 8, keep: int = 4) -> np.ndarray:
-    """Document fingerprint: min-k of Rabin-Karp rolling hashes of
-    ``window``-byte windows, combined into one uint64."""
-    from .hashing import splitmix64
+    """Document fingerprint: sum of the ``keep`` smallest base-131
+    rolling hashes (mod 2^31-1) of ``window``-byte windows.
 
-    out = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts.fillna("")):
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-        if len(b) < window:
-            h = splitmix64(np.frombuffer(b.tobytes().ljust(8, b"\0"), dtype=np.uint64))
-            out[i] = h[0]
-            continue
-        base = np.uint64(1099511628211)
-        pows = base ** np.arange(window, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            strided = np.lib.stride_tricks.sliding_window_view(b, window).astype(np.uint64)
-            hashes = (strided * pows[None, :]).sum(axis=1, dtype=np.uint64)
-            mins = np.sort(splitmix64(hashes))[:keep]
-            out[i] = splitmix64(np.array([mins.sum(dtype=np.uint64)], dtype=np.uint64))[0]
-    return out
+    Vectorized across the whole batch (one flat byte array, one
+    sliding-window pass, segment-sorted min-k — no per-doc Python loop)
+    and arithmetic chosen to be replicable in ANSI SQL over BIGINTs, so
+    the DuckDB oracle can verify it hash-exactly."""
+    from .hashing import poly_window_hashes_flat
+
+    encoded = [t.encode("utf-8") for t in texts.fillna("")]
+    lens = np.fromiter((len(e) for e in encoded), dtype=np.int64, count=len(encoded))
+    offs = np.zeros(len(encoded) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+    hashes, h_offs = poly_window_hashes_flat(flat, offs, window)
+    # min-k per doc: sort (hash within doc), take the first `keep` ranks
+    seg = np.repeat(np.arange(len(encoded), dtype=np.int64), np.diff(h_offs))
+    order = np.lexsort((hashes, seg))
+    h_sorted, seg_sorted = hashes[order], seg[order]
+    rank = np.arange(len(h_sorted), dtype=np.int64) - np.repeat(h_offs[:-1], np.diff(h_offs))
+    sel = rank < keep
+    return np.bincount(seg_sorted[sel], weights=h_sorted[sel], minlength=len(encoded)).astype(np.int64)

@@ -178,18 +178,19 @@ def modularity(ctx: GraphContext, labels: rd.Dataset | None = None) -> float:
     terms = ray.get([
         shards[p].modularity_terms.remote(*lab_refs[p]) for p in range(P)
     ])
-    from collections import defaultdict
-
-    within: dict[int, int] = defaultdict(int)
-    degsum: dict[int, int] = defaultdict(int)
-    for labs, w, d in terms:
-        for c, wi, di in zip(labs.tolist(), w.tolist(), d.tolist()):
-            within[c] += wi
-            degsum[c] += di
-    two_m = float(sum(degsum.values()))
+    # vectorized cross-shard combine: concatenate per-shard community
+    # terms, re-key with np.unique, sum with bincount (no per-community
+    # Python loop — community count can be O(N))
+    labs = np.concatenate([t[0] for t in terms])
+    w = np.concatenate([t[1] for t in terms])
+    d = np.concatenate([t[2] for t in terms])
+    _, inv = np.unique(labs, return_inverse=True)
+    within = np.bincount(inv, weights=w)
+    degsum = np.bincount(inv, weights=d)
+    two_m = float(degsum.sum())
     if two_m == 0:
         return 0.0
-    return float(sum(w / two_m - (degsum[c] / two_m) ** 2 for c, w in within.items()))
+    return float(np.sum(within / two_m - (degsum / two_m) ** 2))
 
 
 def _with_conv(ctx: GraphContext, tables) -> rd.Dataset:

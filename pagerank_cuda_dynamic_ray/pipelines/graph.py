@@ -323,9 +323,10 @@ class GraphContext:
         the whole loop inside the actor pool with direct peer exchange
         (one driver dispatch per run — the multi-node scale path);
         "driver" coordinates every iteration from the client (debugging
-        reference). All three are bit-equal. dangling="redistribute"
-        forces "driver" (its pre-step global sum isn't wired through the
-        other loops' exchanges).
+        reference). All three are bit-equal. dangling="redistribute" is
+        wired through every mode: the compiled loop ships each shard's
+        dangling mass as one appended element per contribution channel,
+        p2p piggybacks it on the contribution message.
         """
         o = options or PagerankOptions()
         assert variant in VARIANTS, variant
@@ -364,15 +365,13 @@ class GraphContext:
         t0 = time.perf_counter()
         linf = float("inf")
         if mode == "auto":
-            mode = "driver" if redistribute else "compiled"
-        elif redistribute and mode != "driver":
-            mode = "driver"
+            mode = "compiled"
 
         if mode == "compiled":
             cdag = self._compiled_dag()
             params = (
                 C0, o.damping, use_affected, frontier, prune,
-                o.frontier_tolerance, o.prune_tolerance,
+                o.frontier_tolerance, o.prune_tolerance, redistribute,
             )
             marks_fb = None
             # Fixed-iteration runs with no driver-side feedback (no

@@ -283,10 +283,14 @@ def minhash_dedup(docs: rd.Dataset, threshold: float = 0.7, num_perm: int = 64,
 # ----------------------------------------------------------------------
 
 class SimHashStage:
-    """Actor-pool stage: text -> (doc_id, simhash, chunk0..chunk3)."""
+    """Actor-pool stage: text -> (doc_id, simhash, chunk0..chunk3).
 
-    def __init__(self, seed: int = 7):
-        self.seed = seed
+    Token hash = poly_token_hash64 (base-131 byte fold + splitmix64) —
+    deterministic AND DuckDB-replicable, so the whole SimHash pipeline
+    is verified hash-exactly against a SQL oracle."""
+
+    def __init__(self):
+        pass
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         toks: list[str] = []
@@ -296,7 +300,7 @@ class SimHashStage:
             toks.extend(ws)
             lens[i] = len(ws)
         offs = np.concatenate([[0], np.cumsum(lens)])
-        sig = H.simhash64_flat(H.hash_strings(toks, seed=self.seed), offs)
+        sig = H.simhash64_flat(H.poly_token_hash64(toks), offs)
         out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy(), "simhash": sig.astype(np.int64)})
         for c in range(4):
             out[f"chunk{c}"] = ((sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)

@@ -103,19 +103,34 @@ def knn_lsh(embeddings: rd.Dataset, queries: pd.DataFrame, k: int = 10,
         qi_ids, qm, pmap = ray.get(ref)
         ids, m = _matrix(batch)
         buckets = lsh.bucket(m)
+        # group batch rows by bucket with one argsort; ONE matmul per
+        # populated bucket, outputs assembled with numpy (no per-row
+        # Python loop — the bucket loop is bounded by 2^nbits)
+        order = np.argsort(buckets, kind="stable")
+        bsort = buckets[order]
+        cuts = np.flatnonzero(np.diff(bsort)) + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [len(bsort)]])
         out_q, out_n, out_s = [], [], []
-        for b in np.unique(buckets):
-            qrows = pmap.get(int(b))
+        for s, e in zip(starts, ends):
+            qrows = pmap.get(int(bsort[s]))
             if not qrows:
                 continue
-            cols = np.flatnonzero(buckets == b)
-            sims = qm[qrows] @ m[cols].T
-            for row_i, qrow in enumerate(qrows):
-                mask = ids[cols] != qi_ids[qrow]
-                out_q.extend([qi_ids[qrow]] * int(mask.sum()))
-                out_n.extend(ids[cols][mask].tolist())
-                out_s.extend(sims[row_i][mask].tolist())
-        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_s})
+            cols = order[s:e]
+            sims = qm[qrows] @ m[cols].T            # (len(qrows), e-s)
+            qa = np.repeat(qi_ids[qrows], e - s)
+            na = np.tile(ids[cols], len(qrows))
+            keep = qa != na
+            out_q.append(qa[keep])
+            out_n.append(na[keep])
+            out_s.append(sims.reshape(-1)[keep])
+        if not out_q:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "neighbor_id": pd.Series([], dtype=np.int64),
+                                 "cosine": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             "neighbor_id": np.concatenate(out_n),
+                             "cosine": np.concatenate(out_s)})
 
     partials = embeddings.map_batches(block_topk, batch_format="pandas", batch_size=4096)
 

@@ -167,6 +167,25 @@ class GraphShard:
         self.gather_ids = gather_ids
         g_owner = gather_ids % self.P
         self.gather_counts = np.bincount(g_owner, minlength=self.P)
+        # direct-read sweep layout: edges are key-sorted, and keys are
+        # owner-major, so the edge stream splits into one contiguous run
+        # per source shard. Each run's keys are rebased to that source's
+        # segment so the per-iteration gather reads EACH producer's
+        # shared-memory slice directly (np.take out= into a persistent
+        # buffer) — no concatenated copy of the incoming contributions.
+        # This cuts ~2x gather-array traffic per iteration, which is the
+        # DRAM-bandwidth lever that strong scaling hinges on.
+        gpref = np.zeros(self.P + 1, dtype=np.int64)
+        np.cumsum(self.gather_counts, out=gpref[1:])
+        self._edge_cuts = np.searchsorted(self.in_key_sweep, gpref)
+        self._key_adj = (
+            self.in_key_sweep
+            - np.repeat(gpref[:-1], np.diff(self._edge_cuts)).astype(np.int32)
+        )
+        self._per_edge = np.empty(len(self.in_key_sweep), dtype=np.float64)
+        self._delta = np.empty(n, dtype=np.float64)
+        self._c = np.empty(n, dtype=np.float64)
+        self._dangling_idx = np.flatnonzero(self.outdeg == 0)
         # invalidate derived views
         self.sym_offsets = self.sym_adj = None
         self.ori_offsets = self.ori_adj = None
@@ -186,6 +205,11 @@ class GraphShard:
         self.send_cat = (
             np.concatenate(send_idx) if send_idx else np.empty(0, dtype=np.int64)
         )
+        # persistent per-iteration output buffers (np.take out=): fresh
+        # allocations each iteration cost page faults + zero-fill — real
+        # DRAM traffic on top of the copy itself
+        self._send_buf = np.empty(len(self.send_cat), dtype=np.float64)
+        self._send_bufs = [np.empty(len(ix), dtype=np.float64) for ix in send_idx]
 
     def set_gather_layout(self, layout: np.ndarray) -> None:
         """layout[q] = (start, end) of this shard's segment inside source
@@ -266,13 +290,19 @@ class GraphShard:
     def affected_count(self) -> int:
         return int(self.vaff.sum())
 
+    def _contrib_vec(self) -> np.ndarray:
+        np.multiply(self.r, self.inv_outdeg, out=self._c)
+        return self._c
+
+    def _dangling(self) -> float:
+        return float(self.r[self._dangling_idx].sum()) if self.n_local else 0.0
+
     def contribs(self):
         """Phase 1: packed contribution array (all destinations, segment
         layout shipped at build time) + local dangling mass (for
         dangling='redistribute'). Call with num_returns=2."""
-        c = self.r * self.inv_outdeg
-        dangling = float(self.r[self.outdeg == 0].sum()) if self.n_local else 0.0
-        return (dangling, c[self.send_cat])
+        c = self._contrib_vec()
+        return (self._dangling(), np.take(c, self.send_cat, out=self._send_buf))
 
     def step(
         self,
@@ -320,15 +350,28 @@ class GraphShard:
     ):
         t0 = time.perf_counter()
         d = damping
-        gathered = np.concatenate(slices) if len(slices) > 1 else (slices[0] if slices else np.empty(0))
         dang = d * dangling_mass / self.N
         r, n = self.r, self.n_local
         if not use_affected:
-            per_edge = gathered[self.in_key_sweep]
-            sums = np.bincount(self.in_rows_sweep, weights=per_edge, minlength=n)
-            a = C0 + d * sums + dang
+            # fast full-sweep path: read each producer's segment directly
+            # (zero-copy shared-memory view) through the rebased key
+            # stream into the persistent per-edge buffer — no gathered
+            # concatenation, no fresh allocations
+            pe, cuts, keys = self._per_edge, self._edge_cuts, self._key_adj
+            for q, sl in enumerate(slices):
+                lo, hi = cuts[q], cuts[q + 1]
+                if hi > lo:
+                    np.take(sl, keys[lo:hi], out=pe[lo:hi])
+            sums = np.bincount(self.in_rows_sweep, weights=pe, minlength=n)
+            np.multiply(sums, d, out=sums)
+            sums += C0 + dang
+            a = sums
             rows = None
         else:
+            gathered = (
+                np.concatenate(slices) if len(slices) > 1
+                else (slices[0] if slices else np.empty(0))
+            )
             a = r.copy()
             rows = np.flatnonzero(self.vaff)
             if rows.size:
@@ -342,7 +385,9 @@ class GraphShard:
                     a[rows] = (C0 + d * (sums - r[rows] / deg)) / (1.0 - d / deg)
                 else:
                     a[rows] = C0 + d * sums + dang
-        delta = np.abs(a - r)
+        delta = self._delta
+        np.subtract(a, r, out=delta)
+        np.abs(delta, out=delta)
         linf = float(delta.max()) if n else 0.0
 
         packed_marks = np.empty(0, dtype=np.int64)
@@ -374,7 +419,7 @@ class GraphShard:
             "part": self.p,
             "linf": linf,
             "affected": int(rows.size) if rows is not None else n,
-            "gathered": int(gathered.size),
+            "gathered": int(sum(len(s) for s in slices)),
             "step_s": time.perf_counter() - t0,
         }
         if frontier:
@@ -506,11 +551,9 @@ class GraphShard:
         while it < max_iterations:
             t0 = time.perf_counter()
             # 1. broadcast packed contributions for iteration `it`
-            c = self.r * self.inv_outdeg
-            dangling = (
-                float(self.r[self.outdeg == 0].sum()) if redistribute and self.n_local else 0.0
-            )
-            packed = c[self.send_cat]
+            c = self._contrib_vec()
+            dangling = self._dangling() if redistribute else 0.0
+            packed = np.take(c, self.send_cat, out=self._send_buf)
             if P > 1:
                 pref = ray.put(packed)
                 for p, h in enumerate(peers):
@@ -588,43 +631,54 @@ class GraphShard:
         """Per-destination contribution slices for one compiled-graph
         iteration (bound with num_returns=P so each destination's channel
         carries ONLY its segment — an all-to-all that ships exactly the
-        needed bytes, not a P× broadcast of the full packed array)."""
-        c = self.r * self.inv_outdeg
-        return tuple(c[idx] for idx in self.send_idx)
+        needed bytes, not a P× broadcast of the full packed array).
+        In dangling='redistribute' mode (params[7]) the local dangling
+        mass rides each slice as one appended element."""
+        c = self._contrib_vec()
+        if inp[0][7]:  # redistribute: append the local dangling scalar
+            dang = self._dangling()
+            return tuple(np.append(c[idx], dang) for idx in self.send_idx)
+        return tuple(
+            np.take(c, idx, out=buf) for idx, buf in zip(self.send_idx, self._send_bufs)
+        )
 
     def contribs_packed_dag(self, inp) -> np.ndarray:
         """Broadcast-layout variant of ``contribs_dag``: ONE packed
         contribution array per iteration (single compiled-graph channel,
         P consumers read it zero-copy from shared memory and slice their
         segment). P channels total instead of P² — the single-node fast
-        path for large pools."""
-        c = self.r * self.inv_outdeg
-        return c[self.send_cat]
+        path for large pools. Dangling mass rides as one appended tail
+        element in redistribute mode."""
+        c = self._contrib_vec()
+        if inp[0][7]:
+            return np.append(c[self.send_cat], self._dangling())
+        return np.take(c, self.send_cat, out=self._send_buf)
 
     def step_packed_dag(self, inp, *packed):
         """Broadcast-layout step: ``packed`` is every producer's full
         packed array; slice this shard's segment via ``gather_layout``
         (same consumption as the driver-mode ``step``)."""
         params, marks = inp
-        C0, damping, use_affected, frontier, prune, ftol, ptol = params
+        C0, damping, use_affected, frontier, prune, ftol, ptol, redistribute = params
         if marks is not None:
             for m, off in marks:
                 seg = m[off[self.p]:off[self.p + 1]]
                 if len(seg):
                     self.vaff[seg[~self.vaff[seg]]] = True
+        dangling_mass = sum(float(pk[-1]) for pk in packed) if redistribute else 0.0
         slices = [pk[int(s):int(e)] for pk, (s, e) in zip(packed, self.gather_layout)]
         return self._step_core(
-            slices, C0, damping, use_affected, frontier, prune, ftol, ptol, 0.0
+            slices, C0, damping, use_affected, frontier, prune, ftol, ptol, dangling_mass
         )
 
     def step_dag(self, inp, *segs):
         """One compiled-graph step over pre-sliced per-source segments.
         ``inp`` = ((C0, damping, use_affected, frontier, prune,
-        frontier_tol, prune_tol), marks) with ``marks`` the previous
-        iteration's per-source (packed_marks, offsets) list (applied
-        before stepping), or None."""
+        frontier_tol, prune_tol, redistribute), marks) with ``marks`` the
+        previous iteration's per-source (packed_marks, offsets) list
+        (applied before stepping), or None."""
         params, marks = inp
-        C0, damping, use_affected, frontier, prune, ftol, ptol = params
+        C0, damping, use_affected, frontier, prune, ftol, ptol, redistribute = params
         if len(segs) == 1 and isinstance(segs[0], tuple):
             segs = segs[0]  # P=1: num_returns=1 delivers the tuple whole
         if marks is not None:
@@ -632,8 +686,13 @@ class GraphShard:
                 seg = m[off[self.p]:off[self.p + 1]]
                 if len(seg):
                     self.vaff[seg[~self.vaff[seg]]] = True
+        segs = list(segs)
+        dangling_mass = 0.0
+        if redistribute:
+            dangling_mass = sum(float(s[-1]) for s in segs)
+            segs = [s[:-1] for s in segs]
         return self._step_core(
-            list(segs), C0, damping, use_affected, frontier, prune, ftol, ptol, 0.0
+            segs, C0, damping, use_affected, frontier, prune, ftol, ptol, dangling_mass
         )
 
     # ------------------------------------------------------------------

@@ -33,10 +33,12 @@ def test_minhash_dedup_finds_near_dups():
 
 
 def test_simhash_dedup():
-    base = "one two three four five six seven eight nine ten eleven twelve"
-    near = base.replace("twelve", "thirteen")
-    other = "zz yy xx ww vv uu tt ss rr qq pp oo"
-    out = dedup.simhash_dedup(_docs([base, near, other]), max_hamming=16)
+    # 64 shared tokens, one swapped -> hamming 2 (verified), so the
+    # 4x16-bit chunk blocking must pair them (pigeonhole at hamming<=3)
+    base = " ".join(f"word{i}" for i in range(64))
+    near = base.replace("word63", "wordX")
+    other = " ".join(f"zz{i}" for i in range(64))
+    out = dedup.simhash_dedup(_docs([base, near, other]), max_hamming=3)
     cl = dict(zip(out["doc_id"], out["cluster_id"]))
     assert cl[0] == cl[1]
     assert cl[2] != cl[0]
