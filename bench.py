@@ -133,7 +133,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     D.exact_dedup(docs).materialize()
     q["exact_dedup"] = time.perf_counter() - t0
     t0 = time.perf_counter()
-    D.minhash_dedup(docs)
+    D.minhash_dedup(docs).materialize()
     q["minhash_dedup"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     TS.analyze_documents(docs, concurrency=4).materialize()

@@ -43,7 +43,8 @@ class GraphContext:
     """A graph snapshot distributed over a fixed pool of GraphShard actors."""
 
     def __init__(self, num_vertices: int, num_parts: int = 8, dictionary: np.ndarray | None = None,
-                 add_self_loops: bool = True, num_cpus_per_shard: float = 0.5):
+                 add_self_loops: bool = True, num_cpus_per_shard: float = 0.5,
+                 hub_split_threshold: int | None = None):
         # num_cpus_per_shard defaults to 0.5 so a pool of P shards reserves
         # P/2 CPU slots, leaving headroom for the Ray Data ingest/derive
         # tasks that feed the pool — a pool reserving every CPU deadlocks
@@ -52,6 +53,11 @@ class GraphContext:
         self.P = int(num_parts)
         self.dictionary = dictionary
         self.self_loops = add_self_loops
+        # explicit skew splitting: vertices with in-degree above this
+        # threshold get their in-edge sums computed as per-source-shard
+        # partials combined at the owner (None = off). SURVEY.md §4 /
+        # reference pagerankCuda.hxx:470-481 degree-64 two-kernel split.
+        self.hub_split_threshold = hub_split_threshold
         actor_cls = ray.remote(num_cpus=num_cpus_per_shard)(GraphShard)
         self.shards = [actor_cls.remote(p, self.P, self.N) for p in range(self.P)]
         self._sym_built = False
@@ -136,8 +142,10 @@ class GraphContext:
     @classmethod
     def from_edges(cls, encoded_edges: rd.Dataset, num_vertices: int, num_parts: int = 8,
                    dictionary: np.ndarray | None = None, add_self_loops: bool = True,
-                   num_cpus_per_shard: float = 0.5) -> "GraphContext":
-        ctx = cls(num_vertices, num_parts, dictionary, add_self_loops, num_cpus_per_shard)
+                   num_cpus_per_shard: float = 0.5,
+                   hub_split_threshold: int | None = None) -> "GraphContext":
+        ctx = cls(num_vertices, num_parts, dictionary, add_self_loops, num_cpus_per_shard,
+                  hub_split_threshold=hub_split_threshold)
         route_edges(encoded_edges, ctx.shards)
         ctx.finalize()
         return ctx
@@ -158,20 +166,41 @@ class GraphContext:
         the distributed analogue of csrCreate* (/root/reference/inc/
         csr.hxx:100-287) + the H2D transfer (pagerankCuda.hxx:797-805)."""
         needs = ray.get([s.build.remote(add_self_loops=self.self_loops) for s in self.shards])
+        self._setup_hubs()
         self._exchange(needs)
         self._sym_built = False
+
+    def _setup_hubs(self) -> None:
+        """Collect the global hub list (in-degree over threshold) and
+        install the split structures on every shard. Must precede
+        ``_exchange`` (segment sizes include per-destination hub tails)."""
+        self._hub_counts = np.zeros(self.P, dtype=np.int64)
+        if self.hub_split_threshold is None:
+            return
+        hubs = ray.get([
+            s.local_hubs.remote(self.hub_split_threshold) for s in self.shards
+        ])
+        all_hubs = np.sort(np.concatenate(hubs)) if hubs else np.empty(0, np.int64)
+        if all_hubs.size == 0:
+            return
+        href = ray.put(all_hubs)
+        ray.get([s.configure_hub_split.remote(href) for s in self.shards])
+        self._hub_counts = np.bincount(all_hubs % self.P, minlength=self.P)
 
     def _exchange(self, needs: list[dict[int, np.ndarray]]) -> None:
         """needs[p][q] = locals p needs from q  ->  send_idx[q][p], plus the
         packed-exchange layout: each source shard q emits ONE packed
         contribution array per iteration laid out destination-major, and
-        destination p slices segment [cum[p][q], cum[p+1][q]) from it."""
+        destination p slices segment [cum[p][q], cum[p+1][q]) from it.
+        With hub splitting, destination p's segment in every producer is
+        extended by |hubs(p)| partial-sum slots."""
         refs = [
             self.shards[q].set_send_index.remote([needs[p][q] for p in range(self.P)])
             for q in range(self.P)
         ]
+        hc = getattr(self, "_hub_counts", np.zeros(self.P, dtype=np.int64))
         sizes = np.array(
-            [[len(needs[p][q]) for q in range(self.P)] for p in range(self.P)],
+            [[len(needs[p][q]) + hc[p] for q in range(self.P)] for p in range(self.P)],
             dtype=np.int64,
         )
         cum = np.vstack([np.zeros((1, self.P), dtype=np.int64), np.cumsum(sizes, axis=0)])
@@ -233,6 +262,7 @@ class GraphContext:
             self.shards[p].apply_update.remote(del_out[p], ins_out[p], del_in[p], ins_in[p])
             for p in range(self.P)
         ])
+        self._setup_hubs()
         self._exchange(needs)
         self._sym_built = False
 

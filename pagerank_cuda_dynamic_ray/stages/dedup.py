@@ -64,15 +64,17 @@ def exact_dedup(docs: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
         idx = np.unique(np.concatenate([np.arange(first_end), np.arange(last_start, len(k))]))
         return batch.iloc[idx]
 
+    # complete segments stay a DISTRIBUTED Dataset; only the (tiny,
+    # <= 2-segments-per-block) boundary set merges driver-side and is
+    # unioned back in — no corpus-sized driver materialization
     complete = srt.map_batches(block_complete, batch_format="pandas", batch_size=None)
     bnd = srt.map_batches(block_boundary, batch_format="pandas", batch_size=None).to_pandas()
-    out = complete.to_pandas()
-    if len(bnd):
-        out = pd.concat([out, agg_texts(bnd)])
-    if len(out) == 0:
-        out = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
-                            "n_dups": pd.Series([], dtype=np.int64)})
-    return rd.from_pandas(out.sort_values("doc_id").reset_index(drop=True))
+    fixup = agg_texts(bnd) if len(bnd) else pd.DataFrame(
+        {"doc_id": pd.Series([], dtype=np.int64), "n_dups": pd.Series([], dtype=np.int64)}
+    )
+    if len(fixup):
+        return complete.union(rd.from_pandas(fixup))
+    return complete
 
 
 # ----------------------------------------------------------------------
@@ -153,27 +155,18 @@ def _segment_pairs(ids: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     return np.concatenate(out_a), np.concatenate(out_b)
 
 
-def minhash_candidates(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
-                       shingle_k: int = 3) -> rd.Dataset:
-    """documents -> distinct candidate near-dup pairs via MinHash LSH.
+def bucket_pairs(keyed: rd.Dataset) -> rd.Dataset:
+    """(bkey, doc_id) rows -> DISTINCT candidate pairs Dataset (a, b).
 
-    Bucket grouping = a distributed ``sort`` on the combined bucket key
-    followed by a vectorized sort-segment pairing pass per block (Ray
-    Data's groupby-aggregate pays per-group Python cost — ruinous when
-    nearly every LSH bucket is a singleton). Buckets that straddle block
-    boundaries (at most 2 per block) are collected and paired driver-side
-    — a tiny, block-count-bounded set at any scale."""
-    bands_ds = docs.map_batches(
-        MinHashStage, batch_format="pandas", batch_size=2048,
-        concurrency=2, fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
-    )
-
-    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
-        with np.errstate(over="ignore"):
-            bkey = batch["band_hash"].to_numpy() * np.int64(bands) + batch["band"].to_numpy()
-        return pd.DataFrame({"bkey": bkey, "doc_id": batch["doc_id"].to_numpy()})
-
-    srt = bands_ds.map_batches(add_key, batch_format="pandas").sort("bkey").materialize()
+    Bucket grouping = a distributed ``sort`` on the bucket key followed
+    by a vectorized sort-segment pairing pass per block (Ray Data's
+    groupby-aggregate pays per-group Python cost — ruinous when nearly
+    every LSH bucket is a singleton). Buckets that straddle block
+    boundaries (at most 2 per block) are collected and paired
+    driver-side — a tiny, block-count-bounded set at any scale. The
+    pair dedup is a distributed groupby (pairs, not corpus, sized).
+    Shared by MinHash-LSH and SimHash blocking."""
+    srt = keyed.sort("bkey").materialize()
 
     def block_pairs(batch: pd.DataFrame) -> pd.DataFrame:
         k = batch["bkey"].to_numpy()
@@ -184,7 +177,7 @@ def minhash_candidates(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
         # first/last segment may continue in a neighboring block — handled
         # by the boundary pass
         a, b = _segment_pairs(ids, starts[1:-1], ends[1:-1])
-        return pd.DataFrame({"a": a, "b": b})
+        return pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64)})
 
     def block_boundaries(batch: pd.DataFrame) -> pd.DataFrame:
         k = batch["bkey"].to_numpy()
@@ -194,9 +187,9 @@ def minhash_candidates(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
         last_start = bounds[-1] if len(bounds) else 0
         idx = np.concatenate([np.arange(first_end), np.arange(last_start, len(k))])
         idx = np.unique(idx)
-        return pd.DataFrame({"bkey": k[idx], "doc_id": ids[idx]})
+        return batch.iloc[idx][["bkey", "doc_id"]]
 
-    pairs_pdf = srt.map_batches(block_pairs, batch_format="pandas", batch_size=None).to_pandas()
+    pairs = srt.map_batches(block_pairs, batch_format="pandas", batch_size=None)
     bnd = srt.map_batches(block_boundaries, batch_format="pandas", batch_size=None).to_pandas()
     if len(bnd):
         bnd = bnd.sort_values(["bkey", "doc_id"])
@@ -204,25 +197,62 @@ def minhash_candidates(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
         ids = bnd["doc_id"].to_numpy()
         bounds = np.flatnonzero(np.diff(k)) + 1
         a, b = _segment_pairs(ids, np.concatenate([[0], bounds]), np.concatenate([bounds, [len(k)]]))
-        pairs_pdf = pd.concat([pairs_pdf, pd.DataFrame({"a": a, "b": b})])
-    if len(pairs_pdf) == 0:
-        pairs_pdf = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                  "b": pd.Series([], dtype=np.int64)})
-    pairs_pdf = pairs_pdf.drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
-    return rd.from_pandas(pairs_pdf)
+        if len(a):
+            pairs = pairs.union(rd.from_pandas(pd.DataFrame(
+                {"a": a.astype(np.int64), "b": b.astype(np.int64)}
+            )))
+    # distinct (a, b): pairs can repeat across bands/chunks and blocks
+    from ray.data.aggregate import Count
+
+    return pairs.groupby(["a", "b"]).aggregate(Count()).select_columns(["a", "b"])
+
+
+def minhash_candidates(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
+                       shingle_k: int = 3) -> rd.Dataset:
+    """documents -> distinct candidate near-dup pairs via MinHash LSH."""
+    bands_ds = docs.map_batches(
+        MinHashStage, batch_format="pandas", batch_size=2048,
+        concurrency=2, fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
+    )
+
+    def add_key(batch: pd.DataFrame) -> pd.DataFrame:
+        with np.errstate(over="ignore"):
+            bkey = batch["band_hash"].to_numpy() * np.int64(bands) + batch["band"].to_numpy()
+        return pd.DataFrame({"bkey": bkey, "doc_id": batch["doc_id"].to_numpy()})
+
+    return bucket_pairs(bands_ds.map_batches(add_key, batch_format="pandas"))
+
+
+def _candidate_texts(pairs_pdf: pd.DataFrame, docs: rd.Dataset,
+                     text_col: str = "text", id_col: str = "doc_id") -> dict:
+    """Fetch ONLY the candidate docs' texts: broadcast the (small)
+    candidate-id set, semi-join it against the streaming docs Dataset,
+    collect just the matching rows. The corpus itself never reaches the
+    driver — the candidate set is the small side by construction."""
+    ids = np.unique(np.concatenate([
+        pairs_pdf["a"].to_numpy(np.int64), pairs_pdf["b"].to_numpy(np.int64)
+    ])) if len(pairs_pdf) else np.empty(0, dtype=np.int64)
+    idref = ray.put(ids)
+
+    def semi(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = np.isin(batch[id_col].to_numpy(), ray.get(idref))
+        return batch.loc[keep, [id_col, text_col]]
+
+    cand = docs.map_batches(semi, batch_format="pandas").to_pandas()
+    return dict(zip(cand[id_col].tolist(), cand[text_col].tolist()))
 
 
 def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset, threshold: float = 0.7,
                    shingle_k: int = 3) -> rd.Dataset:
     """Exact shingle-set Jaccard for candidate pairs.
 
-    The doc texts are broadcast once via ``ray.put`` (small side) and
-    looked up per batch — no shuffle join. Returns (a, b, jaccard) for
-    pairs meeting the threshold.
+    Only the CANDIDATE docs' texts are fetched (semi-join against the
+    streaming corpus) and broadcast once via ``ray.put`` — the full
+    corpus is never materialized driver-side. Returns (a, b, jaccard)
+    for pairs meeting the threshold.
     """
-    texts_ref = ray.put(dict(zip(
-        docs.to_pandas()["doc_id"].tolist(), docs.to_pandas()["text"].tolist()
-    )))
+    pairs_pdf = pairs.to_pandas()  # candidate pairs: the small side
+    texts_ref = ray.put(_candidate_texts(pairs_pdf, docs))
 
     class Verify:
         def __init__(self):
@@ -239,7 +269,14 @@ def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset, threshold: float = 0.7,
             out["jaccard"] = jac
             return out[out["jaccard"] >= threshold]
 
-    return pairs.map_batches(Verify, batch_format="pandas", batch_size=4096, concurrency=2)
+    if len(pairs_pdf) == 0:
+        return rd.from_pandas(pd.DataFrame({
+            "a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
+            "jaccard": pd.Series([], dtype=np.float64),
+        }))
+    return rd.from_pandas(pairs_pdf).map_batches(
+        Verify, batch_format="pandas", batch_size=4096, concurrency=2
+    )
 
 
 def cluster_pairs(pairs_df: pd.DataFrame, all_ids: np.ndarray) -> pd.DataFrame:
@@ -249,7 +286,20 @@ def cluster_pairs(pairs_df: pd.DataFrame, all_ids: np.ndarray) -> pd.DataFrame:
     smaller than the corpus. At scale, feed the pairs into the engine's
     distributed min-label CC instead (same semantics).
     """
-    parent = {}
+    parent = _uf_roots(pairs_df)
+    cluster = np.array(
+        [parent.get(int(i), int(i)) for i in all_ids], dtype=np.int64
+    )
+    return pd.DataFrame({
+        "doc_id": all_ids.astype(np.int64),
+        "cluster_id": cluster,
+        "keep": cluster == all_ids,
+    })
+
+
+def _uf_roots(pairs_df: pd.DataFrame) -> dict[int, int]:
+    """Union-find over the (tiny) verified pair set -> {id: min-root}."""
+    parent: dict[int, int] = {}
 
     def find(x):
         while parent.get(x, x) != x:
@@ -261,21 +311,45 @@ def cluster_pairs(pairs_df: pd.DataFrame, all_ids: np.ndarray) -> pd.DataFrame:
         ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    cluster = np.array([find(int(i)) for i in all_ids], dtype=np.int64)
-    return pd.DataFrame({
-        "doc_id": all_ids.astype(np.int64),
-        "cluster_id": cluster,
-        "keep": cluster == all_ids,
-    })
+    return {x: find(x) for x in list(parent)}
+
+
+def assign_clusters(docs: rd.Dataset, pairs_df: pd.DataFrame,
+                    id_col: str = "doc_id") -> rd.Dataset:
+    """Distributed cluster assignment: union-find runs driver-side over
+    the tiny verified pair set only; the root map is broadcast (sorted
+    key/value arrays) and every doc maps itself in a streaming
+    ``map_batches`` — the corpus is never collected."""
+    roots = _uf_roots(pairs_df)
+    keys = np.array(sorted(roots), dtype=np.int64)
+    vals = np.array([roots[k] for k in keys], dtype=np.int64)
+    mref = ray.put((keys, vals))
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        k, v = ray.get(mref)
+        ids = batch[id_col].to_numpy(np.int64)
+        cluster = ids.copy()
+        if len(k):
+            pos = np.searchsorted(k, ids)
+            pos_c = np.minimum(pos, len(k) - 1)
+            hit = k[pos_c] == ids
+            cluster[hit] = v[pos_c[hit]]
+        return pd.DataFrame({
+            "doc_id": ids, "cluster_id": cluster, "keep": cluster == ids,
+        })
+
+    return docs.map_batches(assign, batch_format="pandas")
 
 
 def minhash_dedup(docs: rd.Dataset, threshold: float = 0.7, num_perm: int = 64,
-                  bands: int = 16, shingle_k: int = 3) -> pd.DataFrame:
-    """Full MinHash-LSH near-dup pipeline -> (doc_id, cluster_id, keep)."""
+                  bands: int = 16, shingle_k: int = 3) -> rd.Dataset:
+    """Full MinHash-LSH near-dup pipeline -> Dataset(doc_id, cluster_id,
+    keep). Candidate generation, verification input fetch and the final
+    cluster assignment are all distributed; only the verified pair set
+    (tiny by construction) touches the driver."""
     cands = minhash_candidates(docs, num_perm, bands, shingle_k)
     verified = verify_jaccard(cands, docs, threshold, shingle_k).to_pandas()
-    ids = np.sort(docs.to_pandas()["doc_id"].to_numpy())
-    return cluster_pairs(verified, ids)
+    return assign_clusters(docs.select_columns(["doc_id"]), verified)
 
 
 # ----------------------------------------------------------------------
@@ -307,47 +381,46 @@ class SimHashStage:
         return out
 
 
-def simhash_dedup(docs: rd.Dataset, max_hamming: int = 3) -> pd.DataFrame:
+def simhash_dedup(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
     """SimHash near-dup: 4×16-bit chunk blocking (pigeonhole: hamming≤3
     guarantees one identical chunk), verify hamming, cluster.
 
-    Signature computation is the distributed stage; blocking runs as a
-    vectorized sort-and-segment pass over the (small) signature table —
-    at corpus scale the same blocking is the minhash-style bucket
-    groupby with the singleton pre-filter."""
-    sigs = docs.map_batches(SimHashStage, batch_format="pandas", batch_size=4096, concurrency=2)
-    sig_pdf = sigs.to_pandas()
-    ids = sig_pdf["doc_id"].to_numpy()
-    sig = sig_pdf["simhash"].to_numpy().astype(np.uint64)
-    cand_a: list[np.ndarray] = []
-    cand_b: list[np.ndarray] = []
-    for c in range(4):
-        ck = ((sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
-        order = np.argsort(ck, kind="stable")
-        cs, cid = ck[order], ids[order]
-        bounds = np.flatnonzero(np.diff(cs)) + 1
-        starts = np.concatenate([[0], bounds])
-        ends = np.concatenate([bounds, [len(cs)]])
-        for s, e in zip(starts, ends):
-            if e - s >= 2:
-                bucket = np.unique(cid[s:e])[:MAX_BUCKET]
-                iu, ju = np.triu_indices(len(bucket), k=1)
-                cand_a.append(bucket[iu])
-                cand_b.append(bucket[ju])
-    if cand_a:
-        pairs = pd.DataFrame({
-            "a": np.concatenate(cand_a), "b": np.concatenate(cand_b)
-        }).drop_duplicates(["a", "b"])
-    else:
-        pairs = pd.DataFrame({"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)})
-    sig_map = dict(zip(sig_pdf["doc_id"], sig_pdf["simhash"].astype(np.uint64)))
-    if len(pairs):
-        av = np.array([sig_map[i] for i in pairs["a"]], dtype=np.uint64)
-        bv = np.array([sig_map[i] for i in pairs["b"]], dtype=np.uint64)
-        ham = H.hamming64(av, bv)
-        pairs = pairs[ham <= max_hamming]
-    ids = np.sort(sig_pdf["doc_id"].to_numpy())
-    return cluster_pairs(pairs, ids)
+    Fully distributed shape: signatures are an actor-pool stage, chunk
+    blocking reuses the MinHash sorted-segment ``bucket_pairs`` pass,
+    hamming verification fetches only the CANDIDATE docs' signatures
+    (semi-join), and cluster assignment streams over the corpus — the
+    driver touches pair-sized data only."""
+    sigs = docs.map_batches(
+        SimHashStage, batch_format="pandas", batch_size=4096, concurrency=2
+    ).materialize()
+
+    def chunk_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        ck = np.concatenate([
+            batch[f"chunk{c}"].to_numpy(np.int64) * 4 + c for c in range(4)
+        ])
+        return pd.DataFrame({
+            "bkey": ck, "doc_id": np.tile(batch["doc_id"].to_numpy(np.int64), 4),
+        })
+
+    cand_pdf = bucket_pairs(sigs.map_batches(chunk_keys, batch_format="pandas")).to_pandas()
+    # hamming verify: fetch signatures for candidate ids only
+    if len(cand_pdf):
+        ids = np.unique(np.concatenate([
+            cand_pdf["a"].to_numpy(np.int64), cand_pdf["b"].to_numpy(np.int64)
+        ]))
+        idref = ray.put(ids)
+
+        def semi(batch: pd.DataFrame) -> pd.DataFrame:
+            keep = np.isin(batch["doc_id"].to_numpy(), ray.get(idref))
+            return batch.loc[keep, ["doc_id", "simhash"]]
+
+        sig_pdf = sigs.map_batches(semi, batch_format="pandas").to_pandas()
+        sig_map = dict(zip(sig_pdf["doc_id"], sig_pdf["simhash"].astype(np.uint64)))
+        av = np.array([sig_map[i] for i in cand_pdf["a"]], dtype=np.uint64)
+        bv = np.array([sig_map[i] for i in cand_pdf["b"]], dtype=np.uint64)
+        cand_pdf = cand_pdf[H.hamming64(av, bv) <= max_hamming]
+    return assign_clusters(docs.select_columns(["doc_id"]), cand_pdf)
 
 
 # ----------------------------------------------------------------------

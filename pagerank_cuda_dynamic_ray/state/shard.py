@@ -83,6 +83,12 @@ class GraphShard:
         self._contrib_inbox: dict[int, dict[int, tuple]] = {}
         self._marks_inbox: dict[int, dict[int, tuple]] = {}
         self._linf_inbox: dict[int, dict[int, float]] = {}
+        # hub splitting (off unless configure_hub_split is called)
+        self.hub_split = False
+        self.hub_rows = np.empty(0, dtype=np.int64)   # owned hub local rows
+        self.hub_counts = np.zeros(num_parts, dtype=np.int64)  # |hubs| per owner
+        self._hub_src: list[np.ndarray] = []
+        self._hub_offs: list[np.ndarray] = []
         # symmetrized view (built on demand)
         self.sym_offsets = self.sym_adj = None
         self.labels = None
@@ -186,7 +192,11 @@ class GraphShard:
         self._delta = np.empty(n, dtype=np.float64)
         self._c = np.empty(n, dtype=np.float64)
         self._dangling_idx = np.flatnonzero(self.outdeg == 0)
-        # invalidate derived views
+        # invalidate derived views (incl. hub-split sweep filtering —
+        # configure_hub_split must re-run after any rebuild)
+        self.hub_split = False
+        self.hub_rows = np.empty(0, dtype=np.int64)
+        self.hub_counts = np.zeros(self.P, dtype=np.int64)
         self.sym_offsets = self.sym_adj = None
         self.ori_offsets = self.ori_adj = None
         return {q: (gather_ids[g_owner == q] // self.P) for q in range(self.P)}
@@ -207,17 +217,97 @@ class GraphShard:
         )
         # persistent per-iteration output buffers (np.take out=): fresh
         # allocations each iteration cost page faults + zero-fill — real
-        # DRAM traffic on top of the copy itself
-        self._send_buf = np.empty(len(self.send_cat), dtype=np.float64)
-        self._send_bufs = [np.empty(len(ix), dtype=np.float64) for ix in send_idx]
+        # DRAM traffic on top of the copy itself. Segments are extended
+        # by the destination's hub count when hub splitting is active.
+        hc = self.hub_counts if self.hub_split else np.zeros(self.P, dtype=np.int64)
+        self._send_buf = np.empty(len(self.send_cat) + int(hc.sum()), dtype=np.float64)
+        self._send_bufs = [
+            np.empty(len(ix) + int(hc[p]), dtype=np.float64)
+            for p, ix in enumerate(send_idx)
+        ]
 
     def set_gather_layout(self, layout: np.ndarray) -> None:
         """layout[q] = (start, end) of this shard's segment inside source
         shard q's packed contribution array."""
         self.gather_layout = layout
 
+    # ------------------------------------------------------------------
+    # hub in-edge splitting (explicit skew handling)
+    #
+    # The reference splits work for high-degree vertices into a separate
+    # block-per-vertex kernel with a shared-memory reduction
+    # (/root/reference/inc/pagerankCuda.hxx:163-217, partition at
+    # :470-481). The distributed analogue: a hub's in-edge SUM is
+    # computed as per-source-shard partial sums (each source shard sums
+    # the contributions of ITS local sources pointing at the hub) that
+    # ride the contribution exchange as a dense per-hub tail; the owner
+    # combines P partials instead of segment-summing O(in-degree) edges
+    # on one actor. Work and memory for the hub spread across the pool.
+    # ------------------------------------------------------------------
+
+    def local_hubs(self, threshold: int) -> np.ndarray:
+        """Global vids of owned vertices with in-degree > threshold."""
+        indeg = np.diff(self.in_offsets)
+        return np.flatnonzero(indeg > threshold) * self.P + self.p
+
+    def configure_hub_split(self, all_hubs: np.ndarray) -> None:
+        """Install the global hub list: filter owned hub rows out of the
+        full-sweep edge stream (their sums arrive as partials) and build
+        the source-side per-destination partial-sum structures. The
+        affected-path CSR (in_key / in_offsets) is untouched, so dynamic
+        variants still compute exact full sums for hub rows."""
+        P = self.P
+        all_hubs = np.asarray(all_hubs, dtype=np.int64)
+        self.hub_counts = np.bincount(all_hubs % P, minlength=P)
+        self.hub_rows = all_hubs[all_hubs % P == self.p] // P
+        if self.hub_rows.size:
+            hubmask = np.zeros(self.n_local, dtype=bool)
+            hubmask[self.hub_rows] = True
+            keep = ~hubmask[self.in_rows_sweep]
+            self.in_key_sweep = self.in_key_sweep[keep]
+            self.in_rows_sweep = self.in_rows_sweep[keep]
+            gpref = np.zeros(P + 1, dtype=np.int64)
+            np.cumsum(self.gather_counts, out=gpref[1:])
+            self._edge_cuts = np.searchsorted(self.in_key_sweep, gpref)
+            self._key_adj = (
+                self.in_key_sweep
+                - np.repeat(gpref[:-1], np.diff(self._edge_cuts)).astype(np.int32)
+            )
+            self._per_edge = np.empty(len(self.in_key_sweep), dtype=np.float64)
+        # source side: group local out-edges to hubs by (dest owner, hub)
+        src_rows = np.repeat(
+            np.arange(self.n_local, dtype=np.int64), np.diff(self.out_offsets)
+        )
+        sel = np.isin(self.out_dst, all_hubs)
+        hs, hd = src_rows[sel], self.out_dst[sel]
+        owner = hd % P
+        self._hub_src, self._hub_offs = [], []
+        for p in range(P):
+            m = owner == p
+            hubs_p = all_hubs[all_hubs % P == p]
+            pos = np.searchsorted(hubs_p, hd[m])
+            order = np.lexsort((hs[m], pos))
+            offs = np.zeros(len(hubs_p) + 1, dtype=np.int64)
+            np.cumsum(np.bincount(pos, minlength=len(hubs_p)), out=offs[1:])
+            self._hub_src.append(hs[m][order])
+            self._hub_offs.append(offs)
+        self.hub_split = True
+
+    def _pack_segment(self, c: np.ndarray, p: int, out: np.ndarray) -> None:
+        """Fill destination p's combined segment [regular | hub partials]."""
+        ix = self.send_idx[p]
+        np.take(c, ix, out=out[: len(ix)])
+        nh = int(self.hub_counts[p])
+        if nh:
+            out[len(ix):] = K.segment_sums(c[self._hub_src[p]], self._hub_offs[p])
+
     def num_edges(self) -> tuple[int, int]:
         return len(self.out_keys), len(self.in_keys)
+
+    def sweep_edge_count(self) -> int:
+        """Edges this shard segment-sums per full-sweep iteration (hub
+        splitting moves hub in-edge work out of this count)."""
+        return len(self.in_rows_sweep)
 
     def count_self_loops(self) -> int:
         """countSelfLoops equivalent (/root/reference/inc/selfLoop.hxx:15-19)."""
@@ -297,12 +387,24 @@ class GraphShard:
     def _dangling(self) -> float:
         return float(self.r[self._dangling_idx].sum()) if self.n_local else 0.0
 
+    def _packed_all(self, c: np.ndarray) -> np.ndarray:
+        """One packed array, destination-major; each destination segment
+        is [regular contribs | hub partials] when hub splitting is on."""
+        if not self.hub_split:
+            return np.take(c, self.send_cat, out=self._send_buf)
+        buf, off = self._send_buf, 0
+        for p, ix in enumerate(self.send_idx):
+            seg = len(ix) + int(self.hub_counts[p])
+            self._pack_segment(c, p, buf[off:off + seg])
+            off += seg
+        return buf
+
     def contribs(self):
         """Phase 1: packed contribution array (all destinations, segment
         layout shipped at build time) + local dangling mass (for
         dangling='redistribute'). Call with num_returns=2."""
         c = self._contrib_vec()
-        return (self._dangling(), np.take(c, self.send_cat, out=self._send_buf))
+        return (self._dangling(), self._packed_all(c))
 
     def step(
         self,
@@ -352,6 +454,7 @@ class GraphShard:
         d = damping
         dang = d * dangling_mass / self.N
         r, n = self.r, self.n_local
+        nh = int(self.hub_counts[self.p]) if self.hub_split else 0
         if not use_affected:
             # fast full-sweep path: read each producer's segment directly
             # (zero-copy shared-memory view) through the rebased key
@@ -366,11 +469,19 @@ class GraphShard:
             np.multiply(sums, d, out=sums)
             sums += C0 + dang
             a = sums
+            if nh:
+                # hub rows: combine the per-source partial sums riding
+                # each slice's tail (the distributed block-reduce)
+                hub_sum = np.zeros(nh, dtype=np.float64)
+                for sl in slices:
+                    hub_sum += sl[len(sl) - nh:]
+                a[self.hub_rows] = C0 + d * hub_sum + dang
             rows = None
         else:
+            regs = [sl[: len(sl) - nh] for sl in slices] if nh else slices
             gathered = (
-                np.concatenate(slices) if len(slices) > 1
-                else (slices[0] if slices else np.empty(0))
+                np.concatenate(regs) if len(regs) > 1
+                else (regs[0] if regs else np.empty(0))
             )
             a = r.copy()
             rows = np.flatnonzero(self.vaff)
@@ -553,7 +664,7 @@ class GraphShard:
             # 1. broadcast packed contributions for iteration `it`
             c = self._contrib_vec()
             dangling = self._dangling() if redistribute else 0.0
-            packed = np.take(c, self.send_cat, out=self._send_buf)
+            packed = self._packed_all(c)
             if P > 1:
                 pref = ray.put(packed)
                 for p, h in enumerate(peers):
@@ -635,6 +746,13 @@ class GraphShard:
         In dangling='redistribute' mode (params[7]) the local dangling
         mass rides each slice as one appended element."""
         c = self._contrib_vec()
+        if self.hub_split:
+            for p, buf in enumerate(self._send_bufs):
+                self._pack_segment(c, p, buf)
+            if inp[0][7]:
+                dang = self._dangling()
+                return tuple(np.append(b, dang) for b in self._send_bufs)
+            return tuple(self._send_bufs)
         if inp[0][7]:  # redistribute: append the local dangling scalar
             dang = self._dangling()
             return tuple(np.append(c[idx], dang) for idx in self.send_idx)
@@ -651,8 +769,8 @@ class GraphShard:
         element in redistribute mode."""
         c = self._contrib_vec()
         if inp[0][7]:
-            return np.append(c[self.send_cat], self._dangling())
-        return np.take(c, self.send_cat, out=self._send_buf)
+            return np.append(self._packed_all(c), self._dangling())
+        return self._packed_all(c)
 
     def step_packed_dag(self, inp, *packed):
         """Broadcast-layout step: ``packed`` is every producer's full

@@ -23,7 +23,7 @@ def test_minhash_dedup_finds_near_dups():
     base = "the quick brown fox jumps over the lazy dog again and again until done"
     near = base.replace("lazy", "sleepy")
     other = "completely different words about graph engines and arrow batches here now"
-    out = dedup.minhash_dedup(_docs([base, near, other, base]), threshold=0.5)
+    out = dedup.minhash_dedup(_docs([base, near, other, base]), threshold=0.5).to_pandas()
     cl = dict(zip(out["doc_id"], out["cluster_id"]))
     assert cl[0] == cl[3] == 0          # exact dup clustered
     assert cl[1] == 0                   # near dup joins cluster
@@ -38,7 +38,7 @@ def test_simhash_dedup():
     base = " ".join(f"word{i}" for i in range(64))
     near = base.replace("word63", "wordX")
     other = " ".join(f"zz{i}" for i in range(64))
-    out = dedup.simhash_dedup(_docs([base, near, other]), max_hamming=3)
+    out = dedup.simhash_dedup(_docs([base, near, other]), max_hamming=3).to_pandas()
     cl = dict(zip(out["doc_id"], out["cluster_id"]))
     assert cl[0] == cl[1]
     assert cl[2] != cl[0]
