@@ -36,6 +36,7 @@ def build_graph(
     batch_fraction: float = 1e-3,
     num_batches: int = 5,
     num_cpus_per_shard: float = 0.5,
+    hub_split_threshold: int | None = None,
 ):
     """Transcripts Parquet -> (GraphContext, insertion batches).
 
@@ -47,11 +48,16 @@ def build_graph(
     ((2,k) vid arrays, temporal order preserved). ``num_parts=None``
     auto-sizes the shard count from the edge count.
     """
-    ts = E.read_transcripts(transcripts_path)
+    # column-pruned reads: edge extraction touches 5 columns, the
+    # dictionary pass only conv_id — never load `role`/`text` twice
+    ts = E.read_transcripts(
+        transcripts_path, columns=["conv_id", "turn_idx", "text", "tool", "ts"]
+    )
     raw_edges = E.extract_edges(ts).materialize()
     if num_parts is None:
         num_parts = auto_num_parts(raw_edges.count())
-    dictionary = E.vertex_dictionary(ts, raw_edges)
+    ts_ids = E.read_transcripts(transcripts_path, columns=["conv_id"])
+    dictionary = E.vertex_dictionary(ts_ids, raw_edges)
     n = len(dictionary)
     dict_ref = ray.put(dictionary)
     batches: list[np.ndarray] = []
@@ -72,7 +78,7 @@ def build_graph(
         encoded = E.encode_edges(raw_edges, dict_ref)
     ctx = GraphContext.from_edges(
         encoded.select_columns(["src", "dst"]), n, num_parts, dictionary, add_self_loops,
-        num_cpus_per_shard=num_cpus_per_shard,
+        num_cpus_per_shard=num_cpus_per_shard, hub_split_threshold=hub_split_threshold,
     )
     return ctx, batches
 

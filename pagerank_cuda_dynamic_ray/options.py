@@ -17,7 +17,8 @@ from typing import Any
 class PagerankOptions:
     """Defaults match /root/reference/inc/pagerank.hxx:34-44."""
 
-    repeat: int = 1
+    repeat: int = 1                   # timing runs averaged (reference REPEAT_METHOD,
+                                      # /root/reference/inc/_utility.hxx:113-119)
     tolerance: float = 1e-10          # L-inf iteration tolerance (pagerank.hxx:391)
     frontier_tolerance: float = 1e-6  # DF expansion threshold (pagerank.hxx:700)
     prune_tolerance: float = 1e-6     # DF-P prune threshold (pagerankPrune.hxx:62)

@@ -77,7 +77,7 @@ def label_propagation(ctx: GraphContext, max_iterations: int = 10) -> rd.Dataset
     return _with_conv(ctx, tables)
 
 
-def triangle_count(ctx: GraphContext) -> tuple[int, rd.Dataset]:
+def triangle_count(ctx: GraphContext, max_wedges: int = 4_000_000) -> tuple[int, rd.Dataset]:
     """Exact triangle counting via degree-ordered orientation + wedge checks.
 
     1. symmetrize; fetch neighbor degrees (one exchange) and orient every
@@ -103,22 +103,33 @@ def triangle_count(ctx: GraphContext) -> tuple[int, rd.Dataset]:
         for p in range(P)
     ]
     ray.get([shards[p].tri_orient.remote(*deg_refs[p]) for p in range(P)])
+    nchunks = max(ray.get([s.tri_plan_chunks.remote(max_wedges) for s in shards]))
     ray.get([s.tri_reset_counts.remote() for s in shards])
-    wedge_refs = [s.tri_wedges.options(num_returns=P + 1).remote() for s in shards]
-    answers = ray.get([
-        shards[q].tri_answer.remote(*[wedge_refs[p][1 + q] for p in range(P)])
-        for q in range(P)
-    ])
-    total = sum(a[0] for a in answers)
-    # route apex/hi corner credits to their owners
-    credits = np.concatenate([np.concatenate([a[1], a[2]]) for a in answers]) if answers else np.empty(0, np.int64)
-    owners = credits % P
-    order = np.argsort(owners, kind="stable")
-    credits, owners = credits[order], owners[order]
-    cuts = np.searchsorted(owners, np.arange(P + 1))
-    ray.get([
-        shards[p].tri_accumulate.remote(credits[cuts[p]:cuts[p + 1]] // P) for p in range(P)
-    ])
+    total = 0
+    # chunked wedge rounds: each round materializes a bounded number of
+    # wedge pairs per shard (tri_plan_chunks), so peak memory stays flat
+    # regardless of Σ deg_ori² — shards past their last chunk emit empty
+    for k in range(nchunks):
+        wedge_refs = [
+            s.tri_wedges_chunk.options(num_returns=P + 1).remote(k) for s in shards
+        ]
+        answers = ray.get([
+            shards[q].tri_answer.remote(*[wedge_refs[p][1 + q] for p in range(P)])
+            for q in range(P)
+        ])
+        total += sum(a[0] for a in answers)
+        # route apex/hi corner credits to their owners
+        credits = np.concatenate(
+            [np.concatenate([a[1], a[2]]) for a in answers]
+        ) if answers else np.empty(0, np.int64)
+        owners = credits % P
+        order = np.argsort(owners, kind="stable")
+        credits, owners = credits[order], owners[order]
+        cuts = np.searchsorted(owners, np.arange(P + 1))
+        ray.get([
+            shards[p].tri_accumulate.remote(credits[cuts[p]:cuts[p + 1]] // P)
+            for p in range(P)
+        ])
     tables = ray.get([s.tri_counts_table.remote() for s in shards])
     return int(total), _with_conv(ctx, tables)
 

@@ -210,6 +210,38 @@ class GraphContext:
         ]
         ray.get(refs)
 
+    # ------------------------------------------------------------------
+    # graph snapshots (persist the built graph; skip re-derivation)
+    # ------------------------------------------------------------------
+
+    def save_graph(self, snap_dir: str) -> None:
+        """Persist the built graph (per-shard sorted edge-key sets +
+        metadata) so later sessions can ``load_graph`` instead of
+        re-deriving from transcripts — the graph-build stage's resume
+        path (per-partition files, failed saves re-run per shard)."""
+        os.makedirs(snap_dir, exist_ok=True)
+        ray.get([s.save_keys.remote(snap_dir) for s in self.shards])
+        with open(os.path.join(snap_dir, "meta.json"), "w") as f:
+            json.dump(
+                {"num_vertices": self.N, "num_parts": self.P,
+                 "self_loops": self.self_loops}, f,
+            )
+
+    @classmethod
+    def load_graph(cls, snap_dir: str, num_cpus_per_shard: float = 0.5,
+                   hub_split_threshold: int | None = None,
+                   dictionary: np.ndarray | None = None) -> "GraphContext":
+        with open(os.path.join(snap_dir, "meta.json")) as f:
+            meta = json.load(f)
+        ctx = cls(meta["num_vertices"], meta["num_parts"], dictionary,
+                  meta["self_loops"], num_cpus_per_shard,
+                  hub_split_threshold=hub_split_threshold)
+        needs = ray.get([s.load_keys.remote(snap_dir) for s in ctx.shards])
+        ctx._setup_hubs()
+        ctx._exchange(needs)
+        ctx._sym_built = False
+        return ctx
+
     def num_edges(self) -> int:
         return int(sum(o for o, _ in ray.get([s.num_edges.remote() for s in self.shards])))
 
@@ -360,6 +392,30 @@ class GraphContext:
         """
         o = options or PagerankOptions()
         assert variant in VARIANTS, variant
+        if o.repeat > 1 and not resume:
+            # reference REPEAT_METHOD semantics (_utility.hxx:113-119):
+            # run the whole computation `repeat` times, report the result
+            # of the last run with phase timings averaged over all runs
+            import dataclasses
+
+            runs = [
+                self.pagerank(
+                    variant, warm=warm,
+                    options=dataclasses.replace(o, repeat=1),
+                    initial_marks=initial_marks, batch_idx=batch_idx, mode=mode,
+                )
+                for _ in range(o.repeat)
+            ]
+            last = runs[-1]
+            k = float(len(runs))
+            return PagerankResult(
+                ranks=last.ranks, iterations=last.iterations,
+                time=sum(r.time for r in runs) / k,
+                initialization_time=sum(r.initialization_time for r in runs) / k,
+                marking_time=sum(r.marking_time for r in runs) / k,
+                computation_time=sum(r.computation_time for r in runs) / k,
+                linf_delta=last.linf_delta, metrics=last.metrics,
+            )
         use_affected = variant in ("dt", "df", "dfp")
         frontier = variant in ("df", "dfp")
         prune = variant == "dfp"
@@ -546,6 +602,44 @@ class GraphContext:
             json.dump({"iteration": iteration, "linf": linf, "num_parts": self.P}, f)
         with open(os.path.join(o.checkpoint_dir, o.run_id, "metrics.jsonl"), "a") as f:
             f.write(json.dumps({"batch": batch_idx, **_light(metric)}) + "\n")
+
+    def norm_delta(self, parts: list[np.ndarray], ord: int | float = 1) -> float:
+        """Distributed ||ranks - parts||_ord across the shard pool (per-
+        shard partials + tree-reduce) — l1/l2/liNormDelta
+        (/root/reference/inc/_vector.hxx:776-1284). ``parts`` is a
+        per-shard rank list (e.g. a previous PagerankResult.ranks)."""
+        partials = ray.get([
+            s.rank_norm_partial.remote(parts[p], ord)
+            for p, s in enumerate(self.shards)
+        ])
+        if ord == float("inf"):
+            return float(max(partials))
+        total = float(sum(partials))
+        return float(np.sqrt(total)) if ord == 2 else total
+
+    def random_batch(self, num_insertions: int, num_deletions: int,
+                     seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+        """Seeded random batch — the reference's generator semantics
+        (/root/reference/inc/batch.hxx:100-139): insertions are uniform
+        vertex pairs, deletions are uniform samples of EXISTING edges
+        (drawn proportionally from each shard). Returns ((2,d), (2,i))
+        vid arrays; pass through ``tidy_batch`` before applying, which
+        performs the generator's retry/unique canonicalization."""
+        rng = np.random.default_rng(seed)
+        ins = rng.integers(0, self.N, size=(2, num_insertions)).astype(np.int64)
+        if num_deletions <= 0:
+            return np.empty((2, 0), dtype=np.int64), ins
+        counts = np.array([
+            o for o, _ in ray.get([s.num_edges.remote() for s in self.shards])
+        ], dtype=np.float64)
+        total = counts.sum()
+        alloc = np.floor(counts / max(total, 1) * num_deletions).astype(np.int64)
+        alloc[: num_deletions - int(alloc.sum())] += 1
+        dels = ray.get([
+            s.sample_edges.remote(int(alloc[p]), seed)
+            for p, s in enumerate(self.shards)
+        ])
+        return np.concatenate(dels, axis=1), ins
 
     # ------------------------------------------------------------------
     # result access

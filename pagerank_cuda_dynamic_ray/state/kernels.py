@@ -121,6 +121,19 @@ def set_minus_union(current: np.ndarray, deletions: np.ndarray, insertions: np.n
     return kept
 
 
+def norm_delta_partial(x: np.ndarray, y: np.ndarray, ord: int | float) -> float:
+    """Per-shard partial of ||x - y||_ord: sum of |d| (ord=1), sum of d²
+    (ord=2 — caller takes the sqrt after the tree-reduce), max |d|
+    (ord=inf). The engine analogue of l1NormDelta / l2NormDelta /
+    liNormDelta (/root/reference/inc/_vector.hxx:776-1284)."""
+    d = np.abs(np.asarray(x, dtype=np.float64) - np.asarray(y, dtype=np.float64))
+    if ord == 1:
+        return float(d.sum())
+    if ord == 2:
+        return float((d * d).sum())
+    return float(d.max()) if d.size else 0.0
+
+
 def topk_per_group(group: np.ndarray, score: np.ndarray, payload: np.ndarray, k: int):
     """Per-group top-k by descending score (deterministic: payload tie-break).
 

@@ -309,6 +309,24 @@ class GraphShard:
         splitting moves hub in-edge work out of this count)."""
         return len(self.in_rows_sweep)
 
+    def save_keys(self, snap_dir: str) -> str:
+        """Persist this shard's authoritative edge sets (post-self-loop,
+        sorted-unique int64 keys) — the graph-snapshot half of the resume
+        lineage (CSR state is derived, so keys are all that's needed)."""
+        path = os.path.join(snap_dir, f"part-{self.p}.npz")
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, out_keys=self.out_keys, in_keys=self.in_keys)
+        os.replace(tmp, path)
+        return path
+
+    def load_keys(self, snap_dir: str) -> dict[int, np.ndarray]:
+        """Restore edge sets from a snapshot and rebuild CSR state;
+        returns the pull index (same contract as ``build``)."""
+        d = np.load(os.path.join(snap_dir, f"part-{self.p}.npz"))
+        self.out_keys = d["out_keys"]
+        self.in_keys = d["in_keys"]
+        return self._rebuild()
+
     def count_self_loops(self) -> int:
         """countSelfLoops equivalent (/root/reference/inc/selfLoop.hxx:15-19)."""
         if self.out_offsets is None:
@@ -373,6 +391,28 @@ class GraphShard:
 
     def get_ranks(self) -> np.ndarray:
         return self.r
+
+    def rank_norm_partial(self, other: np.ndarray, ord) -> float:
+        """Partial of ||r - other||_ord over this shard's owned rows."""
+        return K.norm_delta_partial(self.r, other, ord)
+
+    def sample_edges(self, k: int, seed: int) -> np.ndarray:
+        """Uniformly sample k existing out-edges (with replacement) —
+        the deletion side of the reference's random batch generator
+        (/root/reference/inc/batch.hxx:100-139). Structural self-loops
+        are excluded: they are the dead-end-elimination transform
+        (selfLoop.hxx:33-79), not data edges — deleting one would leave
+        a dangling vertex the DF-P closed form divides by. Returns a
+        (2,k) vid array; tidy dedups like the reference's retry+unique."""
+        if len(self.out_keys) == 0 or k <= 0:
+            return np.empty((2, 0), dtype=np.int64)
+        local, dst = self.out_keys // self.N, self.out_keys % self.N
+        data = np.flatnonzero(dst != local * self.P + self.p)
+        if data.size == 0:
+            return np.empty((2, 0), dtype=np.int64)
+        rng = np.random.default_rng(seed * 1_000_003 + self.p)
+        pick = data[rng.integers(0, len(data), k)]
+        return np.stack([local[pick] * self.P + self.p, dst[pick]])
 
     def clear_flags(self) -> None:
         self.vaff[:] = False
@@ -1113,29 +1153,50 @@ class GraphShard:
         self.ori_adj = adj[order2]
         self.ori_adj_deg = adeg[order2]
 
-    def tri_wedges(self) -> list[np.ndarray]:
-        """Emit wedge queries: for each owned apex v and rank-ordered pair
-        (lo, hi) in N>(v), ask owner(lo) whether edge lo->hi exists.
-        Returns per-owner (3,k) arrays [lo_local, hi_vid, apex_vid]."""
-        out: list[np.ndarray] = [np.empty((3, 0), dtype=np.int64) for _ in range(self.P)]
+    def tri_plan_chunks(self, max_wedges: int = 4_000_000) -> int:
+        """Plan chunked wedge emission: split the owned rows so each
+        round materializes at most ~``max_wedges`` wedge pairs — bounds
+        the O(Σ deg_ori²) peak memory that a single-shot emission would
+        need. Also precomputes the rank-sorted adjacency. Returns this
+        shard's chunk count."""
         lens = np.diff(self.ori_offsets)
-        if lens.max(initial=0) < 2:
-            return (0, *out)
-        # rank-sort each row by (deg, vid) so pairs (i<j) are rank-ordered
         rows_all = np.repeat(np.arange(self.n_local, dtype=np.int64), lens)
         order = np.lexsort((self.ori_adj, self.ori_adj_deg, rows_all))
-        adj_r = self.ori_adj[order]
-        # generate (i, j) index pairs with i<j per row
-        starts = self.ori_offsets[:-1]
-        # expand rows to (row, j) for j in 1..len-1
+        self._ori_adj_rank = self.ori_adj[order]
+        w = (lens * (lens - 1)) // 2
+        cum = np.cumsum(w) if len(w) else np.zeros(0, dtype=np.int64)
+        total = int(cum[-1]) if len(cum) else 0
+        if total == 0:
+            self._tri_chunk_rows = np.array([0, self.n_local], dtype=np.int64)
+            return 1
+        nch = int(total // max_wedges) + 1
+        cutrows = np.searchsorted(cum, np.arange(1, nch) * max_wedges) + 1
+        self._tri_chunk_rows = np.unique(
+            np.concatenate([[0], cutrows, [self.n_local]])
+        )
+        return len(self._tri_chunk_rows) - 1
+
+    def tri_wedges_chunk(self, k: int) -> list[np.ndarray]:
+        """Emit wedge queries for chunk ``k``: for each apex v in the
+        chunk's row range and rank-ordered pair (lo, hi) in N>(v), ask
+        owner(lo) whether edge lo->hi exists. Returns per-owner (3,n)
+        arrays [lo_local, hi_vid, apex_vid]."""
+        out: list[np.ndarray] = [np.empty((3, 0), dtype=np.int64) for _ in range(self.P)]
+        if k >= len(self._tri_chunk_rows) - 1:
+            return (0, *out)
+        rlo, rhi = int(self._tri_chunk_rows[k]), int(self._tri_chunk_rows[k + 1])
+        lens = np.diff(self.ori_offsets)[rlo:rhi]
+        if len(lens) == 0 or lens.max(initial=0) < 2:
+            return (0, *out)
+        adj_r = self._ori_adj_rank
+        # expand rows to (row, j) for j in 1..len-1, then (i, j) with i<j
         jl = np.maximum(lens - 1, 0)
-        row_j = np.repeat(np.arange(self.n_local, dtype=np.int64), jl)
+        row_j = np.repeat(np.arange(rlo, rhi, dtype=np.int64), jl)
         j = K.ranges_from_lengths(jl) + 1
-        # expand each (row, j) to i = 0..j-1
         lo_i = K.ranges_from_lengths(j)
         row_ij = np.repeat(row_j, j)
         j_ij = np.repeat(j, j)
-        base = starts[row_ij]
+        base = self.ori_offsets[row_ij]
         lo = adj_r[base + lo_i]
         hi = adj_r[base + j_ij]
         apex = row_ij * self.P + self.p

@@ -56,6 +56,11 @@ def test_triangles_exact(num_parts):
     assert got == want
     np.testing.assert_array_equal(per, want_per)
     assert per.sum() == 3 * got
+    # chunked emission (tiny max_wedges forces many rounds) is exact too
+    got_c, per_ds_c = analytics.triangle_count(ctx, max_wedges=8)
+    per_c = per_ds_c.to_pandas().sort_values("vid")["triangles"].to_numpy()
+    assert got_c == want
+    np.testing.assert_array_equal(per_c, want_per)
     ctx.shutdown()
 
 

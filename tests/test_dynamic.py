@@ -110,3 +110,37 @@ def test_dfp_prunes_and_df_monotone(ctx):
     assert dfp.iterations <= static.iterations
     aff = [sum(p["affected"] for p in m["parts"]) for m in dfp.metrics]
     assert aff[-1] <= aff[0] or aff[0] == 0
+
+
+def test_norm_delta_family(ctx):
+    """Distributed l1/l2/linf norm deltas match numpy on the assembled
+    vector (reference _vector.hxx:776-1284 norm family)."""
+    res = ctx.pagerank("static")
+    full = ctx.assemble(res.ranks)
+    zeros = [np.zeros_like(r) for r in res.ranks]
+    assert np.isclose(ctx.norm_delta(zeros, 1), np.abs(full).sum())
+    assert np.isclose(ctx.norm_delta(zeros, 2), np.sqrt((full ** 2).sum()))
+    assert np.isclose(ctx.norm_delta(zeros, float("inf")), np.abs(full).max())
+
+
+def test_random_batch_generator(ctx):
+    """Seeded random batch (reference batch.hxx:100-139 semantics):
+    deletions sample existing edges, insertions uniform pairs; after
+    tidy+apply every dynamic variant reaches the fresh static fixpoint."""
+    warm = ctx.pagerank("static").ranks
+    dels, ins = ctx.random_batch(num_insertions=25, num_deletions=15, seed=7)
+    assert ins.shape == (2, 25)
+    assert dels.shape[1] == 15
+    d2, i2 = ctx.tidy_batch(dels, ins)
+    assert d2.shape[1] > 0, "sampled deletions must hit existing edges"
+    marks_del = ctx.compute_frontier_marks(d2, EMPTY)
+    ctx.apply_batch(d2, i2)
+    marks_ins = ctx.compute_frontier_marks(EMPTY, i2)
+    marks = [np.unique(np.concatenate([a, b])) for a, b in zip(marks_del, marks_ins)]
+    truth = ctx.pagerank("static")
+    for variant in ("nd", "df", "dfp", "dt"):
+        res = ctx.pagerank(variant, warm=warm, initial_marks=marks)
+        assert ctx.norm_delta(truth.ranks, 1) < 1e-4  # shards hold `res` ranks
+        np.testing.assert_allclose(
+            ctx.assemble(res.ranks), ctx.assemble(truth.ranks), atol=1e-6
+        )

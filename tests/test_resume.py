@@ -68,6 +68,26 @@ def test_resume_frontier_marks_exact(tmp_path, mode):
     ctx.shutdown()
 
 
+def test_graph_snapshot_roundtrip(tmp_path):
+    """save_graph/load_graph restores identical graph state: same edge
+    counts, bit-identical static ranks."""
+    n = 250
+    src, dst = _graph(9, n, 1100)
+    ctx = GraphContext(n, 3)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    want = ctx.pagerank("static")
+    ctx.save_graph(str(tmp_path / "snap"))
+    edges = ctx.num_edges()
+    ctx.shutdown()
+    ctx2 = GraphContext.load_graph(str(tmp_path / "snap"))
+    assert ctx2.num_edges() == edges
+    got = ctx2.pagerank("static")
+    assert got.iterations == want.iterations
+    assert np.array_equal(ctx2.assemble(got.ranks), ctx2.assemble(want.ranks))
+    ctx2.shutdown()
+
+
 def test_partition_count_invariance():
     """Same graph, different shard counts -> identical ranks (1e-12)."""
     n = 200
