@@ -156,15 +156,22 @@ def _segment_pairs(ids: np.ndarray, starts: np.ndarray, ends: np.ndarray):
 
 
 def bucket_pairs(keyed: rd.Dataset) -> rd.Dataset:
-    """(bkey, doc_id) rows -> DISTINCT candidate pairs Dataset (a, b).
+    """(bkey, doc_id) rows -> candidate pairs Dataset (a, b), deduped
+    per block.
 
     Bucket grouping = a distributed ``sort`` on the bucket key followed
     by a vectorized sort-segment pairing pass per block (Ray Data's
     groupby-aggregate pays per-group Python cost — ruinous when nearly
-    every LSH bucket is a singleton). Buckets that straddle block
-    boundaries (at most 2 per block) are collected and paired
-    driver-side — a tiny, block-count-bounded set at any scale. The
-    pair dedup is a distributed groupby (pairs, not corpus, sized).
+    every LSH bucket is a singleton, and equally ruinous for the pair
+    dedup itself: 100k+ groups take minutes). Buckets that straddle
+    block boundaries (at most 2 per block) are collected and paired
+    driver-side — a tiny, block-count-bounded set at any scale.
+
+    Pairs are exactly deduped WITHIN each block; a pair surfacing from
+    buckets in different blocks can appear a few times (bounded by its
+    bucket count, e.g. bands/chunks). That is deliberate: downstream
+    verification and union-find clustering are idempotent, so a global
+    all-to-all distinct would buy nothing but a shuffle.
     Shared by MinHash-LSH and SimHash blocking."""
     srt = keyed.sort("bkey").materialize()
 
@@ -177,7 +184,8 @@ def bucket_pairs(keyed: rd.Dataset) -> rd.Dataset:
         # first/last segment may continue in a neighboring block — handled
         # by the boundary pass
         a, b = _segment_pairs(ids, starts[1:-1], ends[1:-1])
-        return pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64)})
+        out = pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64)})
+        return out.drop_duplicates(["a", "b"])
 
     def block_boundaries(batch: pd.DataFrame) -> pd.DataFrame:
         k = batch["bkey"].to_numpy()
@@ -200,19 +208,19 @@ def bucket_pairs(keyed: rd.Dataset) -> rd.Dataset:
         if len(a):
             pairs = pairs.union(rd.from_pandas(pd.DataFrame(
                 {"a": a.astype(np.int64), "b": b.astype(np.int64)}
-            )))
-    # distinct (a, b): pairs can repeat across bands/chunks and blocks
-    from ray.data.aggregate import Count
-
-    return pairs.groupby(["a", "b"]).aggregate(Count()).select_columns(["a", "b"])
+            ).drop_duplicates(["a", "b"])))
+    return pairs
 
 
 def minhash_candidates(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
                        shingle_k: int = 3) -> rd.Dataset:
     """documents -> distinct candidate near-dup pairs via MinHash LSH."""
+    # a pre-built instance runs as a TASK pool (construction cost is one
+    # pickle, no actor spin-up latency); pass the CLASS + concurrency to
+    # get a long-lived actor pool instead when feeding a large corpus
     bands_ds = docs.map_batches(
-        MinHashStage, batch_format="pandas", batch_size=2048,
-        concurrency=2, fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k},
+        MinHashStage(num_perm=num_perm, bands=bands, shingle_k=shingle_k),
+        batch_format="pandas", batch_size=1024,
     )
 
     def add_key(batch: pd.DataFrame) -> pd.DataFrame:
@@ -251,23 +259,23 @@ def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset, threshold: float = 0.7,
     corpus is never materialized driver-side. Returns (a, b, jaccard)
     for pairs meeting the threshold.
     """
-    pairs_pdf = pairs.to_pandas()  # candidate pairs: the small side
+    pairs_pdf = pairs.to_pandas().drop_duplicates(["a", "b"])  # small side
     texts_ref = ray.put(_candidate_texts(pairs_pdf, docs))
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(texts_ref)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            a_sh = _word_shingles([self.texts[i] for i in batch["a"]], shingle_k)
-            b_sh = _word_shingles([self.texts[i] for i in batch["b"]], shingle_k)
-            jac = np.array([
-                len(np.intersect1d(x, y)) / max(1, len(np.union1d(x, y)))
-                for x, y in zip(a_sh, b_sh)
-            ])
-            out = batch.copy()
-            out["jaccard"] = jac
-            return out[out["jaccard"] >= threshold]
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        # stateless task (not an actor pool): the candidate texts arrive
+        # via one broadcast ObjectRef, fetched zero-copy per task — pair
+        # batches are few, so actor spin-up would dominate
+        texts = ray.get(texts_ref)
+        a_sh = _word_shingles([texts[i] for i in batch["a"]], shingle_k)
+        b_sh = _word_shingles([texts[i] for i in batch["b"]], shingle_k)
+        jac = np.array([
+            len(np.intersect1d(x, y)) / max(1, len(np.union1d(x, y)))
+            for x, y in zip(a_sh, b_sh)
+        ])
+        out = batch.copy()
+        out["jaccard"] = jac
+        return out[out["jaccard"] >= threshold]
 
     if len(pairs_pdf) == 0:
         return rd.from_pandas(pd.DataFrame({
@@ -275,7 +283,7 @@ def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset, threshold: float = 0.7,
             "jaccard": pd.Series([], dtype=np.float64),
         }))
     return rd.from_pandas(pairs_pdf).map_batches(
-        Verify, batch_format="pandas", batch_size=4096, concurrency=2
+        verify, batch_format="pandas", batch_size=4096
     )
 
 
@@ -403,7 +411,9 @@ def simhash_dedup(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
             "bkey": ck, "doc_id": np.tile(batch["doc_id"].to_numpy(np.int64), 4),
         })
 
-    cand_pdf = bucket_pairs(sigs.map_batches(chunk_keys, batch_format="pandas")).to_pandas()
+    cand_pdf = bucket_pairs(
+        sigs.map_batches(chunk_keys, batch_format="pandas")
+    ).to_pandas().drop_duplicates(["a", "b"])
     # hamming verify: fetch signatures for candidate ids only
     if len(cand_pdf):
         ids = np.unique(np.concatenate([

@@ -33,7 +33,7 @@ def split_pairs_by_owner(src: np.ndarray, dst: np.ndarray, P: int, by: str) -> l
     return split_by_owner(np.stack([src, dst]), key, P)
 
 
-def route_edges(encoded: rd.Dataset, shards: list, batch_size: int = 262_144) -> int:
+def route_edges(encoded: rd.Dataset, shards: list, batch_size: int = 131_072) -> int:
     """Stream an encoded edge Dataset into the shard pool.
 
     Each map_batches task splits its Arrow batch by src-owner (out-CSR
