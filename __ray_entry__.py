@@ -413,6 +413,18 @@ def _q_embedding_neardup(sf_dir: str):
     )
 
 
+def _q_embedding_neardup_lsh(sf_dir: str):
+    out = D.embedding_neardup_lsh(
+        _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.45, bands=6
+    )
+    return pa.table(
+        {
+            "a": pa.array(out["a"].to_numpy().astype(np.int64) if len(out) else [], pa.int64()),
+            "b": pa.array(out["b"].to_numpy().astype(np.int64) if len(out) else [], pa.int64()),
+        }
+    )
+
+
 def _knn_queries(sf_dir: str) -> pd.DataFrame:
     pdf = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
     return pdf.sort_values("vec_id").head(5).reset_index(drop=True)
@@ -428,6 +440,13 @@ def _q_knn_bruteforce(sf_dir: str):
 def _q_knn_lsh(sf_dir: str):
     emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = S.knn_lsh(emb, _knn_queries(sf_dir), k=10, nbits=8, probes=2)
+    out = out[["query_id", "neighbor_id", "rank"]].rename(columns={"rank": "knn_rank"})
+    return out.astype({"query_id": np.int64, "neighbor_id": np.int64, "knn_rank": np.int64})
+
+
+def _q_knn_ivf(sf_dir: str):
+    emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = S.knn_ivf(emb, _knn_queries(sf_dir), k=10, n_centroids=16, nprobe=4)
     out = out[["query_id", "neighbor_id", "rank"]].rename(columns={"rank": "knn_rank"})
     return out.astype({"query_id": np.int64, "neighbor_id": np.int64, "knn_rank": np.int64})
 
@@ -498,8 +517,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash_dedup,
         "simhash_dedup": _q_simhash_dedup,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
         "multimodal_decode": _q_multimodal_decode,
         "frame_sample": _q_frame_sample,
     }

@@ -437,14 +437,62 @@ def simhash_dedup(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
 # embedding cosine near-dup
 # ----------------------------------------------------------------------
 
+def embedding_neardup_lsh(embeddings: rd.Dataset, threshold: float = 0.95,
+                          nbits: int = 8, bands: int = 4, seed: int = 5) -> pd.DataFrame:
+    """Cosine near-dup pairs via hyperplane-LSH blocking — the 100 TB
+    path: candidate pairs come from ``bands`` independent hyperplane
+    bucketings (sorted-segment pass, no all-pairs), then ONLY candidate
+    vectors are fetched and verified with exact cosine. Recall < 1 by
+    construction (LSH); the brute-force ``embedding_neardup_pairs`` is
+    the exact verification-scale baseline."""
+    from .similarity import HyperplaneLSH
+
+    def bucket_keys(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        mat = np.stack(pdf["embedding"].to_list()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        out_k, out_i = [], []
+        for b in range(bands):
+            lsh = HyperplaneLSH(mat.shape[1], nbits, seed + b)
+            out_k.append(lsh.bucket(mat) * bands + b)
+            out_i.append(ids)
+        return pd.DataFrame({"bkey": np.concatenate(out_k), "doc_id": np.concatenate(out_i)})
+
+    cand = bucket_pairs(
+        embeddings.map_batches(bucket_keys, batch_format="pandas")
+    ).to_pandas().drop_duplicates(["a", "b"])
+    if len(cand) == 0:
+        return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                             "b": pd.Series([], dtype=np.int64),
+                             "cosine": pd.Series([], dtype=np.float64)})
+    ids = np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
+    idref = ray.put(ids)
+
+    def semi(pdf: pd.DataFrame) -> pd.DataFrame:
+        keep = np.isin(pdf["vec_id"].to_numpy(), ray.get(idref))
+        return pdf.loc[keep, ["vec_id", "embedding"]]
+
+    cpdf = embeddings.map_batches(semi, batch_format="pandas").to_pandas()
+    vecs = {int(i): np.asarray(v, dtype=np.float64) for i, v in
+            zip(cpdf["vec_id"], cpdf["embedding"])}
+    av = np.stack([vecs[int(i)] for i in cand["a"]])
+    bv = np.stack([vecs[int(i)] for i in cand["b"]])
+    av /= np.maximum(np.linalg.norm(av, axis=1, keepdims=True), 1e-12)
+    bv /= np.maximum(np.linalg.norm(bv, axis=1, keepdims=True), 1e-12)
+    cos = (av * bv).sum(axis=1)
+    out = cand.assign(cosine=cos)
+    out = out[out["cosine"] >= threshold]
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.95) -> pd.DataFrame:
     """Cosine-similar (a<b) pairs above threshold.
 
     Blocked brute force: the normalized matrix is broadcast once
     (``ray.put``); each batch computes its block row of the similarity
     matrix with one matmul. O(n²·d) flops but streaming memory — the
-    correct baseline at verification scale; the LSH-bucketed variant in
-    stages/similarity.py is the scale path.
+    correct baseline at verification scale; ``embedding_neardup_lsh``
+    is the bucketed 100 TB path.
     """
     pdf = embeddings.to_pandas().sort_values("vec_id")
     ids = pdf["vec_id"].to_numpy()

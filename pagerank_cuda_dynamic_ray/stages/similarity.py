@@ -66,6 +66,95 @@ def knn_bruteforce(embeddings: rd.Dataset, queries: pd.DataFrame, k: int = 10,
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def train_ivf_centroids(embeddings: rd.Dataset, n_centroids: int = 16,
+                        sample_per_block: int = 256, iters: int = 10,
+                        seed: int = 5) -> np.ndarray:
+    """Spherical k-means on a streamed per-block sample (IVF coarse
+    quantizer). The sample — not the corpus — reaches the driver; at
+    100 TB the sample stays a few MB because it is per-block bounded.
+    Deterministic: seeded splitmix64 row selection + seeded init."""
+
+    def samp(pdf: pd.DataFrame) -> pd.DataFrame:
+        sel = splitmix64(
+            pdf["vec_id"].to_numpy(np.uint64) + np.uint64(seed * 0xA11CE)
+        ).argsort()[:sample_per_block]
+        return pdf.iloc[np.sort(sel)]
+
+    sample = embeddings.map_batches(samp, batch_format="pandas").to_pandas()
+    _, mat = _matrix(sample)
+    k = min(n_centroids, len(mat))
+    # seeded init: k distinct sample rows
+    init = splitmix64(np.arange(len(mat), dtype=np.uint64) + np.uint64(seed)).argsort()[:k]
+    cents = mat[np.sort(init)].copy()
+    for _ in range(iters):
+        assign = (mat @ cents.T).argmax(axis=1)
+        for c in range(k):  # k is small (coarse quantizer)
+            rows = assign == c
+            if rows.any():
+                v = mat[rows].mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cents
+
+
+def knn_ivf(embeddings: rd.Dataset, queries: pd.DataFrame, k: int = 10,
+            n_centroids: int = 16, nprobe: int = 4, seed: int = 5) -> pd.DataFrame:
+    """IVF approximate top-k: scan only vectors whose nearest coarse
+    centroid is among each query's ``nprobe`` closest centroids. Same
+    output schema as knn_bruteforce; recall measured in tests. The
+    centroid table is broadcast once; each batch does one matmul per
+    probed centroid cell (same bucket-grouped scan as knn_lsh)."""
+    cents = train_ivf_centroids(embeddings, n_centroids, seed=seed)
+    q_ids, q_mat = _matrix(queries)
+    q_probe = np.argsort(-(q_mat @ cents.T), axis=1)[:, :nprobe]
+    probe_map: dict[int, list[int]] = {}
+    for qi, cells in enumerate(q_probe):
+        for c in cells:
+            probe_map.setdefault(int(c), []).append(qi)
+    ref = ray.put((q_ids, q_mat, cents, probe_map))
+
+    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qi_ids, qm, cc, pmap = ray.get(ref)
+        ids, m = _matrix(batch)
+        cells = (m @ cc.T).argmax(axis=1)
+        order = np.argsort(cells, kind="stable")
+        csort = cells[order]
+        cuts = np.flatnonzero(np.diff(csort)) + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [len(csort)]])
+        out_q, out_n, out_s = [], [], []
+        for s, e in zip(starts, ends):
+            qrows = pmap.get(int(csort[s]))
+            if not qrows:
+                continue
+            cols = order[s:e]
+            sims = qm[qrows] @ m[cols].T
+            qa = np.repeat(qi_ids[qrows], e - s)
+            na = np.tile(ids[cols], len(qrows))
+            keep = qa != na
+            out_q.append(qa[keep])
+            out_n.append(na[keep])
+            out_s.append(sims.reshape(-1)[keep])
+        if not out_q:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "neighbor_id": pd.Series([], dtype=np.int64),
+                                 "cosine": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({"query_id": np.concatenate(out_q),
+                             "neighbor_id": np.concatenate(out_n),
+                             "cosine": np.concatenate(out_s)})
+
+    partials = embeddings.map_batches(block_topk, batch_format="pandas", batch_size=4096)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("neighbor_id")
+        g, s, p, r = K.topk_per_group(
+            g["query_id"].to_numpy(), g["cosine"].to_numpy(), g["neighbor_id"].to_numpy(), k
+        )
+        return pd.DataFrame({"query_id": g, "neighbor_id": p, "cosine": s, "rank": r})
+
+    out = partials.groupby("query_id").map_groups(merge, batch_format="pandas").to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 class HyperplaneLSH:
     """Seeded random-hyperplane bucketer: embedding -> nbits-bit bucket id."""
 

@@ -1,0 +1,85 @@
+"""MatrixMarket / temporal text sources (reference S1-S4 parity)."""
+
+import numpy as np
+import pytest
+
+from pagerank_cuda_dynamic_ray.pipelines.graph import GraphContext
+from pagerank_cuda_dynamic_ray.sources import mtx as M
+
+
+def test_read_mtx_general_weighted(tmp_path):
+    p = tmp_path / "g.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "% a comment\n"
+        "4 4 5\n"
+        "1 2 1.5\n"
+        "2 3 2.0\n"
+        "3 1 0.5\n"
+        "4 4 1.0\n"
+        "1 4 3.0\n"
+    )
+    ds, hdr = M.read_mtx(str(p))
+    assert hdr == {"symmetric": False, "weighted": True, "rows": 4, "cols": 4, "nnz": 5}
+    pdf = ds.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert len(pdf) == 5
+    assert pdf["src"].tolist() == [0, 0, 1, 2, 3]      # 0-indexed
+    assert pdf["dst"].tolist() == [1, 3, 2, 0, 3]
+    assert pdf.loc[0, "weight"] == 1.5
+
+
+def test_read_mtx_symmetric_pattern(tmp_path):
+    p = tmp_path / "s.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate pattern symmetric\n"
+        "3 3 3\n"
+        "2 1\n"
+        "3 1\n"
+        "3 3\n"
+    )
+    ds, hdr = M.read_mtx(str(p))
+    assert hdr["symmetric"] and not hdr["weighted"]
+    pdf = ds.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    # both directions for off-diagonal, one for the diagonal
+    assert [tuple(r) for r in pdf[["src", "dst"]].to_numpy()] == [
+        (0, 1), (0, 2), (1, 0), (2, 0), (2, 2)
+    ]
+
+
+def test_read_temporal_text_preserves_order(tmp_path):
+    p = tmp_path / "t.txt"
+    rng = np.random.RandomState(0)
+    edges = rng.randint(0, 50, size=(300, 2))
+    p.write_text("".join(f"{u} {v}\n" for u, v in edges))
+    ds = M.read_temporal_text(str(p))
+    pdf = ds.to_pandas().sort_values("seq").reset_index(drop=True)
+    assert len(pdf) == 300
+    np.testing.assert_array_equal(pdf["src"].to_numpy(), edges[:, 0])
+    np.testing.assert_array_equal(pdf["dst"].to_numpy(), edges[:, 1])
+    assert pdf["seq"].tolist() == list(range(300))
+
+
+def test_mtx_to_pagerank_end_to_end(tmp_path):
+    """A reference user's MTX file runs through the whole engine."""
+    rng = np.random.RandomState(5)
+    n, m = 40, 200
+    src, dst = rng.randint(0, n, m), rng.randint(0, n, m)
+    p = tmp_path / "e.mtx"
+    lines = [f"{u + 1} {v + 1} 1.0" for u, v in zip(src, dst)]
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        f"{n} {n} {m}\n" + "\n".join(lines) + "\n"
+    )
+    ds, hdr = M.read_mtx(str(p))
+    pdf = ds.to_pandas()
+    ctx = GraphContext(hdr["rows"], 3)
+    ctx.ingest_pairs(pdf["src"].to_numpy(np.int64), pdf["dst"].to_numpy(np.int64))
+    ctx.finalize()
+    res = ctx.pagerank("static")
+    full = ctx.assemble(res.ranks)
+    assert np.isclose(full.sum(), 1.0, atol=1e-9)
+    from .oracle import pagerank_oracle
+
+    want, _ = pagerank_oracle(src.astype(np.int64), dst.astype(np.int64), n)
+    np.testing.assert_allclose(full, want, atol=1e-6)
+    ctx.shutdown()

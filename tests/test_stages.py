@@ -92,6 +92,32 @@ def test_knn_lsh_recall():
     assert hits / 25 >= 0.8  # multi-probe recall on clustered data
 
 
+def test_embedding_neardup_lsh_finds_planted():
+    rng = np.random.RandomState(0)
+    mat = rng.randn(40, 16)
+    mat[7] = mat[3] + 0.01 * rng.randn(16)   # planted near-dup
+    out = dedup.embedding_neardup_lsh(_emb_ds(mat), threshold=0.99, bands=6)
+    assert (3, 7) in {tuple(r) for r in out[["a", "b"]].to_numpy()}
+
+
+def test_knn_ivf_recall():
+    # clustered data: IVF with nprobe covering a few cells should find
+    # most true neighbors (they share the query's coarse cell)
+    rng = np.random.RandomState(4)
+    centers = rng.randn(10, 16) * 3
+    mat = np.concatenate([c + 0.1 * rng.randn(30, 16) for c in centers])
+    ds = _emb_ds(mat)
+    queries = ds.to_pandas().iloc[:5]
+    exact = similarity.knn_bruteforce(ds, queries, k=5)
+    approx = similarity.knn_ivf(ds, queries, k=5, n_centroids=12, nprobe=3)
+    hits = 0
+    for qid in range(5):
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        hits += len(e & a)
+    assert hits / 25 >= 0.8
+
+
 def test_text_analysis():
     texts = [
         "The quick brown fox, it is the best of the dogs!",
