@@ -130,18 +130,29 @@ def read_temporal_text(path: str) -> rd.Dataset:
     dataset order — no executor reordering). At real scale, convert the
     text log to seq-stamped Parquet once with this reader and feed the
     Parquet to the engine thereafter."""
-    raw = rd.read_text(path).materialize()
-    parsed = raw.map_batches(
-        lambda b: _parse_edge_lines(b, weighted=True, one_indexed=False),
-        batch_format="pandas",
-    ).materialize()
-    out = []
-    offset = 0
-    for b in parsed.iter_batches(batch_format="pandas", batch_size=None):
-        b = b.copy()
-        b["seq"] = np.arange(offset, offset + len(b), dtype=np.int64)
-        offset += len(b)
-        out.append(b)
+    from ray.data import DataContext
+
+    # file order is the payload here: force ordered execution for this
+    # read — with the default preserve_order=False the streaming
+    # executor emits blocks in COMPLETION order and the seq stamps
+    # would be scrambled
+    exec_opts = DataContext.get_current().execution_options
+    prev = exec_opts.preserve_order
+    exec_opts.preserve_order = True
+    try:
+        parsed = rd.read_text(path).map_batches(
+            lambda b: _parse_edge_lines(b, weighted=True, one_indexed=False),
+            batch_format="pandas",
+        ).materialize()
+        out = []
+        offset = 0
+        for b in parsed.iter_batches(batch_format="pandas", batch_size=None):
+            b = b.copy()
+            b["seq"] = np.arange(offset, offset + len(b), dtype=np.int64)
+            offset += len(b)
+            out.append(b)
+    finally:
+        exec_opts.preserve_order = prev
     if not out:
         return rd.from_pandas(pd.DataFrame({
             "src": pd.Series([], dtype=np.int64), "dst": pd.Series([], dtype=np.int64),
