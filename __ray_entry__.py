@@ -719,6 +719,197 @@ clus AS (
 SELECT doc_id, cluster_id, (doc_id = cluster_id) AS keep FROM clus"""
 
 
+def _mix2_sql(sub: str, a_expr: str, b_col: str, out: str) -> str:
+    """Chain ``mix2(a, b) AS out`` (functions/hashing.mix2:
+    splitmix64(a ^ (splitmix64(b) + C1))) onto subquery ``sub``."""
+    c1 = 0x9E3779B97F4A7C15
+    s = _sm64(sub, b_col, "__mb")
+    s = (f"(SELECT * EXCLUDE (__mb), xor({a_expr}, "
+         f"CAST((CAST(__mb AS HUGEINT) + {c1}) % {_T64} AS UBIGINT)) AS __mx FROM {s})")
+    s = _sm64(s, "__mx", out)
+    return f"(SELECT * EXCLUDE (__mx) FROM {s})"
+
+
+def _sql_minhash_dedup(threshold: float = 0.7, num_perm: int = 64,
+                       bands: int = 16, seed: int = 7) -> str:
+    """The full MinHash-LSH dedup pipeline in SQL: whitespace tokens ->
+    base-131 byte fold + splitmix64 (poly_token_hash64) -> rolling
+    3-gram mix2 shingles -> 64 salted-splitmix minhash permutations ->
+    16 band hashes (sequential mix2 fold) -> capped bucket candidate
+    pairs -> exact shingle-set Jaccard >= threshold -> min-label
+    clustering. Salts are precomputed here with the engine's own
+    derivation and embedded as literals."""
+    from pagerank_cuda_dynamic_ray.functions.hashing import splitmix64 as _smx
+
+    rows_per_band = num_perm // bands
+    assert rows_per_band == 4, "fold below is unrolled for 4 rows/band"
+    salts = _smx(np.arange(num_perm, dtype=np.uint64) + np.uint64(seed * 0x51ED))
+    salt_rows = ", ".join(f"({j}, CAST('{int(s)}' AS UBIGINT))" for j, s in enumerate(salts))
+    # token table with positions (constant-range join: no lateral args)
+    tok = (r"(SELECT doc_id, t.i AS pos, toks[t.i + 1] AS tk, CAST(0 AS BIGINT) AS __f0 "
+           r"FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks "
+           r"FROM documents) JOIN range(0, 2048) t(i) ON t.i < len(toks))")
+    sql = tok
+    for k in range(1, 17):
+        sql = (
+            f"(SELECT * EXCLUDE (__f{k - 1}), CASE WHEN length(tk) >= {k} "
+            f"THEN (__f{k - 1} * 131 + ord(substr(tk, {k}, 1))) % 2147483647 "
+            f"ELSE __f{k - 1} END AS __f{k} FROM {sql})"
+        )
+    th = _sm64(sql, "__f16", "th")
+    # MATERIALIZED CTEs: each stage's chain (the 16-level fold, the
+    # mix2/sm64 nests) is computed ONCE — textual inlining made DuckDB
+    # re-plan and re-execute the fold 3x inside the trio self-join.
+    m2 = _mix2_sql(_mix2_sql("trio", "h0", "h1", "__m1"), "__m1", "h2", "sh")
+    perm = (f"(SELECT d.doc_id, d.sh, s.j, s.s FROM dsh d "
+            f"CROSS JOIN (SELECT * FROM (VALUES {salt_rows}) v(j, s)) s)")
+    perm = f"(SELECT *, xor(sh, s) AS __x FROM {perm})"
+    perm = _sm64(perm, "__x", "m")
+    accbase = (f"(SELECT doc_id, j // 4 AS band, "
+               f"max(CASE WHEN j % 4 = 0 THEN m END) AS s0, "
+               f"max(CASE WHEN j % 4 = 1 THEN m END) AS s1, "
+               f"max(CASE WHEN j % 4 = 2 THEN m END) AS s2, "
+               f"max(CASE WHEN j % 4 = 3 THEN m END) AS s3 "
+               f"FROM minsig GROUP BY doc_id, j // 4)")
+    acc = _mix2_sql(accbase, "CAST(0 AS UBIGINT)", "s0", "__a1")
+    acc = _mix2_sql(acc, "__a1", "s1", "__a2")
+    acc = _mix2_sql(acc, "__a2", "s2", "__a3")
+    acc = _mix2_sql(acc, "__a3", "s3", "bh")
+    return f"""
+WITH tokh AS MATERIALIZED (SELECT doc_id, pos, th FROM {th}),
+trio AS MATERIALIZED (
+  SELECT a.doc_id AS doc_id, a.th AS h0, b.th AS h1, c.th AS h2
+  FROM tokh a JOIN tokh b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              JOIN tokh c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+dsh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM {m2}),
+minsig AS MATERIALIZED (
+  SELECT doc_id, j, min(m) AS m FROM {perm} GROUP BY doc_id, j
+),
+bandkeys AS MATERIALIZED (SELECT doc_id, band, bh FROM {acc}),
+buck AS (
+  SELECT doc_id, band, bh,
+         row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
+  FROM bandkeys
+),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+  FROM buck b1 JOIN buck b2 ON b1.band = b2.band AND b1.bh = b2.bh
+                           AND b1.doc_id < b2.doc_id
+  WHERE b1.rn <= 64 AND b2.rn <= 64
+),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c JOIN dsh sa ON sa.doc_id = c.a
+              JOIN dsh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+  GROUP BY c.a, c.b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+vpairs AS (
+  SELECT i.a, i.b FROM inter i
+  JOIN sizes na ON na.doc_id = i.a JOIN sizes nb ON nb.doc_id = i.b
+  WHERE CAST(i.i AS DOUBLE) / greatest(na.n + nb.n - i.i, 1) >= {threshold}
+),
+pedges AS (
+  SELECT a, b FROM vpairs UNION SELECT b AS a, a AS b FROM vpairs
+  UNION SELECT doc_id AS a, doc_id AS b FROM documents
+),
+clus AS (
+  WITH RECURSIVE cl(it, v, lab) AS (
+    SELECT 0, doc_id, doc_id FROM documents
+    UNION ALL
+    SELECT cl.it + 1, e.b, min(cl.lab) FROM cl JOIN pedges e ON e.a = cl.v
+    WHERE cl.it < 32 GROUP BY cl.it, e.b
+  ) SELECT v AS doc_id, lab AS cluster_id FROM cl WHERE it = 32
+)
+SELECT doc_id, cluster_id, (doc_id = cluster_id) AS keep FROM clus"""
+
+
+def _sql_embedding_neardup_lsh(threshold: float = 0.45, nbits: int = 8,
+                               bands: int = 6, seed: int = 5) -> str:
+    """Hyperplane-LSH near-dup in SQL: the seeded plane matrices are
+    generated here (same splitmix64 derivation as the engine) and
+    embedded as double-literal lists; buckets via sign of inner
+    products, the engine's 64-per-bucket cap via row_number, cosine
+    verify via list_cosine_similarity."""
+    import pyarrow.parquet as _pq
+
+    from pagerank_cuda_dynamic_ray.stages.similarity import HyperplaneLSH
+
+    emb_path = "/root/testdata/sf0.01/embeddings.parquet"
+    dim = len(_pq.read_table(emb_path, columns=["embedding"])["embedding"][0])
+    selects = []
+    for b in range(bands):
+        planes = HyperplaneLSH(dim, nbits, seed + b).planes
+        bits = " + ".join(
+            "(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), "
+            f"[{', '.join(repr(float(x)) for x in planes[i])}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(nbits)
+        )
+        selects.append(
+            f"SELECT vec_id, ({bits}) * {bands} + {b} AS bkey FROM embeddings"
+        )
+    return f"""
+WITH bk AS ({' UNION ALL '.join(selects)}),
+buck AS (
+  SELECT vec_id, bkey, row_number() OVER (PARTITION BY bkey ORDER BY vec_id) AS rn
+  FROM bk
+),
+cand AS (
+  SELECT DISTINCT b1.vec_id AS a, b2.vec_id AS b
+  FROM buck b1 JOIN buck b2 ON b1.bkey = b2.bkey AND b1.vec_id < b2.vec_id
+  WHERE b1.rn <= 64 AND b2.rn <= 64
+)
+SELECT cand.a, cand.b
+FROM cand JOIN embeddings e1 ON e1.vec_id = cand.a
+          JOIN embeddings e2 ON e2.vec_id = cand.b
+WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= {threshold}"""
+
+
+def _sql_knn_lsh(k: int = 10, nbits: int = 8, seed: int = 5) -> str:
+    """Multi-probe hyperplane-LSH kNN in SQL: same plane derivation as
+    the engine, probe set = query bucket + all single-bit flips
+    (probes=2 semantics), candidates scanned by bucket match, exact
+    cosine ordering (score desc, neighbor asc)."""
+    import pyarrow.parquet as _pq
+
+    from pagerank_cuda_dynamic_ray.stages.similarity import HyperplaneLSH
+
+    emb_path = "/root/testdata/sf0.01/embeddings.parquet"
+    dim = len(_pq.read_table(emb_path, columns=["embedding"])["embedding"][0])
+    planes = HyperplaneLSH(dim, nbits, seed).planes
+    bits = " + ".join(
+        "(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(float(x)) for x in planes[i])}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(nbits)
+    )
+    probe_rows = " UNION ".join(
+        ["SELECT qid, qb AS pb FROM q"]
+        + [f"SELECT qid, xor(qb, {1 << b}) AS pb FROM q" for b in range(nbits)]
+    )
+    return f"""
+WITH bk AS (SELECT vec_id, ({bits}) AS qb FROM embeddings),
+q AS (SELECT vec_id AS qid, qb FROM bk ORDER BY vec_id LIMIT 5),
+probes AS ({probe_rows}),
+cand AS (
+  SELECT DISTINCT p.qid, b.vec_id AS nid
+  FROM probes p JOIN bk b ON b.qb = p.pb WHERE b.vec_id <> p.qid
+),
+scored AS (
+  SELECT c.qid, c.nid,
+         list_cosine_similarity(eq.embedding, en.embedding) AS cos
+  FROM cand c JOIN embeddings eq ON eq.vec_id = c.qid
+              JOIN embeddings en ON en.vec_id = c.nid
+),
+r AS (SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) - 1 AS rk
+      FROM scored)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rk AS BIGINT) AS knn_rank
+FROM r WHERE rk < {k}"""
+
+
 def _sql_multimodal_decode() -> str:
     base = "(SELECT CAST(x AS BIGINT) AS media_id FROM range(256) t(x))"
     q = _sm64(base, "media_id + 42", "__kh")
@@ -819,6 +1010,9 @@ SELECT CAST(round(sum(within / (SELECT m FROM m2)
                       - (degsum / (SELECT m FROM m2)) * (degsum / (SELECT m FROM m2))) * 1e9)
             AS BIGINT) AS modularity_e9
 FROM terms""",
+        "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
+        "knn_lsh": _sql_knn_lsh(),
+        "minhash_dedup": _sql_minhash_dedup(),
         "doc_fingerprint": _sql_fingerprint(),
         "simhash_dedup": _sql_simhash_dedup(),
         "multimodal_decode": _sql_multimodal_decode(),

@@ -84,7 +84,10 @@ def exact_dedup(docs: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
 def _shingles_flat(texts: list[str], k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     """Hashed word-k-gram shingle sets for a batch of texts, flat layout.
 
-    One vectorized hash pass over ALL tokens of the batch, then a rolling
+    One vectorized hash pass over ALL tokens of the batch
+    (poly_token_hash64 — base-131 byte fold + splitmix64, the same
+    SQL-replicable hash SimHash uses, which is what lets the DuckDB
+    oracle recompute the whole MinHash pipeline), then a rolling
     k-combine (functions/hashing.rolling_kgram_hashes) — no per-shingle
     string joins. Returns (flat unique shingle hashes, (n+1,) offsets).
     """
@@ -95,7 +98,7 @@ def _shingles_flat(texts: list[str], k: int = 3) -> tuple[np.ndarray, np.ndarray
         toks.extend(ws)
         lens[i] = len(ws)
     offs = np.concatenate([[0], np.cumsum(lens)])
-    th = H.hash_strings(toks)
+    th = H.poly_token_hash64(toks)
     return H.rolling_kgram_hashes(th, offs, k)
 
 

@@ -67,20 +67,23 @@ def knn_bruteforce(embeddings: rd.Dataset, queries: pd.DataFrame, k: int = 10,
 
 
 def train_ivf_centroids(embeddings: rd.Dataset, n_centroids: int = 16,
-                        sample_per_block: int = 256, iters: int = 10,
+                        target_sample: int = 4096, iters: int = 10,
                         seed: int = 5) -> np.ndarray:
-    """Spherical k-means on a streamed per-block sample (IVF coarse
-    quantizer). The sample — not the corpus — reaches the driver; at
-    100 TB the sample stays a few MB because it is per-block bounded.
-    Deterministic: seeded splitmix64 row selection + seeded init."""
+    """Spherical k-means on a streamed hash-threshold sample (IVF coarse
+    quantizer). Row selection is a pure function of vec_id (keep iff
+    splitmix64(vec_id) below the sampling threshold), so the sample —
+    and hence the centroids — is identical under any repartitioning or
+    cluster size; only the (small) sample reaches the driver."""
+    total = max(embeddings.count(), 1)
+    frac = min(1.0, target_sample / total)
+    cut = np.uint64(int(frac * 2**64)) if frac < 1.0 else np.uint64(2**64 - 1)
 
     def samp(pdf: pd.DataFrame) -> pd.DataFrame:
-        sel = splitmix64(
-            pdf["vec_id"].to_numpy(np.uint64) + np.uint64(seed * 0xA11CE)
-        ).argsort()[:sample_per_block]
-        return pdf.iloc[np.sort(sel)]
+        h = splitmix64(pdf["vec_id"].to_numpy(np.uint64) + np.uint64(seed * 0xA11CE))
+        return pdf.iloc[np.flatnonzero(h <= cut)]
 
     sample = embeddings.map_batches(samp, batch_format="pandas").to_pandas()
+    sample = sample.sort_values("vec_id")
     _, mat = _matrix(sample)
     k = min(n_centroids, len(mat))
     # seeded init: k distinct sample rows

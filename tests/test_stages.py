@@ -20,8 +20,12 @@ def test_exact_dedup():
 
 
 def test_minhash_dedup_finds_near_dups():
-    base = "the quick brown fox jumps over the lazy dog again and again until done"
-    near = base.replace("lazy", "sleepy")
+    # long doc so a one-word edit keeps shingle Jaccard ~0.8 — high
+    # enough that 16x4 banding pairs them for any permutation seed
+    base = " ".join(
+        "the quick brown fox jumps over the lazy dog again and again".split() * 3
+    )
+    near = base.replace("lazy", "sleepy", 1)
     other = "completely different words about graph engines and arrow batches here now"
     out = dedup.minhash_dedup(_docs([base, near, other, base]), threshold=0.5).to_pandas()
     cl = dict(zip(out["doc_id"], out["cluster_id"]))
