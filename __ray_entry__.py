@@ -910,6 +910,84 @@ SELECT qid AS query_id, nid AS neighbor_id, CAST(rk AS BIGINT) AS knn_rank
 FROM r WHERE rk < {k}"""
 
 
+def _sql_knn_ivf(k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+                 seed: int = 5) -> str:
+    """IVF kNN in SQL. The coarse quantizer (hash-threshold-sampled seeded
+    spherical k-means, stages/similarity.train_ivf_centroids) is a
+    deterministic pure function of the embeddings table; it is replicated
+    here in plain numpy (independent reimplementation, no engine objects)
+    and the trained centroids + per-query probe cells embedded as
+    literals. Cell assignment (argmax inner product, first-max tie-break
+    — norms are per-row constants so normalization drops out of the
+    argmax), candidate scan, and exact cosine ordering run in SQL."""
+    import pyarrow.parquet as _pq
+
+    from pagerank_cuda_dynamic_ray.functions.hashing import splitmix64 as _smx
+
+    emb = (
+        _pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+
+    def _norm(m):
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    # hash-threshold sample (pure function of vec_id), seeded init, 10 iters
+    frac = min(1.0, 4096 / max(len(emb), 1))
+    cut = np.uint64(int(frac * 2**64)) if frac < 1.0 else np.uint64(2**64 - 1)
+    hh = _smx(emb["vec_id"].to_numpy(np.uint64) + np.uint64(seed * 0xA11CE))
+    samp = emb.iloc[np.flatnonzero(hh <= cut)]
+    mat = _norm(np.stack(samp["embedding"].to_list()).astype(np.float64))
+    kc = min(n_centroids, len(mat))
+    init = _smx(np.arange(len(mat), dtype=np.uint64) + np.uint64(seed)).argsort()[:kc]
+    cents = mat[np.sort(init)].copy()
+    for _ in range(10):
+        assign = (mat @ cents.T).argmax(axis=1)
+        for c in range(kc):
+            rows = assign == c
+            if rows.any():
+                v = mat[rows].mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    # per-query probe cells (queries = first 5 vec_ids, as _knn_queries)
+    qn = _norm(np.stack(emb["embedding"].to_list()[:5]).astype(np.float64))
+    q_ids = emb["vec_id"].to_numpy()[:5]
+    q_probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    probe_rows = ", ".join(
+        f"({int(q_ids[qi])}, {int(c)})" for qi in range(len(q_ids)) for c in q_probe[qi]
+    )
+    ip_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {c} AS c, "
+        "list_inner_product(CAST(embedding AS DOUBLE[]), "
+        f"[{', '.join(repr(float(x)) for x in cents[c])}]) AS ip FROM embeddings"
+        for c in range(kc)
+    )
+    return f"""
+WITH ips AS ({ip_selects}),
+cells AS (
+  SELECT vec_id, c AS cell FROM (
+    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY ip DESC, c) AS rn
+    FROM ips
+  ) WHERE rn = 1
+),
+probes(qid, pc) AS (VALUES {probe_rows}),
+cand AS (
+  SELECT DISTINCT p.qid, ce.vec_id AS nid
+  FROM probes p JOIN cells ce ON ce.cell = p.pc WHERE ce.vec_id <> p.qid
+),
+scored AS (
+  SELECT c.qid, c.nid,
+         list_cosine_similarity(eq.embedding, en.embedding) AS cos
+  FROM cand c JOIN embeddings eq ON eq.vec_id = c.qid
+              JOIN embeddings en ON en.vec_id = c.nid
+),
+r AS (SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) - 1 AS rk
+      FROM scored)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rk AS BIGINT) AS knn_rank
+FROM r WHERE rk < {k}"""
+
+
 def _sql_multimodal_decode() -> str:
     base = "(SELECT CAST(x AS BIGINT) AS media_id FROM range(256) t(x))"
     q = _sm64(base, "media_id + 42", "__kh")
@@ -1012,6 +1090,7 @@ SELECT CAST(round(sum(within / (SELECT m FROM m2)
 FROM terms""",
         "embedding_neardup_lsh": _sql_embedding_neardup_lsh(),
         "knn_lsh": _sql_knn_lsh(),
+        "knn_ivf": _sql_knn_ivf(),
         "minhash_dedup": _sql_minhash_dedup(),
         "doc_fingerprint": _sql_fingerprint(),
         "simhash_dedup": _sql_simhash_dedup(),
