@@ -123,16 +123,15 @@ class MinHashStage:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         flat, offs = _shingles_flat(batch["text"].tolist(), self.k)
-        sh = [flat[offs[i]:offs[i + 1]] for i in range(len(batch))]
+        n = len(batch)
         sigs = H.minhash_signatures_flat(flat, offs, self.num_perm, self.seed)
-        band_hashes = np.empty((len(sh), self.bands), dtype=np.int64)
+        band_hashes = np.empty((n, self.bands), dtype=np.int64)
         for b in range(self.bands):
             chunk = sigs[:, b * self.rows_per_band:(b + 1) * self.rows_per_band]
-            acc = np.zeros(len(sh), dtype=np.uint64)
+            acc = np.zeros(n, dtype=np.uint64)
             for c in range(chunk.shape[1]):
                 acc = H.mix2(acc, chunk[:, c])
             band_hashes[:, b] = acc.astype(np.int64)
-        n = len(batch)
         return pd.DataFrame(
             {
                 "band": np.tile(np.arange(self.bands), n),

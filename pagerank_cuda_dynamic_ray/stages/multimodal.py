@@ -4,20 +4,33 @@ Image/audio/video payloads are carried as Arrow ``binary`` columns with
 typed metadata columns alongside. The decode / feature-extract / resize
 / frame-sample operators are actor-pool ``map_batches`` stages whose Ray
 plumbing (schema, batch sizing, actor signature, output layout) is real
-and tested; the actual media decoding is STUBBED — the codec libraries
-are not available in this environment:
+and tested. Decoding comes in two tiers:
 
 * ``mode="fake"`` (default): a deterministic hash-derived stand-in so
-  pipelines and tests run end-to-end with stable outputs;
-* ``mode="real"``: raises NotImplementedError at the decode call site —
-  the single marked seam where a codec (Pillow/ffmpeg/...) plugs in.
+  pipelines and tests run end-to-end with stable outputs regardless of
+  payload format;
+* ``mode="real"``: REAL decoding for the uncompressed formats this
+  container can handle with numpy + stdlib only —
+
+  - images: binary PPM (``P6``) parsed and decoded to an RGB array;
+  - audio: RIFF/WAV PCM16 parsed via the stdlib ``wave`` module;
+  - video: a concatenation of equally-sized ``P6`` frames (a trivial
+    uncompressed container), split frame-aligned;
+
+  compressed codecs (JPEG/PNG/H.264/MP3/...) are the single marked
+  seam: payloads whose magic bytes are not ``P6``/``RIFF`` raise
+  ``NotImplementedError`` where Pillow/ffmpeg would plug in.
 
 Batches stay in ``batch_format="pyarrow"`` throughout: binary columns
 round-trip zero-copy through Arrow but degrade to object dtype in
-pandas (Ray guide pitfall).
+pandas (Ray guide pitfall). Per-row loops here are inherent (payloads
+are variable-length opaque blobs); all inner work is numpy.
 """
 
 from __future__ import annotations
+
+import io
+import wave
 
 import numpy as np
 import pyarrow as pa
@@ -62,6 +75,144 @@ def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 4096) -> pa.T
     )
 
 
+# ---------------------------------------------------------------- codecs
+# Uncompressed formats implementable with numpy + stdlib only.
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a binary PPM (P6)."""
+    h, w, _ = rgb.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.astype(np.uint8).tobytes()
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6) payload to an (h, w, 3) uint8 array."""
+    if buf[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # Header: three whitespace-separated tokens (w, h, maxval) after "P6".
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while buf[pos:pos + 1].isspace():
+            pos += 1
+        start = pos
+        while not buf[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(int(buf[start:pos]))
+    pos += 1  # single whitespace byte after maxval
+    w, h, _maxval = tokens
+    return np.frombuffer(buf, dtype=np.uint8, count=h * w * 3, offset=pos).reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode a 1-D int16 array as a mono PCM16 WAV payload."""
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return bio.getvalue()
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM16 WAV payload to (int16 samples, sample_rate)."""
+    with wave.open(io.BytesIO(buf), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError("only PCM16 WAV supported")
+        rate, nchan = wf.getframerate(), wf.getnchannels()
+        raw = wf.readframes(wf.getnframes())
+    samples = np.frombuffer(raw, dtype="<i2")
+    if nchan > 1:
+        samples = samples.reshape(-1, nchan).mean(axis=1).astype(np.int16)
+    return samples, rate
+
+
+def synth_real_media_table(n: int, seed: int = 7, img_w: int = 32, img_h: int = 24,
+                           audio_len: int = 2048, video_frames: int = 6) -> pa.Table:
+    """Deterministic media table with REAL uncompressed payloads:
+    PPM images, PCM16 WAV audio, concatenated-PPM video."""
+    ids = np.arange(n, dtype=np.int64)
+    h = splitmix64(ids.astype(np.uint64) + np.uint64(seed))
+    kinds = np.array(["image", "audio", "video"])[(h % np.uint64(3)).astype(int)]
+    payloads, widths, heights, frames, rates = [], [], [], [], []
+
+    def _pix(i: int, count: int) -> np.ndarray:
+        words = splitmix64(np.arange(count, dtype=np.uint64) + np.uint64(seed * 97 + 13) * np.uint64(i + 1))
+        return (words % np.uint64(256)).astype(np.uint8)
+
+    for i, kind in zip(ids, kinds):
+        if kind == "image":
+            rgb = _pix(int(i), img_h * img_w * 3).reshape(img_h, img_w, 3)
+            payloads.append(encode_ppm(rgb))
+            widths.append(img_w); heights.append(img_h); frames.append(1); rates.append(0)
+        elif kind == "audio":
+            words = splitmix64(np.arange(audio_len, dtype=np.uint64) + np.uint64(seed * 31 + 7) * np.uint64(i + 1))
+            samples = ((words % np.uint64(65536)).astype(np.int64) - 32768).astype(np.int16)
+            payloads.append(encode_wav(samples, 16_000))
+            widths.append(0); heights.append(0); frames.append(1); rates.append(16_000)
+        else:
+            fr = [encode_ppm(_pix(int(i) * 1000 + f, img_h * img_w * 3).reshape(img_h, img_w, 3))
+                  for f in range(video_frames)]
+            payloads.append(b"".join(fr))
+            widths.append(img_w); heights.append(img_h); frames.append(video_frames); rates.append(0)
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "kind": pa.array(kinds),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(np.asarray(widths, np.int32)),
+            "height": pa.array(np.asarray(heights, np.int32)),
+            "n_frames": pa.array(np.asarray(frames, np.int32)),
+            "sample_rate": pa.array(np.asarray(rates, np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+# ------------------------------------------------------------- features
+
+def _image_features(rgb: np.ndarray, dim: int) -> np.ndarray:
+    """Fixed-dim image descriptor: per-channel mean/std + gray histogram."""
+    f = np.zeros(dim, dtype=np.float64)
+    chan = rgb.reshape(-1, 3).astype(np.float64)
+    base = np.concatenate([chan.mean(axis=0) / 255.0, chan.std(axis=0) / 255.0])
+    gray = chan.mean(axis=1)
+    nbins = max(dim - 6, 1)
+    hist, _ = np.histogram(gray, bins=nbins, range=(0.0, 255.0))
+    vec = np.concatenate([base, hist / max(gray.size, 1)])
+    f[: min(dim, vec.size)] = vec[:dim]
+    return f
+
+
+def _audio_features(samples: np.ndarray, dim: int) -> np.ndarray:
+    """Fixed-dim audio descriptor: RMS/mean/std/ZCR + banded energies."""
+    f = np.zeros(dim, dtype=np.float64)
+    x = samples.astype(np.float64) / 32768.0
+    if x.size == 0:
+        return f
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if x.size > 1 else 0.0
+    base = np.array([np.sqrt(np.mean(x * x)), x.mean(), x.std(), zcr])
+    nband = max(dim - 4, 1)
+    edge = np.linspace(0, x.size, nband + 1).astype(np.int64)
+    bands = np.array([np.sqrt(np.mean(x[a:b] ** 2)) if b > a else 0.0
+                      for a, b in zip(edge[:-1], edge[1:])])
+    vec = np.concatenate([base, bands])
+    f[: min(dim, vec.size)] = vec[:dim]
+    return f
+
+
+def _real_decode_one(kind: str, buf: bytes, dim: int) -> np.ndarray:
+    if kind == "audio":
+        if buf[:4] != b"RIFF":
+            raise NotImplementedError(
+                "compressed audio codec: plug an MP3/AAC decoder in here")
+        samples, _rate = decode_wav(buf)
+        return _audio_features(samples, dim)
+    if buf[:2] != b"P6":
+        raise NotImplementedError(
+            "compressed image/video codec: plug Pillow/ffmpeg in here")
+    return _image_features(decode_ppm(buf), dim)  # video: first frame
+
+
 class DecodeStage:
     """Actor-pool decode/feature stage: payload -> fixed-dim feature vector.
 
@@ -75,15 +226,14 @@ class DecodeStage:
         self.dim = feature_dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.mode == "real":
-            raise NotImplementedError(
-                "real media decoding requires codec libraries not present in "
-                "this environment; plug Pillow/ffmpeg in here"
-            )
         feats = []
-        for buf in batch["payload"].to_pylist():
-            arr = np.frombuffer(buf[: self.dim * 8].ljust(self.dim * 8, b"\0"), dtype=np.uint64)
-            feats.append((splitmix64(arr).astype(np.float64) / 2**64).tolist())
+        if self.mode == "real":
+            for kind, buf in zip(batch["kind"].to_pylist(), batch["payload"].to_pylist()):
+                feats.append(_real_decode_one(kind, buf, self.dim).tolist())
+        else:
+            for buf in batch["payload"].to_pylist():
+                arr = np.frombuffer(buf[: self.dim * 8].ljust(self.dim * 8, b"\0"), dtype=np.uint64)
+                feats.append((splitmix64(arr).astype(np.float64) / 2**64).tolist())
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -94,16 +244,19 @@ class DecodeStage:
 
 
 class FrameSampleStage:
-    """Deterministic frame sampling for video rows: every k-th frame index,
-    payload sliced per frame (stub slicing: equal byte stripes)."""
+    """Deterministic frame sampling for video rows: every k-th frame.
+
+    ``mode="fake"``: payload sliced into equal byte stripes (stub).
+    ``mode="real"``: payload is a concatenation of equally-sized P6
+    frames; each sampled frame is emitted as a standalone PPM payload.
+    Compressed containers raise at the marked seam.
+    """
 
     def __init__(self, every_k: int = 10, mode: str = "fake"):
         self.k = every_k
         self.mode = mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.mode == "real":
-            raise NotImplementedError("real frame extraction needs ffmpeg")
         ids, kinds, frames, payloads = [], [], [], []
         for mid, kind, nf, buf in zip(
             batch["media_id"].to_pylist(), batch["kind"].to_pylist(),
@@ -111,12 +264,19 @@ class FrameSampleStage:
         ):
             if kind != "video":
                 continue
-            stride = max(1, len(buf) // max(nf, 1))
-            for f in range(0, nf, self.k):
-                ids.append(mid)
-                kinds.append(kind)
-                frames.append(f)
-                payloads.append(buf[f * stride:(f + 1) * stride])
+            if self.mode == "real":
+                if buf[:2] != b"P6":
+                    raise NotImplementedError(
+                        "compressed video container: plug ffmpeg in here")
+                flen = len(buf) // max(nf, 1)
+                for f in range(0, nf, self.k):
+                    ids.append(mid); kinds.append(kind); frames.append(f)
+                    payloads.append(buf[f * flen:(f + 1) * flen])
+            else:
+                stride = max(1, len(buf) // max(nf, 1))
+                for f in range(0, nf, self.k):
+                    ids.append(mid); kinds.append(kind); frames.append(f)
+                    payloads.append(buf[f * stride:(f + 1) * stride])
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),

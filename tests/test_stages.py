@@ -156,8 +156,46 @@ def test_multimodal_plumbing():
     assert set(frames["media_id"]) == set(videos["media_id"])
 
 
-def test_multimodal_real_mode_raises():
+def test_multimodal_real_mode_raises_on_compressed():
+    # hash-garbage payloads have no P6/RIFF magic -> the codec seam raises
     tbl = multimodal.synth_media_table(4, seed=2)
     ds = rd.from_arrow(tbl)
     with pytest.raises(Exception):
         multimodal.decode_features(ds, mode="real").to_pandas()
+
+
+def test_multimodal_real_decode_uncompressed():
+    tbl = multimodal.synth_real_media_table(24, seed=7)
+    ds = rd.from_arrow(tbl)
+    feats = multimodal.decode_features(ds, mode="real", feature_dim=16).to_pandas()
+    assert len(feats) == 24
+    assert all(len(f) == 16 and np.all(np.isfinite(f)) for f in feats["features"])
+    # spot-check an image row against a direct numpy decode
+    pdf = tbl.to_pandas()
+    img = pdf.query("kind == 'image'").iloc[0]
+    rgb = multimodal.decode_ppm(img["payload"])
+    assert rgb.shape == (int(img["height"]), int(img["width"]), 3)
+    got = np.asarray(feats.set_index("media_id").loc[img["media_id"], "features"])
+    assert np.allclose(got, multimodal._image_features(rgb, 16))
+    # spot-check an audio row: WAV round-trips through the stdlib decoder
+    aud = pdf.query("kind == 'audio'").iloc[0]
+    samples, rate = multimodal.decode_wav(aud["payload"])
+    assert rate == 16_000 and samples.dtype == np.int16 and samples.size == 2048
+    got_a = np.asarray(feats.set_index("media_id").loc[aud["media_id"], "features"])
+    assert np.allclose(got_a, multimodal._audio_features(samples, 16))
+
+
+def test_multimodal_real_frame_sample():
+    tbl = multimodal.synth_real_media_table(24, seed=7, video_frames=6)
+    ds = rd.from_arrow(tbl)
+    frames = multimodal.sample_frames(ds, every_k=2, mode="real").to_pandas()
+    videos = tbl.to_pandas().query("kind == 'video'")
+    assert len(frames) == 3 * len(videos)  # frames 0, 2, 4 of 6
+    # every sampled frame is a standalone decodable PPM with original pixels
+    row = frames.iloc[0]
+    vid = videos.set_index("media_id").loc[row["media_id"]]
+    flen = len(vid["payload"]) // int(vid["n_frames"])
+    f = int(row["frame_idx"])
+    assert bytes(row["frame_payload"]) == bytes(vid["payload"][f * flen:(f + 1) * flen])
+    rgb = multimodal.decode_ppm(bytes(row["frame_payload"]))
+    assert rgb.shape == (int(vid["height"]), int(vid["width"]), 3)
