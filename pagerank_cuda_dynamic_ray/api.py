@@ -62,14 +62,21 @@ def build_graph(
     dict_ref = ray.put(dictionary)
     batches: list[np.ndarray] = []
     if temporal:
-        # materialize the globally-sorted log ONCE — split_at_indices and
-        # every per-batch encode below would otherwise re-execute the
-        # distributed sort per consumer
-        log = raw_edges.sort(["ts", "src", "turn_idx"]).materialize()
+        # Encode BEFORE the global sort: vids are positions in the
+        # sorted string dictionary, so ordering by (ts, src_vid,
+        # turn_idx) is the identical total order as the string key —
+        # but the shuffle compares int64 and ships ints, not strings.
+        # Materialize the sorted log ONCE — split_at_indices would
+        # otherwise re-execute the distributed sort per consumer.
+        log = (
+            E.encode_edges(raw_edges, dict_ref)
+            .sort(["ts", "src", "turn_idx"])
+            .materialize()
+        )
         base, batch_ds = E.temporal_split(log, base_fraction, batch_fraction, num_batches)
-        encoded = E.encode_edges(base, dict_ref)
+        encoded = base
         for b in batch_ds:
-            pdf = E.encode_edges(b, dict_ref).to_pandas()  # batches are small (1e-3 * M)
+            pdf = b.to_pandas()  # batches are small (1e-3 * M)
             batches.append(np.stack([
                 pdf["src"].to_numpy().astype(np.int64),
                 pdf["dst"].to_numpy().astype(np.int64),

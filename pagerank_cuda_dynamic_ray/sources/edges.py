@@ -43,9 +43,20 @@ EDGE_SCHEMA = pa.schema(
 )
 
 
-def read_transcripts(path: str, columns: list[str] | None = None) -> rd.Dataset:
-    """Column-pruned Parquet read of a transcript table."""
-    return rd.read_parquet(path, columns=columns)
+def read_transcripts(path: str, columns: list[str] | None = None,
+                     parallelism: int | None = None) -> rd.Dataset:
+    """Column-pruned Parquet read of a transcript table.
+
+    ``parallelism=None`` sizes the block count to the cluster: Ray's
+    default splitting over-fragments small-file inputs (72 blocks for a
+    single 25 MB file), and per-block task overhead then dominates the
+    downstream map/sort stages. One block per core is enough to keep
+    every core busy through extract/encode while keeping sort fan-in low.
+    """
+    if parallelism is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        parallelism = max(8, cpus)
+    return rd.read_parquet(path, columns=columns, override_num_blocks=parallelism)
 
 
 def _extract_edges_batch(batch: pa.Table) -> pa.Table:
