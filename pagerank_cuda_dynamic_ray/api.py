@@ -19,6 +19,20 @@ from .sources import edges as E
 from .sources import transcripts as T
 
 
+# Above this many transcript rows, "auto" switches the vertex dictionary
+# to the distributed (Dataset + hash-join) path: a broadcast numpy
+# universe at ~16 B/id passes ~1 GiB per node around 5e7 ids, and the
+# driver-side unique-merge stops being free well before 1e9.
+DIST_DICT_THRESHOLD = 50_000_000
+
+
+def _transcript_rows(path: str) -> int:
+    """Row count from Parquet metadata only (no data read)."""
+    import pyarrow.dataset as pads
+
+    return pads.dataset(path).count_rows()
+
+
 def auto_num_parts(num_edges: int) -> int:
     """Partition count sized to the data: ~150k edges per shard, clamped
     to [2, cpus-2] — small graphs avoid paying P×-scale exchange setup,
@@ -37,6 +51,7 @@ def build_graph(
     num_batches: int = 5,
     num_cpus_per_shard: float = 0.5,
     hub_split_threshold: int | None = None,
+    dictionary_mode: str = "auto",
 ):
     """Transcripts Parquet -> (GraphContext, insertion batches).
 
@@ -47,6 +62,14 @@ def build_graph(
     ``batch_fraction * M`` edges are returned as insertion batches
     ((2,k) vid arrays, temporal order preserved). ``num_parts=None``
     auto-sizes the shard count from the edge count.
+
+    ``dictionary_mode``: ``"broadcast"`` builds the id->vid dictionary
+    as one sorted numpy array shipped via ``ray.put`` (fast, fine up to
+    ~10^8 ids); ``"distributed"`` keeps it a Dataset and encodes via
+    hash joins — the driver never holds the universe (the 100 TB path);
+    ``"auto"`` picks by the transcript row count
+    (``DIST_DICT_THRESHOLD``). Both produce identical vids (the
+    dictionary sort orders agree for ASCII conv_ids).
     """
     # column-pruned reads: edge extraction touches 5 columns, the
     # dictionary pass only conv_id — never load `role`/`text` twice
@@ -57,9 +80,25 @@ def build_graph(
     if num_parts is None:
         num_parts = auto_num_parts(raw_edges.count())
     ts_ids = E.read_transcripts(transcripts_path, columns=["conv_id"])
-    dictionary = E.vertex_dictionary(ts_ids, raw_edges)
-    n = len(dictionary)
-    dict_ref = ray.put(dictionary)
+    if dictionary_mode == "auto":
+        dictionary_mode = (
+            "distributed" if _transcript_rows(transcripts_path) > DIST_DICT_THRESHOLD
+            else "broadcast"
+        )
+    dictionary = dict_ds = None
+    if dictionary_mode == "distributed":
+        dict_ds = E.vertex_dictionary_ds(ts_ids, raw_edges).materialize()
+        n = dict_ds.count()
+        # materialize the join output BEFORE the shard actor pool exists:
+        # the join's aggregator actors and the pool would otherwise
+        # compete for CPU slots (blocks stay in the object store / spill)
+        encoded_all = E.encode_edges_ds(
+            raw_edges, dict_ds, num_partitions=num_parts
+        ).materialize()
+    else:
+        dictionary = E.vertex_dictionary(ts_ids, raw_edges)
+        n = len(dictionary)
+        encoded_all = E.encode_edges(raw_edges, ray.put(dictionary))
     batches: list[np.ndarray] = []
     if temporal:
         # Encode BEFORE the global sort: vids are positions in the
@@ -68,11 +107,7 @@ def build_graph(
         # but the shuffle compares int64 and ships ints, not strings.
         # Materialize the sorted log ONCE — split_at_indices would
         # otherwise re-execute the distributed sort per consumer.
-        log = (
-            E.encode_edges(raw_edges, dict_ref)
-            .sort(["ts", "src", "turn_idx"])
-            .materialize()
-        )
+        log = encoded_all.sort(["ts", "src", "turn_idx"]).materialize()
         base, batch_ds = E.temporal_split(log, base_fraction, batch_fraction, num_batches)
         encoded = base
         for b in batch_ds:
@@ -82,10 +117,11 @@ def build_graph(
                 pdf["dst"].to_numpy().astype(np.int64),
             ]))
     else:
-        encoded = E.encode_edges(raw_edges, dict_ref)
+        encoded = encoded_all
     ctx = GraphContext.from_edges(
         encoded.select_columns(["src", "dst"]), n, num_parts, dictionary, add_self_loops,
         num_cpus_per_shard=num_cpus_per_shard, hub_split_threshold=hub_split_threshold,
+        dictionary_ds=dict_ds,
     )
     return ctx, batches
 

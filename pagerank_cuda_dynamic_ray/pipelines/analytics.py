@@ -213,4 +213,14 @@ def _with_conv(ctx: GraphContext, tables) -> rd.Dataset:
             vids = t["vid"].to_numpy()
             out.append(t.append_column("conv_id", pa.array(ctx.dictionary[vids])))
         tables = out
-    return rd.from_arrow(tables)
+        return rd.from_arrow(tables)
+    ds = rd.from_arrow(tables)
+    if ctx.dictionary_ds is not None:
+        # distributed-dictionary mode: conv_id via hash join, no driver
+        # gather; fractional-CPU aggregators so the join can schedule
+        # while the shard actor pool holds CPU slots
+        ds = ds.join(
+            ctx.dictionary_ds, "inner", ctx.P, on=("vid",),
+            aggregator_ray_remote_args={"num_cpus": 0.25},
+        ).rename_columns({"id": "conv_id"})
+    return ds

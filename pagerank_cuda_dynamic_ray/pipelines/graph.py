@@ -44,7 +44,8 @@ class GraphContext:
 
     def __init__(self, num_vertices: int, num_parts: int = 8, dictionary: np.ndarray | None = None,
                  add_self_loops: bool = True, num_cpus_per_shard: float = 0.5,
-                 hub_split_threshold: int | None = None):
+                 hub_split_threshold: int | None = None,
+                 dictionary_ds: "rd.Dataset | None" = None):
         # num_cpus_per_shard defaults to 0.5 so a pool of P shards reserves
         # P/2 CPU slots, leaving headroom for the Ray Data ingest/derive
         # tasks that feed the pool — a pool reserving every CPU deadlocks
@@ -52,6 +53,9 @@ class GraphContext:
         self.N = int(num_vertices)
         self.P = int(num_parts)
         self.dictionary = dictionary
+        # distributed-dictionary mode: (id, vid) as a Dataset; conv_id
+        # attachment becomes a hash join instead of a driver gather
+        self.dictionary_ds = dictionary_ds
         self.self_loops = add_self_loops
         # explicit skew splitting: vertices with in-degree above this
         # threshold get their in-edge sums computed as per-source-shard
@@ -143,9 +147,10 @@ class GraphContext:
     def from_edges(cls, encoded_edges: rd.Dataset, num_vertices: int, num_parts: int = 8,
                    dictionary: np.ndarray | None = None, add_self_loops: bool = True,
                    num_cpus_per_shard: float = 0.5,
-                   hub_split_threshold: int | None = None) -> "GraphContext":
+                   hub_split_threshold: int | None = None,
+                   dictionary_ds: "rd.Dataset | None" = None) -> "GraphContext":
         ctx = cls(num_vertices, num_parts, dictionary, add_self_loops, num_cpus_per_shard,
-                  hub_split_threshold=hub_split_threshold)
+                  hub_split_threshold=hub_split_threshold, dictionary_ds=dictionary_ds)
         route_edges(encoded_edges, ctx.shards)
         ctx.finalize()
         return ctx
@@ -666,7 +671,14 @@ class GraphContext:
             if self.dictionary is not None:
                 cols["conv_id"] = pa.array(self.dictionary[vids])
             tables.append(pa.table(cols))
-        return rd.from_arrow(tables)
+        ds = rd.from_arrow(tables)
+        if self.dictionary is None and self.dictionary_ds is not None:
+            # fractional-CPU aggregators: the shard pool holds CPU slots
+            ds = ds.join(
+                self.dictionary_ds, "inner", self.P, on=("vid",),
+                aggregator_ray_remote_args={"num_cpus": 0.25},
+            ).rename_columns({"id": "conv_id"})
+        return ds
 
 
 def _light(metric: dict) -> dict:

@@ -169,6 +169,93 @@ def vertex_dictionary(transcripts: rd.Dataset, edges: rd.Dataset | None = None) 
     return np.unique(np.concatenate(chunks).astype(f"U{maxlen}"))
 
 
+@ray.remote
+def _append_vid(tbl: pa.Table, offset: int) -> pa.Table:
+    return tbl.append_column(
+        "vid", pa.array(np.arange(offset, offset + tbl.num_rows, dtype=np.int64))
+    )
+
+
+def _default_partitions() -> int:
+    return max(8, int(ray.cluster_resources().get("CPU", 8))) if ray.is_initialized() else 8
+
+
+def vertex_dictionary_ds(transcripts: rd.Dataset,
+                         edges: rd.Dataset | None = None) -> rd.Dataset:
+    """The 100 TB dictionary path: (id, vid) as a Dataset — the id
+    universe never lands on the driver (only per-block row COUNTS do).
+
+    Same semantics as :func:`vertex_dictionary` (vid = rank of the id in
+    the sorted distinct universe — identical order for ASCII conv_ids,
+    since Arrow's UTF-8 byte order equals numpy's code-point order), but
+    built as: per-block unique (combiner) -> hash-partitioned distinct
+    (``groupby``) -> distributed sort -> per-block vid = block offset +
+    local position, stamped by Ray tasks over the sorted block refs (a
+    shared running index is the one step the Dataset API can't express;
+    the driver touches only the per-block counts for the prefix sum).
+    """
+
+    def _uniq(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({"id": pc.unique(t[col])})
+
+        return f
+
+    parts = transcripts.map_batches(_uniq("conv_id"), batch_format="pyarrow")
+    if edges is not None:
+        parts = parts.union(edges.map_batches(_uniq("dst"), batch_format="pyarrow"))
+    from ray.data.aggregate import Count
+
+    distinct = parts.groupby("id").aggregate(Count()).select_columns(["id"])
+    srt = distinct.sort("id").materialize()
+    refs, offsets, off = [], [], 0
+    for bundle in srt.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            refs.append(block_ref)
+            offsets.append(off)
+            off += meta.num_rows
+    return rd.from_arrow_refs([
+        _append_vid.remote(r, o) for r, o in zip(refs, offsets)
+    ])
+
+
+def encode_edges_ds(edges: rd.Dataset, dict_ds: rd.Dataset,
+                    num_partitions: int | None = None) -> rd.Dataset:
+    """Shuffle-join encode for universes too large to broadcast: two
+    hash joins (src, then dst) against the (id, vid) dictionary Dataset.
+    Inner joins are lossless here — the dictionary covers every endpoint
+    by construction. Same output schema as :func:`encode_edges`.
+    """
+    P = num_partitions or _default_partitions()
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": t["src_vid"],
+                "dst": t["dst_vid"],
+                "ts": t["ts"],
+                "turn_idx": t["turn_idx"],
+            }
+        )
+
+    # Fractional-CPU aggregators, sized so BOTH joins' aggregator pools
+    # (2 x P actors) together reserve at most half the cluster — a full
+    # reservation leaves no slots for the read/map tasks feeding the
+    # joins and the pipeline deadlocks (observed at 4 CPUs, P=4, 0.5).
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    agg = {"num_cpus": min(0.5, max(0.1, (cpus / 2) / (2 * P)))}
+    return (
+        edges
+        .join(dict_ds, "inner", P, on=("src",), right_on=("id",),
+              aggregator_ray_remote_args=agg)
+        .rename_columns({"vid": "src_vid"})
+        .join(dict_ds, "inner", P, on=("dst",), right_on=("id",),
+              aggregator_ray_remote_args=agg)
+        .rename_columns({"vid": "dst_vid"})
+        .map_batches(proj, batch_format="pyarrow")
+    )
+
+
 def encode_edges(edges: rd.Dataset, dictionary_ref) -> rd.Dataset:
     """Map string conv_ids -> dense int64 vids via the broadcast dictionary.
 
