@@ -148,6 +148,22 @@ def _q_vertex_dictionary(sf_dir: str):
     return pa.table({"conv_id": pa.array(d), "vid": pa.array(np.arange(len(d), dtype=np.int64))})
 
 
+def _q_edges_encoded_dist(sf_dir: str):
+    """The 100 TB dictionary path end-to-end: distributed (id, vid)
+    dictionary Dataset + two-sided hash-join encode — the driver never
+    holds the id universe. Hash-verifying the encoded vids against the
+    SQL dense-rank dictionary checks BOTH the distributed distinct/sort
+    and the join encode."""
+    path = _fixture(sf_dir)
+    ts = E.read_transcripts(path, columns=["conv_id", "turn_idx", "text", "tool", "ts"])
+    raw = E.extract_edges(ts).materialize()
+    ts_ids = E.read_transcripts(path, columns=["conv_id"])
+    dict_ds = E.vertex_dictionary_ds(ts_ids, raw).materialize()
+    return E.encode_edges_ds(raw, dict_ds, num_partitions=NUM_PARTS).select_columns(
+        ["src", "dst", "turn_idx"]
+    )
+
+
 def _q_out_degrees(sf_dir: str):
     ctx = _graph(sf_dir)
     dict_ref = ray.put(ctx.dictionary)
@@ -490,6 +506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph family (SURVEY.md §2.1-2.4, §2.9)
         "edge_log": _q_edge_log,
         "vertex_dictionary": _q_vertex_dictionary,
+        "edges_encoded_dist": _q_edges_encoded_dist,
         "out_degrees": _q_out_degrees,
         "self_loops": _q_self_loops,
         "triangle_total": _q_triangle_total,
@@ -1025,6 +1042,11 @@ def oracle_sql() -> dict[str, str]:
         "edge_log": _GRAPH_CTE + "\nSELECT src, dst, turn_idx FROM mention",
         "vertex_dictionary": _GRAPH_CTE
         + "\nSELECT conv_id, CAST(row_number() OVER (ORDER BY conv_id) - 1 AS BIGINT) AS vid FROM ids",
+        "edges_encoded_dist": _GRAPH_CTE
+        + """,
+dict AS (SELECT conv_id, CAST(row_number() OVER (ORDER BY conv_id) - 1 AS BIGINT) AS vid FROM ids)
+SELECT ds.vid AS src, dd.vid AS dst, m.turn_idx
+FROM mention m JOIN dict ds ON m.src = ds.conv_id JOIN dict dd ON m.dst = dd.conv_id""",
         "out_degrees": _GRAPH_CTE
         + "\nSELECT src AS conv_id, count(*) AS outdeg FROM uedges GROUP BY src",
         "self_loops": _GRAPH_CTE
