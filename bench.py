@@ -153,7 +153,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     D.minhash_dedup(docs).materialize()
     q["minhash_dedup"] = time.perf_counter() - t0
     t0 = time.perf_counter()
-    TS.analyze_documents(docs, concurrency=8, batch_size=512).materialize()
+    TS.analyze_documents(docs, batch_size=512).materialize()
     q["text_analysis"] = time.perf_counter() - t0
 
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])

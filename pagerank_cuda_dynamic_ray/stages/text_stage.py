@@ -1,9 +1,19 @@
-"""Text-analysis actor stage over the documents table.
+"""Text-analysis stage over the documents table.
 
-Stateful ``map_batches`` class: regexes compiled once per actor in
-``__init__``, vectorized pandas/numpy kernels per batch — the canonical
-Ray Data stateful-stage pattern. Produces language id, quality features,
-token counts and a rolling-hash fingerprint per document.
+Vectorized pandas/numpy kernels per batch, producing language id, quality
+features, token counts and a rolling-hash fingerprint per document.
+
+Two execution shapes, picked by per-actor setup cost — the Ray Data rule
+of thumb is actor pools ONLY when ``__init__`` does real work (model
+load, index build):
+
+- default (``concurrency=None``): plain-function ``map_batches`` tasks.
+  All stage state (compiled regexes, stopword set) is module-level in
+  ``functions.text`` — setup is microseconds, so tasks reuse the
+  session's already-warm workers with zero pool spin-up.
+- ``concurrency=N``: the ``TextAnalysis`` actor-pool variant, the shape
+  to reach for when the stage grows expensive state (e.g. a model). Both
+  produce identical outputs.
 """
 
 from __future__ import annotations
@@ -15,7 +25,26 @@ import ray.data as rd
 from ..functions import text as X
 
 
+def _analyze_batch(batch: pd.DataFrame, with_fingerprint: bool = True) -> pd.DataFrame:
+    texts = batch["text"].fillna("")
+    feats = X.quality_features(texts)
+    out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()})
+    out["n_chars"] = feats["n_chars"]
+    out["n_tokens_ws"] = feats["n_tokens"]
+    out["n_tokens_bpe"] = X.bpe_token_count(texts)
+    out["punct_ratio"] = feats["punct_ratio"]
+    out["upper_ratio"] = feats["upper_ratio"]
+    out["stop_ratio"] = feats["stop_ratio"]
+    out["quality"] = feats["quality"]
+    out["lang"] = X.lang_id(texts).to_numpy()
+    if with_fingerprint:
+        out["fingerprint"] = X.fingerprint(texts).astype(np.int64)
+    return out
+
+
 class TextAnalysis:
+    """Actor-pool variant: state resolved once per actor in ``__init__``."""
+
     def __init__(self, with_fingerprint: bool = True):
         # compile once per actor (not per batch)
         self.ws_re = X.WS_RE
@@ -23,24 +52,17 @@ class TextAnalysis:
         self.with_fingerprint = with_fingerprint
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch["text"].fillna("")
-        feats = X.quality_features(texts)
-        out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()})
-        out["n_chars"] = feats["n_chars"]
-        out["n_tokens_ws"] = feats["n_tokens"]
-        out["n_tokens_bpe"] = X.bpe_token_count(texts)
-        out["punct_ratio"] = feats["punct_ratio"]
-        out["upper_ratio"] = feats["upper_ratio"]
-        out["stop_ratio"] = feats["stop_ratio"]
-        out["quality"] = feats["quality"]
-        out["lang"] = X.lang_id(texts).to_numpy()
-        if self.with_fingerprint:
-            out["fingerprint"] = X.fingerprint(texts).astype(np.int64)
-        return out
+        return _analyze_batch(batch, self.with_fingerprint)
 
 
-def analyze_documents(docs: rd.Dataset, concurrency: int = 2, batch_size: int = 2048,
+def analyze_documents(docs: rd.Dataset, concurrency: int | None = None,
+                      batch_size: int = 1024,
                       with_fingerprint: bool = True) -> rd.Dataset:
+    if concurrency is None:
+        return docs.map_batches(
+            _analyze_batch, batch_format="pandas", batch_size=batch_size,
+            fn_kwargs={"with_fingerprint": with_fingerprint},
+        )
     return docs.map_batches(
         TextAnalysis, batch_format="pandas", batch_size=batch_size,
         concurrency=concurrency, fn_constructor_kwargs={"with_fingerprint": with_fingerprint},

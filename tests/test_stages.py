@@ -134,9 +134,14 @@ def test_text_analysis():
     assert out["n_chars"].tolist() == [len(t) for t in texts]
     assert out["lang"].tolist()[:2] == ["en", "de"]
     assert out["lang"].tolist()[2] == "und"
-    # deterministic across runs
+    # deterministic across runs, and the actor-pool variant is identical
     out2 = text_stage.analyze_documents(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out2)
+    out3 = (
+        text_stage.analyze_documents(docs, concurrency=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out3)
 
 
 def test_multimodal_plumbing():
