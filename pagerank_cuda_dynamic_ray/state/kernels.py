@@ -105,6 +105,34 @@ def encode_pairs(local: np.ndarray, other: np.ndarray, n_other: int) -> np.ndarr
     return local * np.int64(n_other) + other
 
 
+def pair_sort(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Rows sorted by (a, b) ascending: one packed-int64 ``np.sort`` when
+    the key space fits ((max(a)+1)*(max(b)+1) < 2^62 — true for any graph
+    with N < ~2e9), else ``np.lexsort``. The packed path is ~2-3x faster:
+    a single sort with cheap comparisons, and both columns decode from
+    the sorted key with no gather passes. Requires a, b >= 0."""
+    if a.size == 0:
+        return a, b
+    m = np.int64(b.max()) + 1
+    if int(a.max()) < (1 << 62) // int(m):
+        k = np.sort(a * m + b)
+        return k // m, k % m
+    order = np.lexsort((b, a))
+    return a[order], b[order]
+
+
+def pair_argsort(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Permutation sorting rows by (a, b) ascending — packed single-key
+    argsort when the key space fits, else ``np.lexsort``. Use when extra
+    columns must ride along with the sort. Requires a, b >= 0."""
+    if a.size == 0:
+        return np.empty(0, dtype=np.int64)
+    m = np.int64(b.max()) + 1
+    if int(a.max()) < (1 << 62) // int(m):
+        return np.argsort(a * m + b, kind="stable")
+    return np.lexsort((b, a))
+
+
 def set_minus_union(current: np.ndarray, deletions: np.ndarray, insertions: np.ndarray) -> np.ndarray:
     """(current \\ deletions) ∪ insertions on sorted-unique int64 key arrays.
 

@@ -83,6 +83,9 @@ class GraphShard:
         self._contrib_inbox: dict[int, dict[int, tuple]] = {}
         self._marks_inbox: dict[int, dict[int, tuple]] = {}
         self._linf_inbox: dict[int, dict[int, float]] = {}
+        # p2p label-loop state (run_label_iterations: cc / lp / bfs)
+        self._labelmsg_inbox: dict[int, dict[int, np.ndarray]] = {}
+        self._changed_inbox: dict[int, dict[int, int]] = {}
         # hub splitting (off unless configure_hub_split is called)
         self.hub_split = False
         self.hub_rows = np.empty(0, dtype=np.int64)   # owned hub local rows
@@ -667,6 +670,84 @@ class GraphShard:
             self._cv = asyncio.Condition()
         return self._cv
 
+    async def recv_labelmsg(self, it: int, q: int, payload: np.ndarray) -> None:
+        cv = self._ensure_cv()
+        async with cv:
+            self._labelmsg_inbox.setdefault(it, {})[q] = payload
+            cv.notify_all()
+
+    async def recv_changed(self, it: int, q: int, n: int) -> None:
+        cv = self._ensure_cv()
+        async with cv:
+            self._changed_inbox.setdefault(it, {})[q] = n
+            cv.notify_all()
+
+    async def run_label_iterations(
+        self, peers: list, algo: str, max_rounds: int, source_vid: int = 0,
+    ) -> int:
+        """Run a whole label fixpoint (cc / lp / bfs) inside the pool —
+        the label-algorithm analogue of :meth:`run_iterations`. ONE driver
+        dispatch per shard per run instead of 2-3 barriers x P tasks per
+        round; each round ships per-peer slices directly (no broadcast).
+        The changed-count allreduce doubles as the round barrier and the
+        stop vote, so every shard breaks at the same round and every
+        in-flight message is consumed before the method returns (no stale
+        keys for the next run). Kernels are the exact ones the driver
+        loop calls — results are bit-identical. Returns rounds executed.
+        """
+        import ray
+
+        cv = self._ensure_cv()
+        P, me = self.P, self.p
+        frontier = None
+        if algo == "cc":
+            self.cc_init()
+        elif algo == "lp":
+            self.lp_init()
+        elif algo == "bfs":
+            frontier = self.bfs_init(source_vid)
+        else:
+            raise ValueError(f"unknown label algo {algo!r}")
+        rounds = 0
+        for it in range(max_rounds):
+            if algo == "cc":
+                _, *out = self.cc_push()
+            elif algo == "lp":
+                _, *out = self.lp_emit()
+            else:
+                _, *out = self.expand_sym_neighbors(frontier)
+            if P > 1:
+                for p, h in enumerate(peers):
+                    if p != me:
+                        h.recv_labelmsg.remote(it, me, out[p])
+            async with cv:
+                self._labelmsg_inbox.setdefault(it, {})[me] = out[me]
+                cv.notify_all()
+                await cv.wait_for(lambda: len(self._labelmsg_inbox.get(it, {})) == P)
+                inbox = self._labelmsg_inbox.pop(it)
+            msgs = [inbox[q] for q in range(P)]
+            if algo == "cc":
+                changed = self.cc_apply(*msgs)
+            elif algo == "lp":
+                changed = self.lp_apply(*msgs)
+                self.lp_swap()
+            else:
+                frontier = self.bfs_apply(it + 1, *msgs)
+                changed = int(frontier.size)
+            if P > 1:
+                for p, h in enumerate(peers):
+                    if p != me:
+                        h.recv_changed.remote(it, me, changed)
+            async with cv:
+                self._changed_inbox.setdefault(it, {})[me] = changed
+                cv.notify_all()
+                await cv.wait_for(lambda: len(self._changed_inbox.get(it, {})) == P)
+                cin = self._changed_inbox.pop(it)
+            rounds = it + 1
+            if sum(cin.values()) == 0:
+                break
+        return rounds
+
     async def run_iterations(
         self,
         peers: list,
@@ -917,8 +998,7 @@ class GraphShard:
             labs = np.repeat(self.labels[fr], np.diff(bounds))
             if dsts.size:
                 # min label per destination (combiner before the exchange)
-                order = np.lexsort((labs, dsts))
-                dsts, labs = dsts[order], labs[order]
+                dsts, labs = K.pair_sort(dsts, labs)
                 first = np.empty(len(dsts), dtype=bool)
                 first[0] = True
                 first[1:] = dsts[1:] != dsts[:-1]
@@ -940,8 +1020,7 @@ class GraphShard:
             return 0
         dst = np.concatenate(dsts)
         lab = np.concatenate(labs)
-        order = np.lexsort((lab, dst))
-        dst, lab = dst[order], lab[order]
+        dst, lab = K.pair_sort(dst, lab)
         first = np.empty(len(dst), dtype=bool)
         first[0] = True
         first[1:] = dst[1:] != dst[:-1]
@@ -969,8 +1048,7 @@ class GraphShard:
         lens = np.diff(self.sym_offsets)
         dsts = self.sym_adj
         labs = np.repeat(self.labels, lens)
-        order = np.lexsort((labs, dsts))
-        dsts, labs = dsts[order], labs[order]
+        dsts, labs = K.pair_sort(dsts, labs)
         new = np.empty(len(dsts), dtype=bool)
         new[0] = True
         new[1:] = (dsts[1:] != dsts[:-1]) | (labs[1:] != labs[:-1])
@@ -997,7 +1075,7 @@ class GraphShard:
         dst = np.concatenate([t[0] for t in parts])
         lab = np.concatenate([t[1] for t in parts])
         cnt = np.concatenate([t[2] for t in parts])
-        order = np.lexsort((lab, dst))
+        order = K.pair_argsort(dst, lab)
         dst, lab, cnt = dst[order], lab[order], cnt[order]
         new = np.empty(len(dst), dtype=bool)
         new[0] = True

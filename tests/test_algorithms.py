@@ -79,3 +79,23 @@ def test_cc_survives_batch_update():
     after = analytics.connected_components(ctx).to_pandas()
     assert after["component"].nunique() == n - 5
     ctx.shutdown()
+
+
+@pytest.mark.parametrize("num_parts", [1, 4])
+def test_label_loops_p2p_equals_driver(num_parts):
+    """The in-pool p2p label loop must be bit-identical to the
+    driver-coordinated loop for CC, LP and BFS."""
+    n = 80
+    src, dst = _graph(9, n, 120)
+    ctx = GraphContext(n, num_parts)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    for fn, col, kw in (
+        (analytics.connected_components, "component", {}),
+        (analytics.label_propagation, "label", {"max_iterations": 10}),
+        (lambda c, mode, **k: analytics.bfs_distances(c, 0, mode=mode, **k), "distance", {}),
+    ):
+        a = fn(ctx, mode="p2p", **kw).to_pandas().sort_values("vid")[col].to_numpy()
+        b = fn(ctx, mode="driver", **kw).to_pandas().sort_values("vid")[col].to_numpy()
+        np.testing.assert_array_equal(a, b)
+    ctx.shutdown()
