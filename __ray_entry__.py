@@ -230,6 +230,40 @@ def _q_pagerank_dynamic(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _q_pagerank_dynamic_ranks(sf_dir: str):
+    """The dynamic protocol, hash-verified: base graph from the first
+    80% of the ordered log, the remaining edges applied as two insertion
+    batches with DF warm restarts — every run at a fixed
+    ``PR_ORACLE_ITERS`` with zero tolerances, so each stage sits at the
+    numerical fixpoint of its graph. Vertices unaffected by a batch keep
+    their prior-fixpoint bits (the DF reachability argument,
+    /root/reference/inc/pagerank.hxx:645-676); affected vertices iterate
+    to the new fixpoint — so the final quantized ranks must equal the
+    SQL power iteration over the COMPLETE edge set (the reference's own
+    dynamic-vs-static validation, /root/reference/main.cu:88)."""
+    ctx, batches = api.build_graph(
+        _fixture(sf_dir), num_parts=NUM_PARTS, temporal=True,
+        base_fraction=0.8, batch_fraction=0.1, num_batches=2,
+    )
+    try:
+        o = PagerankOptions(
+            tolerance=0.0, max_iterations=PR_ORACLE_ITERS, frontier_tolerance=0.0
+        )
+        res = ctx.pagerank("static", options=o)
+        warm = list(res.ranks)
+        empty = np.empty((2, 0), dtype=np.int64)
+        for batch in batches:
+            dels, ins = ctx.tidy_batch(empty, batch)
+            ctx.apply_batch(dels, ins)
+            marks = ctx.compute_frontier_marks(empty, ins)
+            r = ctx.pagerank("df", warm=warm, initial_marks=marks, options=o)
+            warm = list(r.ranks)
+        e10 = np.round(ctx.assemble(warm) * 1e10).astype(np.int64)
+        return pa.table({"conv_id": pa.array(ctx.dictionary), "rank_e10": pa.array(e10)})
+    finally:
+        ctx.shutdown()
+
+
 def _q_bfs_distances(sf_dir: str):
     ctx = _graph(sf_dir)
     return A.bfs_distances(ctx, 0).select_columns(["conv_id", "distance"])
@@ -514,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_static": _q_pagerank_static,
         "pagerank_top20": _q_pagerank_top20,
         "pagerank_dynamic": _q_pagerank_dynamic,
+        "pagerank_dynamic_ranks": _q_pagerank_dynamic_ranks,
         "connected_components": _q_connected_components,
         "label_propagation": _q_label_propagation,
         "bfs_distances": _q_bfs_distances,
@@ -1067,6 +1102,10 @@ corners AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT 
 SELECT i.conv_id AS conv_id, CAST(coalesce(c.n, 0) AS BIGINT) AS triangles
 FROM ids i LEFT JOIN (SELECT v, count(*) AS n FROM corners GROUP BY v) c ON c.v = i.conv_id""",
         "pagerank_static": _GRAPH_CTE2 + _PR_CTE
+        + "\nSELECT v AS conv_id, rank_e10 FROM prr",
+        # the dynamic-protocol query must land on the SAME fixpoint as a
+        # from-scratch power iteration over the complete edge set
+        "pagerank_dynamic_ranks": _GRAPH_CTE2 + _PR_CTE
         + "\nSELECT v AS conv_id, rank_e10 FROM prr",
         "pagerank_top20": _GRAPH_CTE2 + _PR_CTE
         + """
