@@ -285,6 +285,29 @@ def _q_connected_components(sf_dir: str):
     return _vid_to_conv(ctx, ds, "component", "component_id")
 
 
+def _q_cc_incremental(sf_dir: str):
+    """Incremental CC hash-verified: cold CC on the base 80% of the
+    ordered log, then each insertion batch applied and the components
+    warm-restarted from just the batch endpoints
+    (``connected_components_incremental``). The final labels must equal
+    the full-graph CC oracle — warm merging is exact for insertions."""
+    ctx, batches = api.build_graph(
+        _fixture(sf_dir), num_parts=NUM_PARTS, temporal=True,
+        base_fraction=0.8, batch_fraction=0.1, num_batches=2,
+    )
+    try:
+        A.connected_components(ctx)
+        empty = np.empty((2, 0), dtype=np.int64)
+        ds = None
+        for batch in batches:
+            dels, ins = ctx.tidy_batch(empty, batch)
+            ctx.apply_batch(dels, ins)
+            ds = A.connected_components_incremental(ctx, ins)
+        return _vid_to_conv(ctx, ds, "component", "component_id").materialize()
+    finally:
+        ctx.shutdown()
+
+
 def _q_label_propagation(sf_dir: str):
     ctx = _graph(sf_dir)
     ds = A.label_propagation(ctx, max_iterations=10)
@@ -550,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_dynamic": _q_pagerank_dynamic,
         "pagerank_dynamic_ranks": _q_pagerank_dynamic_ranks,
         "connected_components": _q_connected_components,
+        "cc_incremental": _q_cc_incremental,
         "label_propagation": _q_label_propagation,
         "bfs_distances": _q_bfs_distances,
         "modularity": _q_modularity,
@@ -1114,6 +1138,17 @@ SELECT CAST(row_number() OVER (ORDER BY rank_e10 DESC, conv_id) - 1 AS BIGINT) A
 FROM (SELECT v AS conv_id, rank_e10 FROM prr)
 ORDER BY pos LIMIT 20""",
         "connected_components": _GRAPH_CTE2 + f""",
+ccr AS (
+  WITH RECURSIVE cc(i, v, lab) AS (
+    SELECT 0, conv_id, conv_id FROM ids
+    UNION ALL
+    SELECT cc.i + 1, e.b, min(cc.lab) FROM cc JOIN nbrx e ON e.a = cc.v
+    WHERE cc.i < {CC_ORACLE_ITERS} GROUP BY cc.i, e.b
+  ) SELECT v, lab FROM cc WHERE i = {CC_ORACLE_ITERS}
+)
+SELECT v AS conv_id, lab AS component_id FROM ccr""",
+        # warm restarts must land on the same full-graph components
+        "cc_incremental": _GRAPH_CTE2 + f""",
 ccr AS (
   WITH RECURSIVE cc(i, v, lab) AS (
     SELECT 0, conv_id, conv_id FROM ids

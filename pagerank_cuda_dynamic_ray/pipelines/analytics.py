@@ -43,6 +43,51 @@ def _label_mode(mode: str) -> str:
     return "p2p" if len(nodes) > 1 else "driver"
 
 
+def connected_components_incremental(ctx: GraphContext, inserted_edges: np.ndarray,
+                                     max_rounds: int = 10_000,
+                                     mode: str = "auto") -> rd.Dataset:
+    """Warm CC restart after an INSERTION-ONLY batch update — the CC
+    analogue of the engine's dynamic PageRank variants.
+
+    Requires converged CC labels on the shards (a prior cold
+    :func:`connected_components` run; the shards reject LP/installed
+    labels). Insertions can only merge components, so min-label
+    propagation seeded at just the inserted edges' endpoints
+    (``inserted_edges``: (2,k) global vid pairs, the array
+    ``ctx.apply_batch`` consumed) reaches exactly the vertices whose
+    label must shrink — the warm fixpoint equals a cold recompute
+    bit-for-bit, in rounds bounded by the merged components' diameter.
+    Deletions can SPLIT components: run the cold function instead.
+    """
+    _ensure_symmetric(ctx)
+    P, shards = ctx.P, ctx.shards
+    ends = np.unique(np.asarray(inserted_edges, dtype=np.int64).reshape(-1))
+    owners = ends % P
+    order = np.argsort(owners, kind="stable")
+    ends, owners = ends[order], owners[order]
+    cuts = np.searchsorted(owners, np.arange(P + 1))
+    ray.get([
+        shards[p].cc_seed_warm.remote(ends[cuts[p]:cuts[p + 1]] // P)
+        for p in range(P)
+    ])
+    if _label_mode(mode) == "p2p":
+        ray.get([
+            s.run_label_iterations.remote(shards, "cc", max_rounds, warm=True)
+            for s in shards
+        ])
+    else:
+        for _ in range(max_rounds):
+            push_refs = [s.cc_push.options(num_returns=P + 1).remote() for s in shards]
+            changed = ray.get([
+                shards[p].cc_apply.remote(*[push_refs[q][1 + p] for q in range(P)])
+                for p in range(P)
+            ])
+            if sum(changed) == 0:
+                break
+    tables = ray.get([s.labels_table.remote("component") for s in shards])
+    return _with_conv(ctx, tables)
+
+
 def connected_components(ctx: GraphContext, max_rounds: int = 10_000,
                          mode: str = "auto") -> rd.Dataset:
     """Weakly-connected components as min-vid labels.

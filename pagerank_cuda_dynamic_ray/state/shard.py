@@ -684,6 +684,7 @@ class GraphShard:
 
     async def run_label_iterations(
         self, peers: list, algo: str, max_rounds: int, source_vid: int = 0,
+        warm: bool = False,
     ) -> int:
         """Run a whole label fixpoint (cc / lp / bfs) inside the pool —
         the label-algorithm analogue of :meth:`run_iterations`. ONE driver
@@ -701,7 +702,8 @@ class GraphShard:
         P, me = self.P, self.p
         frontier = None
         if algo == "cc":
-            self.cc_init()
+            if not warm:  # warm: frontier pre-seeded via cc_seed_warm
+                self.cc_init()
         elif algo == "lp":
             self.lp_init()
         elif algo == "bfs":
@@ -985,6 +987,18 @@ class GraphShard:
         """Min-label CC init: label[v] = vid; whole shard is the frontier."""
         self.labels = self.owned_vids().copy()
         self._label_frontier = np.arange(self.n_local, dtype=np.int64)
+        self._labels_kind = "cc"
+
+    def cc_seed_warm(self, seeds_local: np.ndarray) -> None:
+        """Incremental CC: keep the converged labels, seed the frontier
+        with just the given rows (endpoints of inserted edges). Insertions
+        can only MERGE components, and min-label propagation from the new
+        edges' endpoints reaches exactly the vertices whose label must
+        shrink — so a warm fixpoint equals a cold recompute bit-for-bit."""
+        if getattr(self, "_labels_kind", None) != "cc":
+            raise ValueError("warm CC needs converged CC labels on the shards "
+                             "(run connected_components cold first)")
+        self._label_frontier = np.unique(np.asarray(seeds_local, dtype=np.int64))
 
     def cc_push(self) -> list[np.ndarray]:
         """Push current labels of frontier vertices to neighbors, min-combined
@@ -1037,6 +1051,7 @@ class GraphShard:
 
     def lp_init(self) -> None:
         self.labels = self.owned_vids().copy()
+        self._labels_kind = "lp"
 
     def lp_emit(self) -> list[np.ndarray]:
         """Emit (dst_local, label, count) triples per owner: each owned v
@@ -1158,6 +1173,7 @@ class GraphShard:
 
     def install_labels(self, labels: np.ndarray) -> None:
         self.labels = np.asarray(labels, dtype=np.int64).copy()
+        self._labels_kind = "installed"
 
     def has_labels(self) -> bool:
         return self.labels is not None

@@ -99,3 +99,41 @@ def test_label_loops_p2p_equals_driver(num_parts):
         b = fn(ctx, mode="driver", **kw).to_pandas().sort_values("vid")[col].to_numpy()
         np.testing.assert_array_equal(a, b)
     ctx.shutdown()
+
+
+@pytest.mark.parametrize("num_parts", [1, 4])
+def test_cc_incremental_equals_cold(num_parts):
+    """Warm CC after an insertion batch must equal a cold recompute."""
+    n = 100
+    src, dst = _graph(13, n, 60)  # sparse -> many components to merge
+    ctx = GraphContext(n, num_parts)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    analytics.connected_components(ctx)  # converged labels on the shards
+    rng = np.random.RandomState(3)
+    ins = np.stack([rng.randint(0, n, 15), rng.randint(0, n, 15)]).astype(np.int64)
+    ctx.apply_batch(np.empty((2, 0), dtype=np.int64), ins)
+    for mode in ("driver", "p2p"):
+        warm = (
+            analytics.connected_components_incremental(ctx, ins, mode=mode)
+            .to_pandas().sort_values("vid")["component"].to_numpy()
+        )
+        cold = cc_oracle(
+            np.concatenate([src, ins[0]]), np.concatenate([dst, ins[1]]), n
+        )
+        np.testing.assert_array_equal(warm, cold)
+    ctx.shutdown()
+
+
+def test_cc_incremental_rejects_lp_labels():
+    n = 20
+    src, dst = _graph(1, n, 15)
+    ctx = GraphContext(n, 2)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    analytics.label_propagation(ctx, max_iterations=3)
+    ins = np.array([[0], [1]], dtype=np.int64)
+    ctx.apply_batch(np.empty((2, 0), dtype=np.int64), ins)
+    with pytest.raises(Exception):
+        analytics.connected_components_incremental(ctx, ins)
+    ctx.shutdown()
