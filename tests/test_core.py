@@ -84,6 +84,15 @@ def test_static_pagerank_redistribute_dangling(tiny_path):
     want, _ = pagerank_oracle(src, dst, n, add_self_loops=False, dangling="redistribute")
     np.testing.assert_allclose(got, want, atol=1e-6)
     assert abs(got.sum() - 1.0) < 1e-6
+    # the dangling-mass pre-sum is wired through every loop: the compiled
+    # DAG appends it to each contribution channel, p2p piggybacks it on
+    # the contribution message — all three must be bit-equal
+    for mode in ("p2p", "compiled"):
+        r2 = ctx.pagerank(
+            "static", options=PagerankOptions(dangling="redistribute"), mode=mode
+        )
+        assert r2.iterations == res.iterations, mode
+        np.testing.assert_array_equal(ctx.assemble(r2.ranks), got)
 
 
 def test_degrees_and_self_loops(tiny_path):
