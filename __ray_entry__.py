@@ -35,6 +35,7 @@ from pagerank_cuda_dynamic_ray.sources import transcripts as T
 from pagerank_cuda_dynamic_ray.stages import dedup as D
 from pagerank_cuda_dynamic_ray.stages import multimodal as MM
 from pagerank_cuda_dynamic_ray.stages import similarity as S
+from pagerank_cuda_dynamic_ray.stages import temporal as TP
 from pagerank_cuda_dynamic_ray.stages import text_stage as TS
 
 NUM_PARTS = 8
@@ -437,6 +438,68 @@ def _q_orders_by_segment(sf_dir: str):
 
 
 # ----------------------------------------------------------------------
+# event-time operators (stages/temporal.py): tumbling windows, as-of
+# join, interval-join aggregate, sessionization — custom operators Ray
+# Data lacks natively, each one hash shuffle + vectorized kernels
+# ----------------------------------------------------------------------
+
+def _q_windowed_events(sf_dir: str):
+    """Tumbling 1-day event-time windows per event_type (count + order-
+    free min/max; partial combine inside map_batches, tiny merge)."""
+    ds = _tbl(sf_dir, "events", ["ts", "event_type", "value"])
+    return TP.windowed_aggregate(ds, ts="ts", key="event_type", value="value")
+
+
+def _event_sides(sf_dir: str):
+    ds = _tbl(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    return (ds.filter(expr="event_type == 'purchase'"),
+            ds.filter(expr="event_type == 'click'"))
+
+
+def _q_asof_purchase_click(sf_dir: str):
+    """As-of join: each purchase matched to the same user's latest
+    click at-or-before it (ties: max click event_id), inner."""
+    p, c = _event_sides(sf_dir)
+    out = TP.asof_join(
+        p, c, key="user_id", ts="ts", lcols=["event_id"],
+        rcols=["event_id", "ts"], right_tiebreak="event_id",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        gap = pc.subtract(pc.cast(t["ts"], pa.int64()),
+                          pc.cast(t["r__ts"], pa.int64()))
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"], "ts": t["ts"],
+            "click_id": t["r__event_id"], "click_ts": t["r__ts"],
+            "gap_us": gap,
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_attribution_window(sf_dir: str):
+    """Interval (range) join reduced at the join site: per purchase,
+    the count of the user's clicks in the inclusive hour before it."""
+    p, c = _event_sides(sf_dir)
+    out = TP.interval_join_agg(
+        p, c, key="user_id", ts="ts", lcols=["event_id"],
+        lo_offset_us=-3_600_000_000, hi_offset_us=0,
+    )
+    return out.map_batches(
+        lambda t: pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                            "n_clicks": t["n_matches"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _q_sessions(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity) of each user's
+    event stream; per-session start/end/count rows."""
+    ds = _tbl(sf_dir, "events", ["event_id", "user_id", "ts"])
+    return TP.sessionize(ds, key="user_id", ts="ts", tiebreak="event_id")
+
+
+# ----------------------------------------------------------------------
 # training-data-family queries (documents / embeddings)
 # ----------------------------------------------------------------------
 
@@ -584,6 +647,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_summary": _q_events_summary,
         "anti_join_users": _q_anti_join_users,
         "orders_by_segment": _q_orders_by_segment,
+        # event-time family (custom operators Ray Data lacks natively)
+        "windowed_events": _q_windowed_events,
+        "asof_purchase_click": _q_asof_purchase_click,
+        "attribution_window": _q_attribution_window,
+        "sessions": _q_sessions,
         # training-data family
         "exact_dedup": _q_exact_dedup,
         "doc_tokens": _q_doc_tokens,
@@ -1213,6 +1281,39 @@ SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
        min(o.o_totalprice) AS min_price, max(o.o_totalprice) AS max_price
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY c.c_mktsegment""",
+        "windowed_events": """
+SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS window_start,
+       event_type, count(*)::BIGINT AS n_events,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY 1, 2""",
+        "asof_purchase_click": """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts, l.click_id, l.click_ts,
+       (epoch_us(p.ts) - epoch_us(l.click_ts))::BIGINT AS gap_us
+FROM p, LATERAL (
+  SELECT c.event_id AS click_id, c.ts AS click_ts FROM c
+  WHERE c.user_id = p.user_id AND c.ts <= p.ts
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) l""",
+        "attribution_window": """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id,
+       (SELECT count(*) FROM c
+        WHERE c.user_id = p.user_id
+          AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts)::BIGINT AS n_clicks
+FROM p""",
+        "sessions": """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+SELECT user_id, sid::BIGINT AS session_seq, min(ts) AS session_start,
+       max(ts) AS session_end, count(*)::BIGINT AS n_events
+FROM y GROUP BY 1, 2""",
         "exact_dedup": "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text",
         "doc_tokens": r"""
 SELECT doc_id, length(text) AS n_chars,

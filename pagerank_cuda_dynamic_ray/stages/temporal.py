@@ -1,0 +1,338 @@
+"""Event-time operators Ray Data lacks natively: tumbling-window
+aggregates, as-of joins, interval (range-join) window aggregates and
+gap-based sessionization.
+
+All four are expressed Ray-Data-first. The two-sided operators (as-of
+join, interval aggregate) co-partition both inputs with ONE hash
+shuffle — a tagged union bucketed by ``hash(key) % num_buckets``
+feeding ``groupby(bucket).map_groups`` — and every per-bucket kernel
+is fully vectorized: a single lexsort of ``(key, ts, side)`` plus
+cumulative-prefix passes answers, for every probe row at once,
+"which right row is the latest at-or-before me" (as-of) and "how many
+right rows fall inside my window" (interval), with zero per-key
+Python work.  The partitioning assumption each relies on: rows
+co-located by ``hash(key)``; bucket count is the concurrency knob and
+a bucket only ever holds its own rows, so the kernels stream at
+100 TB the same way they run here.
+
+Determinism: ties at equal ``(key, ts)`` break on an explicit
+``tiebreak`` column (as-of picks the max), so outputs are stable
+under any repartitioning — the property the driver's hash-compare
+gate requires.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.hashing import splitmix64
+
+_US_HOUR = 3_600_000_000
+_US_DAY = 86_400_000_000
+
+
+# ----------------------------------------------------------------------
+# tumbling-window aggregate
+# ----------------------------------------------------------------------
+
+def windowed_aggregate(events: rd.Dataset, ts: str = "ts", key: str = "event_type",
+                       value: str = "value", width_us: int = _US_DAY) -> rd.Dataset:
+    """Tumbling event-time windows: per (window, key) count / min / max
+    (+ an order-insensitive float sum for in-engine use).
+
+    The wide step is pushed partial: each batch pre-aggregates its own
+    (window, key) groups inside ``map_batches`` (the combiner), so the
+    global shuffle only moves one row per (window, key) per block —
+    at 100 TB the exchange is proportional to the number of distinct
+    windows, not the number of events.
+
+    Output: (window_start: timestamp[us], <key>, n_events: int64,
+    min_value, max_value: float64).
+    """
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        win = (df[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+               // width_us) * width_us
+        g = (
+            df.assign(__win=win)
+            .groupby(["__win", key], sort=False)[value]
+            .agg(n_events="size", min_value="min", max_value="max")
+            .reset_index()
+        )
+        g["n_events"] = g["n_events"].astype(np.int64)
+        # one shuffle key (Ray groupby is single-column): window|key packed
+        g["__gk"] = g["__win"].astype(str) + "|" + g[key].astype(str)
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "window_start": np.array([g["__win"].iloc[0]], "datetime64[us]"),
+            key: [g[key].iloc[0]],
+            "n_events": np.array([g["n_events"].sum()], np.int64),
+            "min_value": [g["min_value"].min()],
+            "max_value": [g["max_value"].max()],
+        })
+
+    partials = events.map_batches(partial, batch_format="pandas")
+    return partials.groupby("__gk").map_groups(merge, batch_format="pandas")
+
+
+# ----------------------------------------------------------------------
+# shared co-partition machinery (as-of / interval joins)
+# ----------------------------------------------------------------------
+
+def _pa_types(ds: rd.Dataset) -> dict[str, pa.DataType]:
+    """Column name -> Arrow type, tolerating pandas-block schemas
+    (``from_pandas`` inputs) alongside Arrow-block ones."""
+    sch = ds.schema()
+    out: dict[str, pa.DataType] = {}
+    for name, t in zip(sch.names, sch.types):
+        if not isinstance(t, pa.DataType):
+            t = pa.from_numpy_dtype(np.dtype(t))
+        out[name] = t
+    return out
+
+
+def _tagged_union(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
+                  lcols: list[str], rcols: list[str],
+                  num_buckets: int) -> tuple[rd.Dataset, pa.Schema, pa.Schema]:
+    """ONE Dataset carrying both sides: (__key, __ts int64-µs, __side
+    int8 [0=right, 1=left], __bucket, <lcols>, r__<rcols>), the other
+    side's payload null-padded with *typed* Arrow nulls (no pandas
+    int→float pollution). This is the single all-to-all exchange both
+    join kernels share."""
+    lsch = _pa_types(left)
+    rsch = _pa_types(right)
+
+    def make(side: int, own: list[str], own_sch: dict,
+             other: list[str], other_sch: dict, other_prefix: str):
+        own_prefix = "r__" if side == 0 else ""
+
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            k = pc.cast(t[key], pa.int64())
+            cols: dict[str, pa.Array | pa.ChunkedArray] = {
+                "__key": k,
+                "__ts": pc.cast(t[ts], pa.int64()),
+                "__side": pa.array(np.full(n, side, np.int8)),
+                "__bucket": pa.array(
+                    (splitmix64(k.to_numpy().astype(np.uint64))
+                     % np.uint64(num_buckets)).astype(np.int64)
+                ),
+            }
+            for c in own:
+                cols[own_prefix + c] = t[c]
+            for c in other:
+                cols[other_prefix + c] = pa.nulls(n, other_sch[c])
+            return pa.table(cols)
+
+        return f
+
+    l2 = left.map_batches(make(1, lcols, lsch, rcols, rsch, "r__"),
+                          batch_format="pyarrow")
+    r2 = right.map_batches(make(0, rcols, rsch, lcols, lsch, ""),
+                           batch_format="pyarrow")
+    return l2.union(r2), lsch, rsch
+
+
+def asof_join(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
+              lcols: list[str], rcols: list[str],
+              right_tiebreak: str | None = None, strict: bool = False,
+              how: str = "inner", num_buckets: int = 32) -> rd.Dataset:
+    """As-of join: each left row matches the LATEST right row with the
+    same ``key`` and ``right.ts <= left.ts`` (``<`` when ``strict``).
+    Right payload columns come back prefixed ``r__``; ``how="inner"``
+    drops unmatched left rows, ``how="left"`` keeps them with typed
+    nulls.  Ties at equal (key, ts) pick the max ``right_tiebreak``.
+
+    Kernel: within each hash bucket, ONE lexsort of the tagged union by
+    (key, ts, tiebreak, side) with rights ordered before lefts at equal
+    ts, then ``cumsum(side==right)`` gives, for every left row, the
+    rank of the nearest preceding right row — O(n log n), no per-key
+    loop, independent of key cardinality.
+    """
+    assert how in ("inner", "left"), how
+    if ts not in lcols:
+        lcols = [ts] + lcols
+    if key not in lcols:
+        lcols = [key] + lcols
+    rcols = list(rcols)
+    if right_tiebreak is not None and right_tiebreak not in rcols:
+        rcols.append(right_tiebreak)
+    u, lsch, rsch = _tagged_union(left, right, key, ts, lcols, rcols, num_buckets)
+    tb = ("r__" + right_tiebreak) if right_tiebreak is not None else None
+
+    def kernel(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        keyv = g["__key"].to_numpy(zero_copy_only=False)
+        tsv = g["__ts"].to_numpy(zero_copy_only=False)
+        if strict:
+            # rights at equal ts must NOT match: order lefts first there
+            eff_side = 1 - side
+        else:
+            eff_side = side
+        if tb is not None:
+            # tiebreak orders rights among themselves at equal (key, ts)
+            # — SUBORDINATE to side (lexsort keys innermost-first)
+            tbv = g[tb].to_numpy(zero_copy_only=False)
+            tbv = np.where(side == 0, np.nan_to_num(tbv.astype(np.float64)), 0.0)
+            perm = np.lexsort((tbv, eff_side, tsv, keyv))
+        else:
+            perm = np.lexsort((eff_side, tsv, keyv))
+        sside = side[perm]
+        nright = np.cumsum(sside == 0)
+        lpos = np.flatnonzero(sside == 1)          # lefts, sorted order
+        l_orig = perm[lpos]
+        rpos = np.flatnonzero(sside == 0)          # rights, sorted order
+        if len(rpos) == 0:
+            r_orig = np.zeros(len(l_orig), np.int64)
+            valid = np.zeros(len(l_orig), bool)
+        else:
+            k = nright[lpos]                       # rights at-or-before
+            match_sorted = rpos[np.maximum(k - 1, 0)]
+            r_orig = perm[match_sorted]
+            valid = (k > 0) & (keyv[r_orig] == keyv[l_orig])
+        if how == "inner":
+            l_orig, r_orig = l_orig[valid], r_orig[valid]
+            valid = np.ones(len(l_orig), bool)
+        out: dict[str, pa.Array] = {}
+        lt = g.take(pa.array(l_orig))
+        rt = g.take(pa.array(r_orig))
+        for c in lcols:
+            out[c] = lt[c].combine_chunks()
+        for c in rcols:
+            col = rt["r__" + c].combine_chunks()
+            if not valid.all():
+                col = pc.if_else(pa.array(valid), col,
+                                 pa.nulls(len(valid), col.type))
+            out["r__" + c] = col
+        return pa.table(out)
+
+    return u.groupby("__bucket").map_groups(kernel, batch_format="pyarrow")
+
+
+def interval_join_agg(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
+                      lcols: list[str], lo_offset_us: int, hi_offset_us: int = 0,
+                      num_buckets: int = 32) -> rd.Dataset:
+    """Range/interval join reduced at the join site: for every left row,
+    the COUNT of right rows with the same ``key`` and
+    ``left.ts + lo_offset <= right.ts <= left.ts + hi_offset``
+    (both inclusive) — the attribution-window / band-join pattern,
+    without ever materializing the joined pairs.
+
+    Kernel: each left row contributes two probes (window lo / window
+    hi) to the bucket's single lexsort — tie order lo-probe < right <
+    hi-probe so both window edges are inclusive — and the count is a
+    difference of two ``cumsum(side==right)`` reads.  Cross-key prefix
+    mass cancels in the subtraction, so no per-key bookkeeping exists
+    at all.  Output: <lcols> + n_matches:int64.
+    """
+    if key not in lcols:
+        lcols = [key] + lcols
+    u, _, _ = _tagged_union(left, right, key, ts, lcols, [], num_buckets)
+
+    def kernel(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        keyv = g["__key"].to_numpy(zero_copy_only=False)
+        tsv = g["__ts"].to_numpy(zero_copy_only=False)
+        l_idx = np.flatnonzero(side == 1)
+        r_idx = np.flatnonzero(side == 0)
+        nl, nr = len(l_idx), len(r_idx)
+        # probes: lo edges (order 0), rights (order 1), hi edges (order 2)
+        pk = np.concatenate([keyv[r_idx], keyv[l_idx], keyv[l_idx]])
+        pt = np.concatenate([
+            tsv[r_idx],
+            tsv[l_idx] + np.int64(lo_offset_us),
+            tsv[l_idx] + np.int64(hi_offset_us),
+        ])
+        po = np.concatenate([
+            np.ones(nr, np.int8),
+            np.zeros(nl, np.int8),
+            np.full(nl, 2, np.int8),
+        ])
+        perm = np.lexsort((po, pt, pk))
+        rank = np.empty(len(perm), np.int64)
+        rank[perm] = np.arange(len(perm))
+        nright = np.cumsum(po[perm] == 1)
+        lo_rank = rank[nr:nr + nl]
+        hi_rank = rank[nr + nl:]
+        counts = nright[hi_rank] - nright[lo_rank]
+        lt = g.take(pa.array(l_idx))
+        out = {c: lt[c].combine_chunks() for c in lcols}
+        out["n_matches"] = pa.array(counts.astype(np.int64))
+        return pa.table(out)
+
+    return u.groupby("__bucket").map_groups(kernel, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
+# gap-based sessionization
+# ----------------------------------------------------------------------
+
+def sessionize(events: rd.Dataset, key: str = "user_id", ts: str = "ts",
+               tiebreak: str = "event_id", gap_us: int = 30 * 60_000_000,
+               num_buckets: int = 32) -> rd.Dataset:
+    """Split each key's event stream into sessions at inactivity gaps
+    STRICTLY longer than ``gap_us``.  One hash shuffle co-locates each
+    key's events; the per-bucket kernel is a lexsort (key, ts, tiebreak)
+    + diff + cumsum — every session of every key in the bucket in one
+    vectorized pass.
+
+    Output: (<key>, session_seq: int64 1-based per key,
+    session_start/session_end: timestamp[us], n_events: int64).
+    """
+    def route(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[key], pa.int64()).to_numpy()
+        b = (splitmix64(k.astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({
+            "__bucket": pa.array(b),
+            key: t[key],
+            "__ts": pc.cast(t[ts], pa.int64()),
+            "__tb": pc.cast(t[tiebreak], pa.int64()),
+        })
+
+    def kernel(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        k = g[key].to_numpy(zero_copy_only=False)
+        tsv = g["__ts"].to_numpy(zero_copy_only=False)
+        tbv = g["__tb"].to_numpy(zero_copy_only=False)
+        perm = np.lexsort((tbv, tsv, k))
+        ks, tss = k[perm], tsv[perm]
+        n = len(ks)
+        if n == 0:
+            return pa.table({
+                key: pa.array([], pa.int64()),
+                "session_seq": pa.array([], pa.int64()),
+                "session_start": pa.array([], pa.timestamp("us")),
+                "session_end": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+            })
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = ks[1:] != ks[:-1]
+        brk = new_key.copy()
+        brk[1:] |= (tss[1:] - tss[:-1]) > gap_us
+        sid = np.cumsum(brk) - 1                      # global session id
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n) - 1
+        # 1-based session_seq per key: sid minus sid at the key's first
+        # session (forward-filled via maximum.accumulate on starts)
+        key_first_sid = np.maximum.accumulate(
+            np.where(new_key, sid, -1)
+        )
+        seq_all = sid - key_first_sid + 1
+        return pa.table({
+            key: pa.array(ks[starts]),
+            "session_seq": pa.array(seq_all[starts].astype(np.int64)),
+            "session_start": pc.cast(pa.array(tss[starts]), pa.timestamp("us")),
+            "session_end": pc.cast(pa.array(tss[ends]), pa.timestamp("us")),
+            "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+        })
+
+    routed = events.map_batches(route, batch_format="pyarrow")
+    return routed.groupby("__bucket").map_groups(kernel, batch_format="pyarrow")

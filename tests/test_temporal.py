@@ -1,0 +1,175 @@
+"""Event-time operators (stages/temporal.py): tumbling windows, as-of
+join, interval-join aggregate, sessionization — exact vs a pandas/
+DuckDB oracle, plus the tie / strictness / emptiness semantics and
+partitioning invariance the driver gate doesn't exercise."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from pagerank_cuda_dynamic_ray.stages import temporal as TP
+
+US_H = 3_600_000_000
+
+
+def _events(n=2000, seed=3, users=25):
+    rng = np.random.RandomState(seed)
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, users, n).astype(np.int64),
+        "event_type": rng.choice(["click", "purchase", "view"], n),
+        "value": rng.rand(n) * 100,
+        "ts": (np.datetime64("2024-01-01", "us")
+               + rng.randint(0, 20 * 86_400_000_000, n).astype("timedelta64[us]")),
+    })
+    # planted exact-tie pairs: a click AND a purchase at the same (user, ts)
+    df.loc[0, ["user_id", "event_type"]] = [7, "purchase"]
+    df.loc[1, ["user_id", "event_type"]] = [7, "click"]
+    df.loc[1, "ts"] = df.loc[0, "ts"]
+    # two clicks at the same (user, ts): tiebreak must pick max event_id
+    df.loc[2, ["user_id", "event_type"]] = [7, "click"]
+    df.loc[2, "ts"] = df.loc[0, "ts"]
+    return df
+
+
+@pytest.fixture(scope="module")
+def ev():
+    return _events()
+
+
+@pytest.fixture(scope="module")
+def con(ev):
+    c = duckdb.connect()
+    c.register("events", ev)
+    return c
+
+
+def _sides(ev, parts):
+    ds = rd.from_pandas(ev).repartition(parts)
+    return (ds.filter(expr="event_type == 'purchase'"),
+            ds.filter(expr="event_type == 'click'"))
+
+
+@pytest.mark.parametrize("parts", [1, 5])
+def test_windowed_aggregate(ev, con, parts):
+    ds = rd.from_pandas(ev).repartition(parts)
+    got = (TP.windowed_aggregate(ds).to_pandas()
+           .sort_values(["window_start", "event_type"]).reset_index(drop=True))
+    want = con.sql("""
+        SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS window_start,
+               event_type, count(*)::BIGINT AS n_events,
+               min(value) AS min_value, max(value) AS max_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    want["window_start"] = want["window_start"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+@pytest.mark.parametrize("parts", [1, 5])
+def test_asof_join_inner_ties(ev, con, parts):
+    p, c = _sides(ev, parts)
+    got = (TP.asof_join(p, c, key="user_id", ts="ts", lcols=["event_id"],
+                        rcols=["event_id"], right_tiebreak="event_id")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    want = con.sql("""
+        WITH p AS (SELECT * FROM events WHERE event_type='purchase'),
+             c AS (SELECT * FROM events WHERE event_type='click')
+        SELECT p.event_id, p.user_id, l.r__event_id
+        FROM p, LATERAL (SELECT c.event_id AS r__event_id FROM c
+          WHERE c.user_id = p.user_id AND c.ts <= p.ts
+          ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) l
+        ORDER BY p.event_id""").df()
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # the planted tie: purchase 0 matches click 2 (max event_id at equal ts)
+    assert int(got.loc[got.event_id == 0, "r__event_id"].iloc[0]) == 2
+
+
+def test_asof_join_strict_excludes_equal_ts(ev, con):
+    p, c = _sides(ev, 4)
+    got = (TP.asof_join(p, c, key="user_id", ts="ts", lcols=["event_id"],
+                        rcols=["event_id"], right_tiebreak="event_id", strict=True)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    want = con.sql("""
+        WITH p AS (SELECT * FROM events WHERE event_type='purchase'),
+             c AS (SELECT * FROM events WHERE event_type='click')
+        SELECT p.event_id, l.r__event_id
+        FROM p, LATERAL (SELECT c.event_id AS r__event_id FROM c
+          WHERE c.user_id = p.user_id AND c.ts < p.ts
+          ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) l
+        ORDER BY p.event_id""").df()
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+
+def test_asof_join_left_keeps_unmatched():
+    p = rd.from_pandas(pd.DataFrame({
+        "k": np.array([1, 2], np.int64),
+        "t": np.array([100, 100], "datetime64[us]"),
+        "event_id": np.array([10, 11], np.int64),
+    }))
+    c = rd.from_pandas(pd.DataFrame({
+        "k": np.array([1], np.int64),
+        "t": np.array([50], "datetime64[us]"),
+        "event_id": np.array([5], np.int64),
+    }))
+    out = (TP.asof_join(p, c, key="k", ts="t", lcols=["event_id"],
+                        rcols=["event_id"], how="left")
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert len(out) == 2
+    assert int(out.loc[out.k == 1, "r__event_id"].iloc[0]) == 5
+    assert pd.isna(out.loc[out.k == 2, "r__event_id"].iloc[0])
+    # inner drops the unmatched row; empty right side yields zero rows
+    inner = TP.asof_join(p, c, key="k", ts="t", lcols=["event_id"],
+                         rcols=["event_id"]).to_pandas()
+    assert len(inner) == 1
+    empty_r = c.filter(expr="k == 99")
+    assert TP.asof_join(p, empty_r, key="k", ts="t", lcols=["event_id"],
+                        rcols=["event_id"]).count() == 0
+
+
+@pytest.mark.parametrize("parts", [1, 5])
+def test_interval_join_agg(ev, con, parts):
+    p, c = _sides(ev, parts)
+    got = (TP.interval_join_agg(p, c, key="user_id", ts="ts", lcols=["event_id"],
+                                lo_offset_us=-US_H, hi_offset_us=0)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    want = con.sql("""
+        WITH p AS (SELECT * FROM events WHERE event_type='purchase'),
+             c AS (SELECT * FROM events WHERE event_type='click')
+        SELECT p.event_id,
+               (SELECT count(*) FROM c WHERE c.user_id = p.user_id
+                 AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts)::BIGINT AS n_matches
+        FROM p ORDER BY p.event_id""").df()
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # window edges are inclusive: the planted equal-ts clicks are counted
+    assert int(got.loc[got.event_id == 0, "n_matches"].iloc[0]) >= 2
+
+
+@pytest.mark.parametrize("parts", [1, 5])
+def test_sessionize(ev, con, parts):
+    ds = rd.from_pandas(ev).repartition(parts)
+    got = (TP.sessionize(ds).to_pandas()
+           .sort_values(["user_id", "session_seq"]).reset_index(drop=True))
+    want = con.sql("""
+        WITH x AS (SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END brk
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) sid FROM x)
+        SELECT user_id, sid::BIGINT AS session_seq, min(ts) AS session_start,
+               max(ts) AS session_end, count(*)::BIGINT AS n_events
+        FROM y GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    for col in ("session_start", "session_end"):
+        want[col] = want[col].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # session boundary semantics: a gap of exactly 30 min stays merged
+    one = rd.from_pandas(pd.DataFrame({
+        "user_id": np.zeros(3, np.int64),
+        "event_id": np.arange(3, dtype=np.int64),
+        "ts": (np.datetime64("2024-01-01", "us")
+               + np.array([0, 30 * 60_000_000, 30 * 60_000_000 + 1],
+                          "timedelta64[us]")),
+    }))
+    s = TP.sessionize(one).to_pandas()
+    assert len(s) == 1 and int(s["n_events"].iloc[0]) == 3
