@@ -19,6 +19,12 @@ Determinism: ties at equal ``(key, ts)`` break on an explicit
 ``tiebreak`` column (as-of picks the max), so outputs are stable
 under any repartitioning — the property the driver's hash-compare
 gate requires.
+
+Keys must be integer-castable (string keys: pre-encode through the
+engine's vertex-dictionary path first).  ``num_buckets`` is the
+shuffle-parallelism knob: size it so one bucket's rows fit a worker's
+heap (≈ total_rows / target_bucket_rows on a real cluster); the
+kernels are O(bucket log bucket) and independent of key cardinality.
 """
 
 from __future__ import annotations
