@@ -531,6 +531,12 @@ def _q_minhash_dedup(sf_dir: str):
     return D.minhash_dedup(_tbl(sf_dir, "documents", ["doc_id", "text"]), threshold=0.7)
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    return D.ngram_jaccard_pairs(
+        _tbl(sf_dir, "documents", ["doc_id", "text"]), threshold=0.7
+    )
+
+
 def _q_simhash_dedup(sf_dir: str):
     return D.simhash_dedup(_tbl(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3)
 
@@ -659,6 +665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "doc_fingerprint": _q_doc_fingerprint,
         "minhash_dedup": _q_minhash_dedup,
+        "ngram_jaccard": _q_ngram_jaccard,
         "simhash_dedup": _q_simhash_dedup,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -874,6 +881,61 @@ def _mix2_sql(sub: str, a_expr: str, b_col: str, out: str) -> str:
     return f"(SELECT * EXCLUDE (__mx) FROM {s})"
 
 
+def _sql_dsh_ctes() -> str:
+    """tokh/trio/dsh CTE block shared by the shingle-based dedup
+    oracles: whitespace tokens -> base-131 byte fold + splitmix64
+    (functions/hashing.poly_token_hash64) -> rolling 3-gram mix2
+    shingles -> DISTINCT per-doc shingle sets (the SQL twin of
+    stages/dedup._shingles_flat). Assumes every doc has >= 3 tokens
+    (the engine's <k combine-all fallback is not replicated here; the
+    testdata satisfies this). MATERIALIZED so the 16-level fold and the
+    mix2/sm64 nests run once, not per downstream self-join branch."""
+    tok = (r"(SELECT doc_id, t.i AS pos, toks[t.i + 1] AS tk, CAST(0 AS BIGINT) AS __f0 "
+           r"FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks "
+           r"FROM documents) JOIN range(0, 2048) t(i) ON t.i < len(toks))")
+    sql = tok
+    for k in range(1, 17):
+        sql = (
+            f"(SELECT * EXCLUDE (__f{k - 1}), CASE WHEN length(tk) >= {k} "
+            f"THEN (__f{k - 1} * 131 + ord(substr(tk, {k}, 1))) % 2147483647 "
+            f"ELSE __f{k - 1} END AS __f{k} FROM {sql})"
+        )
+    th = _sm64(sql, "__f16", "th")
+    m2 = _mix2_sql(_mix2_sql("trio", "h0", "h1", "__m1"), "__m1", "h2", "sh")
+    return f"""tokh AS MATERIALIZED (SELECT doc_id, pos, th FROM {th}),
+trio AS MATERIALIZED (
+  SELECT a.doc_id AS doc_id, a.th AS h0, b.th AS h1, c.th AS h2
+  FROM tokh a JOIN tokh b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              JOIN tokh c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+dsh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM {m2})"""
+
+
+def _sql_ngram_jaccard(threshold: float = 0.7) -> str:
+    """Exact n-gram Jaccard near-dup pairs in SQL: the same distinct
+    shingle sets as the engine (see _sql_dsh_ctes), then ALL-PAIRS
+    intersection counts via a self-join on shingle hash and the exact
+    jaccard = i / (|a| + |b| - i). The engine side
+    (stages/dedup.ngram_jaccard_pairs) reaches the identical pair set
+    through lossless prefix filtering — this oracle is the brute-force
+    proof of that losslessness. Both sides divide the same exact ints
+    in double, so the jaccard column hash-matches bitwise."""
+    return f"""
+WITH {_sql_dsh_ctes()},
+inter AS (
+  SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS i
+  FROM dsh sa JOIN dsh sb ON sb.sh = sa.sh AND sa.doc_id < sb.doc_id
+  GROUP BY sa.doc_id, sb.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id)
+SELECT i.a, i.b,
+       CAST(i.i AS DOUBLE) / greatest(na.n + nb.n - i.i, 1) AS jaccard
+FROM inter i JOIN sizes na ON na.doc_id = i.a
+             JOIN sizes nb ON nb.doc_id = i.b
+WHERE CAST(i.i AS DOUBLE) / greatest(na.n + nb.n - i.i, 1) >= {threshold}
+ORDER BY a, b"""
+
+
 def _sql_minhash_dedup(threshold: float = 0.7, num_perm: int = 64,
                        bands: int = 16, seed: int = 7) -> str:
     """The full MinHash-LSH dedup pipeline in SQL: whitespace tokens ->
@@ -889,22 +951,6 @@ def _sql_minhash_dedup(threshold: float = 0.7, num_perm: int = 64,
     assert rows_per_band == 4, "fold below is unrolled for 4 rows/band"
     salts = _smx(np.arange(num_perm, dtype=np.uint64) + np.uint64(seed * 0x51ED))
     salt_rows = ", ".join(f"({j}, CAST('{int(s)}' AS UBIGINT))" for j, s in enumerate(salts))
-    # token table with positions (constant-range join: no lateral args)
-    tok = (r"(SELECT doc_id, t.i AS pos, toks[t.i + 1] AS tk, CAST(0 AS BIGINT) AS __f0 "
-           r"FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks "
-           r"FROM documents) JOIN range(0, 2048) t(i) ON t.i < len(toks))")
-    sql = tok
-    for k in range(1, 17):
-        sql = (
-            f"(SELECT * EXCLUDE (__f{k - 1}), CASE WHEN length(tk) >= {k} "
-            f"THEN (__f{k - 1} * 131 + ord(substr(tk, {k}, 1))) % 2147483647 "
-            f"ELSE __f{k - 1} END AS __f{k} FROM {sql})"
-        )
-    th = _sm64(sql, "__f16", "th")
-    # MATERIALIZED CTEs: each stage's chain (the 16-level fold, the
-    # mix2/sm64 nests) is computed ONCE — textual inlining made DuckDB
-    # re-plan and re-execute the fold 3x inside the trio self-join.
-    m2 = _mix2_sql(_mix2_sql("trio", "h0", "h1", "__m1"), "__m1", "h2", "sh")
     perm = (f"(SELECT d.doc_id, d.sh, s.j, s.s FROM dsh d "
             f"CROSS JOIN (SELECT * FROM (VALUES {salt_rows}) v(j, s)) s)")
     perm = f"(SELECT *, xor(sh, s) AS __x FROM {perm})"
@@ -920,13 +966,7 @@ def _sql_minhash_dedup(threshold: float = 0.7, num_perm: int = 64,
     acc = _mix2_sql(acc, "__a2", "s2", "__a3")
     acc = _mix2_sql(acc, "__a3", "s3", "bh")
     return f"""
-WITH tokh AS MATERIALIZED (SELECT doc_id, pos, th FROM {th}),
-trio AS MATERIALIZED (
-  SELECT a.doc_id AS doc_id, a.th AS h0, b.th AS h1, c.th AS h2
-  FROM tokh a JOIN tokh b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-              JOIN tokh c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
-),
-dsh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM {m2}),
+WITH {_sql_dsh_ctes()},
 minsig AS MATERIALIZED (
   SELECT doc_id, j, min(m) AS m FROM {perm} GROUP BY doc_id, j
 ),
@@ -1256,6 +1296,7 @@ FROM terms""",
         "knn_lsh": _sql_knn_lsh(),
         "knn_ivf": _sql_knn_ivf(),
         "minhash_dedup": _sql_minhash_dedup(),
+        "ngram_jaccard": _sql_ngram_jaccard(),
         "doc_fingerprint": _sql_fingerprint(),
         "simhash_dedup": _sql_simhash_dedup(),
         "multimodal_decode": _sql_multimodal_decode(),

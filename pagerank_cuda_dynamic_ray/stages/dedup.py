@@ -141,13 +141,14 @@ class MinHashStage:
         )
 
 
-def _segment_pairs(ids: np.ndarray, starts: np.ndarray, ends: np.ndarray):
+def _segment_pairs(ids: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                   cap: int = MAX_BUCKET):
     """Vectorized (a<b) pair emission for id segments with >= 2 members."""
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
     for s, e in zip(starts, ends):
         if e - s >= 2:
-            uniq = np.unique(ids[s:e])[:MAX_BUCKET]
+            uniq = np.unique(ids[s:e])[:cap]
             if len(uniq) >= 2:
                 iu, ju = np.triu_indices(len(uniq), k=1)
                 out_a.append(uniq[iu])
@@ -157,7 +158,7 @@ def _segment_pairs(ids: np.ndarray, starts: np.ndarray, ends: np.ndarray):
     return np.concatenate(out_a), np.concatenate(out_b)
 
 
-def bucket_pairs(keyed: rd.Dataset) -> rd.Dataset:
+def bucket_pairs(keyed: rd.Dataset, max_bucket: int = MAX_BUCKET) -> rd.Dataset:
     """(bkey, doc_id) rows -> candidate pairs Dataset (a, b), deduped
     per block.
 
@@ -185,7 +186,7 @@ def bucket_pairs(keyed: rd.Dataset) -> rd.Dataset:
         ends = np.concatenate([bounds, [len(k)]])
         # first/last segment may continue in a neighboring block — handled
         # by the boundary pass
-        a, b = _segment_pairs(ids, starts[1:-1], ends[1:-1])
+        a, b = _segment_pairs(ids, starts[1:-1], ends[1:-1], max_bucket)
         out = pd.DataFrame({"a": a.astype(np.int64), "b": b.astype(np.int64)})
         return out.drop_duplicates(["a", "b"])
 
@@ -206,7 +207,8 @@ def bucket_pairs(keyed: rd.Dataset) -> rd.Dataset:
         k = bnd["bkey"].to_numpy()
         ids = bnd["doc_id"].to_numpy()
         bounds = np.flatnonzero(np.diff(k)) + 1
-        a, b = _segment_pairs(ids, np.concatenate([[0], bounds]), np.concatenate([bounds, [len(k)]]))
+        a, b = _segment_pairs(ids, np.concatenate([[0], bounds]),
+                              np.concatenate([bounds, [len(k)]]), max_bucket)
         if len(a):
             pairs = pairs.union(rd.from_pandas(pd.DataFrame(
                 {"a": a.astype(np.int64), "b": b.astype(np.int64)}
@@ -287,6 +289,58 @@ def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset, threshold: float = 0.7,
     return rd.from_pandas(pairs_pdf).map_batches(
         verify, batch_format="pandas", batch_size=4096
     )
+
+
+def ngram_jaccard_candidates(docs: rd.Dataset, threshold: float = 0.7,
+                             shingle_k: int = 3,
+                             max_bucket: int = 4096) -> rd.Dataset:
+    """Exact n-gram-Jaccard candidate pairs via PREFIX FILTERING — the
+    classic lossless similarity-join reduction (prefix-filtering
+    principle, Chaudhuri/Ganti/Kaushik ICDE'06; Bayardo WWW'07): under
+    any fixed global shingle order, two sets with Jaccard >= t must
+    share a shingle within each set's first ``|S| - ceil(t*|S|) + 1``
+    shingles. Only those prefix shingles are emitted as bucket keys, so
+    the shuffle carries O((1-t)·corpus shingles), not all of them, and
+    no all-pairs comparison ever happens.
+
+    Global order = ascending shingle hash (random w.r.t. frequency;
+    a frequency-ascending order would shrink candidates further at the
+    cost of a frequency-count pre-pass — documented scale knob).
+    ``max_bucket`` caps pathological buckets (a shingle shared by more
+    docs than the cap drops pairs — exactness holds whenever no bucket
+    overflows, which the synthetic corpora never approach)."""
+
+    def prefix_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        flat, offs = _shingles_flat(batch["text"].tolist(), shingle_k)
+        lens = np.diff(offs)
+        p = lens - np.ceil(threshold * lens).astype(np.int64) + 1
+        p = np.clip(p, 0, lens)
+        tot = int(p.sum())
+        starts = np.repeat(offs[:-1], p)
+        within = np.arange(tot) - np.repeat(np.cumsum(p) - p, p)
+        return pd.DataFrame({
+            # int64 VIEW of the uint64 hash: bucketing needs equality
+            # only; prefix selection above used true uint64 ascending
+            # order (np.unique inside the shingler)
+            "bkey": flat[starts + within].view(np.int64),
+            "doc_id": np.repeat(batch["doc_id"].to_numpy(np.int64), p),
+        })
+
+    return bucket_pairs(
+        docs.map_batches(prefix_keys, batch_format="pandas"), max_bucket
+    )
+
+
+def ngram_jaccard_pairs(docs: rd.Dataset, threshold: float = 0.7,
+                        shingle_k: int = 3) -> pd.DataFrame:
+    """Exact word-k-gram Jaccard near-dup pairs: prefix-filter candidate
+    generation (lossless) + exact shingle-set verification. Returns the
+    complete (a, b, jaccard) pair set with jaccard >= threshold — unlike
+    minhash_dedup this is EXACT, at the cost of shipping the (1-t)
+    prefix fraction of every doc's shingles through one shuffle."""
+    cands = ngram_jaccard_candidates(docs, threshold, shingle_k)
+    out = verify_jaccard(cands, docs, threshold, shingle_k).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def cluster_pairs(pairs_df: pd.DataFrame, all_ids: np.ndarray) -> pd.DataFrame:

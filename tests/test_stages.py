@@ -36,6 +36,30 @@ def test_minhash_dedup_finds_near_dups():
     assert not out[out["doc_id"] == 3]["keep"].item()
 
 
+def test_ngram_jaccard_exact_vs_bruteforce():
+    # prefix filtering is LOSSLESS: the distributed pipeline must return
+    # exactly the all-pairs >= threshold set, jaccard values bit-equal
+    rng = np.random.RandomState(3)
+    vocab = [f"tok{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, 20)) for _ in range(30)]
+    texts.append(texts[4].replace("tok", "kot", 1))      # near dup of 4
+    texts.append(texts[10])                              # exact dup of 10
+    out = dedup.ngram_jaccard_pairs(_docs(texts), threshold=0.5)
+
+    from pagerank_cuda_dynamic_ray.stages.dedup import _word_shingles
+    sh = _word_shingles(texts, 3)
+    expect = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            inter = len(np.intersect1d(sh[i], sh[j]))
+            jac = inter / max(1, len(sh[i]) + len(sh[j]) - inter)
+            if jac >= 0.5:
+                expect.append((i, j, jac))
+    got = list(zip(out["a"], out["b"], out["jaccard"]))
+    assert got == expect
+    assert (10, 31, 1.0) in got          # planted exact dup surfaced
+
+
 def test_simhash_dedup():
     # 64 shared tokens, one swapped -> hamming 2 (verified), so the
     # 4x16-bit chunk blocking must pair them (pigeonhole at hamming<=3)
