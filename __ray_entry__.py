@@ -176,6 +176,22 @@ def _q_out_degrees(sf_dir: str):
     return ctx.out_degrees().map_batches(f, batch_format="pyarrow")
 
 
+def _q_random_batch(sf_dir: str):
+    """Seeded counter-RNG random batch over the live graph: 64 edge
+    deletions (uniform vertex -> uniform non-loop out-edge, 5 retries
+    on zero data degree) + 64 uniform vertex-pair insertions, vids
+    mapped back to conv ids. (l, kind) identify each sample."""
+    ctx = _graph(sf_dir)
+    d = ctx.dictionary
+    dels, inss, dl, il = ctx.random_batch(64, 64, seed=11, return_indices=True)
+    return pa.table({
+        "l": pa.array(np.concatenate([dl, il])),
+        "kind": pa.array(["del"] * dels.shape[1] + ["ins"] * inss.shape[1]),
+        "src": pa.array(d[np.concatenate([dels[0], inss[0]])]),
+        "dst": pa.array(d[np.concatenate([dels[1], inss[1]])]),
+    })
+
+
 def _q_self_loops(sf_dir: str):
     return pa.table({"self_loops": pa.array([_graph(sf_dir).count_self_loops()], pa.int64())})
 
@@ -635,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edges_encoded_dist": _q_edges_encoded_dist,
         "out_degrees": _q_out_degrees,
         "self_loops": _q_self_loops,
+        "random_batch": _q_random_batch,
         "triangle_total": _q_triangle_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "pagerank_static": _q_pagerank_static,
@@ -879,6 +896,44 @@ def _mix2_sql(sub: str, a_expr: str, b_col: str, out: str) -> str:
          f"CAST((CAST(__mb AS HUGEINT) + {c1}) % {_T64} AS UBIGINT)) AS __mx FROM {s})")
     s = _sm64(s, "__mx", out)
     return f"(SELECT * EXCLUDE (__mx) FROM {s})"
+
+
+def _sql_random_batch(size: int = 64, seed: int = 11, retries: int = 5) -> str:
+    """The counter-mode splitmix64 batch generator in SQL — recomputes
+    every draw of GraphContext.random_batch exactly: insertion
+    endpoints, the 5-attempt deletion vertex pick (first attempt with
+    DATA out-degree > 0 wins — structural self-loops excluded, so
+    loop-only vertices exercise the retry), and the (h % deg)-th
+    non-loop out-neighbor in dst order (engine adjacency is
+    dst-vid-ascending; conv_id order == vid order by construction)."""
+    ins = _sm64(_sm64(f"(SELECT t.l AS l, n FROM range(0, {size}) t(l) CROSS JOIN nn)",
+                      f"{seed}*1000003 + 2*l", "hu"),
+                f"{seed}*1000003 + 2*l + 1", "hv")
+    delc = _sm64(f"(SELECT t.l AS l, a.j AS j, n FROM range(0, {size}) t(l) "
+                 f"CROSS JOIN range(0, {retries}) a(j) CROSS JOIN nn)",
+                 f"{seed}*2000003 + {retries}*l + j", "hc")
+    dvi = _sm64("(SELECT l, uvid, dg FROM du)", f"{seed}*3000007 + l", "hp")
+    return _GRAPH_CTE + f""",
+dict AS (SELECT conv_id, CAST(row_number() OVER (ORDER BY conv_id) - 1 AS BIGINT) AS vid FROM ids),
+nn AS (SELECT count(*) AS n FROM ids),
+insr AS (SELECT l, CAST(hu % CAST(n AS UBIGINT) AS BIGINT) AS uvid,
+                CAST(hv % CAST(n AS UBIGINT) AS BIGINT) AS vvid FROM {ins}),
+cand AS (SELECT l, j, CAST(hc % CAST(n AS UBIGINT) AS BIGINT) AS uvid FROM {delc}),
+dedges AS (SELECT src, dst FROM uedges WHERE src <> dst),
+vdeg AS (SELECT d.vid, count(*) AS dg FROM dict d JOIN dedges e ON e.src = d.conv_id GROUP BY d.vid),
+pick AS (SELECT c.l, min(c.j) AS j FROM cand c JOIN vdeg v ON v.vid = c.uvid AND v.dg > 0 GROUP BY c.l),
+du AS (SELECT c.l, c.uvid, v.dg FROM pick p JOIN cand c ON c.l = p.l AND c.j = p.j
+       JOIN vdeg v ON v.vid = c.uvid),
+dvi AS (SELECT l, uvid, CAST(hp % CAST(dg AS UBIGINT) AS BIGINT) AS vi FROM {dvi}),
+adj AS (SELECT e.src, e.dst, row_number() OVER (PARTITION BY e.src ORDER BY e.dst) - 1 AS rk
+        FROM dedges e)
+SELECT x.l, 'del' AS kind, dc.conv_id AS src, a.dst AS dst
+FROM dvi x JOIN dict dc ON dc.vid = x.uvid
+JOIN adj a ON a.src = dc.conv_id AND a.rk = x.vi
+UNION ALL
+SELECT i.l, 'ins' AS kind, da.conv_id AS src, db.conv_id AS dst
+FROM insr i JOIN dict da ON da.vid = i.uvid JOIN dict db ON db.vid = i.vvid
+ORDER BY kind, l"""
 
 
 def _sql_dsh_ctes() -> str:
@@ -1216,6 +1271,7 @@ SELECT ds.vid AS src, dd.vid AS dst, m.turn_idx
 FROM mention m JOIN dict ds ON m.src = ds.conv_id JOIN dict dd ON m.dst = dd.conv_id""",
         "out_degrees": _GRAPH_CTE
         + "\nSELECT src AS conv_id, count(*) AS outdeg FROM uedges GROUP BY src",
+        "random_batch": _sql_random_batch(),
         "self_loops": _GRAPH_CTE
         + "\nSELECT count(*) AS self_loops FROM uedges WHERE src = dst",
         "triangle_total": _GRAPH_CTE

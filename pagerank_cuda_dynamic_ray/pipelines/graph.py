@@ -261,6 +261,89 @@ class GraphContext:
     # batch updates (temporal protocol, main.cu:79-147)
     # ------------------------------------------------------------------
 
+    def _shard_gather(self, vids: np.ndarray, method: str,
+                      extra: np.ndarray | None = None) -> np.ndarray:
+        """Call ``method`` on each vid's owner shard with the owned
+        local ids (one call per shard, not per vid) and return results
+        re-aligned to the input order."""
+        P = self.P
+        owners = vids % P
+        order = np.argsort(owners, kind="stable")
+        sv = vids[order]
+        se = extra[order] if extra is not None else None
+        cuts = np.searchsorted(owners[order], np.arange(P + 1))
+        refs = []
+        for p in range(P):
+            a, b = int(cuts[p]), int(cuts[p + 1])
+            if a == b:
+                continue
+            args = (sv[a:b] // P,) + ((se[a:b],) if se is not None else ())
+            refs.append(getattr(self.shards[p], method).remote(*args))
+        parts = ray.get(refs)
+        flat = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+        out = np.empty_like(flat)
+        out[order] = flat
+        return out
+
+    def random_batch(self, num_deletions: int, num_insertions: int, seed: int = 0,
+                     undirected: bool = False, retries: int = 5,
+                     return_indices: bool = False):
+        """Seeded random batch: ``num_deletions`` edge deletions sampled
+        from the CURRENT graph (uniform vertex, then uniform DATA
+        out-edge of it — structural self-loops are never deleted, they
+        are the dead-end transform, not data; up to ``retries`` fresh
+        vertex draws when data out-degree is 0, then the sample is
+        dropped) plus ``num_insertions`` uniform
+        vertex-pair insertions — generateEdgeDeletions / generateEdgeInsertions
+        (/root/reference/inc/batch.hxx:100-139, retry: _utility.hxx:199).
+
+        The reference's sequential stream RNG is re-expressed as
+        COUNTER-MODE splitmix64: every draw is a pure function of
+        (seed, sample index), so the batch is deterministic under any
+        partitioning/parallelism, resumable, and SQL-replicable (the
+        driver oracle recomputes it exactly). Degree probes and edge
+        picks run one vectorized call per owner shard — no adjacency
+        ever ships to the driver.
+
+        Returns ((2,kd) deletions, (2,ki) insertions) vid arrays in
+        sample order, duplicates allowed — feed through tidy_batch, as
+        the reference feeds tidyBatchUpdateU. ``undirected=True`` emits
+        both directions of every sampled edge (batch.hxx:105,130)."""
+        from ..functions.hashing import splitmix64
+
+        N, R = np.uint64(self.N), int(retries)
+        s = np.uint64(seed)
+        li = np.arange(num_insertions, dtype=np.uint64)
+        ins_u = (splitmix64(s * np.uint64(1000003) + 2 * li) % N).astype(np.int64)
+        ins_v = (splitmix64(s * np.uint64(1000003) + 2 * li + np.uint64(1)) % N).astype(np.int64)
+
+        ld = np.arange(num_deletions, dtype=np.uint64)
+        att = np.arange(R, dtype=np.uint64)
+        cand = (splitmix64(s * np.uint64(2000003) + ld[:, None] * np.uint64(R) + att) % N
+                ).astype(np.int64)                               # (num_deletions, R)
+        deg = self._shard_gather(cand.ravel(), "out_degrees_of").reshape(num_deletions, R)
+        ok = deg > 0
+        first = np.argmax(ok, axis=1)
+        rows = np.arange(num_deletions)
+        has = ok[rows, first]
+        del_l = ld[has]
+        del_u = cand[rows, first][has]
+        hvi = splitmix64(s * np.uint64(3000007) + del_l)
+        del_v = self._shard_gather(del_u, "sample_out_edges", hvi)
+
+        def pack(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+            if undirected:
+                u, v = (np.column_stack([u, v]).reshape(-1),
+                        np.column_stack([v, u]).reshape(-1))
+            return np.stack([u, v]).astype(np.int64)
+
+        dels, inss = pack(del_u, del_v), pack(ins_u, ins_v)
+        if return_indices:
+            rep = 2 if undirected else 1
+            return dels, inss, np.repeat(del_l.astype(np.int64), rep), np.repeat(
+                li.astype(np.int64), rep)
+        return dels, inss
+
     def tidy_batch(self, deletions: np.ndarray, insertions: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Canonicalize a batch: existence filter + sort + exact dedup —
         tidyBatchUpdateU (/root/reference/inc/batch.hxx:201-208).
@@ -621,30 +704,6 @@ class GraphContext:
             return float(max(partials))
         total = float(sum(partials))
         return float(np.sqrt(total)) if ord == 2 else total
-
-    def random_batch(self, num_insertions: int, num_deletions: int,
-                     seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
-        """Seeded random batch — the reference's generator semantics
-        (/root/reference/inc/batch.hxx:100-139): insertions are uniform
-        vertex pairs, deletions are uniform samples of EXISTING edges
-        (drawn proportionally from each shard). Returns ((2,d), (2,i))
-        vid arrays; pass through ``tidy_batch`` before applying, which
-        performs the generator's retry/unique canonicalization."""
-        rng = np.random.default_rng(seed)
-        ins = rng.integers(0, self.N, size=(2, num_insertions)).astype(np.int64)
-        if num_deletions <= 0:
-            return np.empty((2, 0), dtype=np.int64), ins
-        counts = np.array([
-            o for o, _ in ray.get([s.num_edges.remote() for s in self.shards])
-        ], dtype=np.float64)
-        total = counts.sum()
-        alloc = np.floor(counts / max(total, 1) * num_deletions).astype(np.int64)
-        alloc[: num_deletions - int(alloc.sum())] += 1
-        dels = ray.get([
-            s.sample_edges.remote(int(alloc[p]), seed)
-            for p, s in enumerate(self.shards)
-        ])
-        return np.concatenate(dels, axis=1), ins
 
     # ------------------------------------------------------------------
     # result access

@@ -150,6 +150,19 @@ class GraphShard:
         i_local, i_src = self.in_keys // N, self.in_keys % N
         self.in_offsets, self.in_src = K.build_csr(i_local, i_src, n, dedup=False)
         self.outdeg = np.diff(self.out_offsets).astype(np.float64)
+        # CSR position of each owned vertex's self-loop (-1 if none):
+        # out_keys is sorted and build_csr orders by (local, dst) == key
+        # order, so an out_keys index IS a CSR index. Used to exclude
+        # structural self-loops from deletion sampling.
+        if n and len(self.out_keys):
+            own = np.arange(n, dtype=np.int64)
+            lkeys = own * N + own * self.P + self.p
+            pos = np.searchsorted(self.out_keys, lkeys)
+            posc = np.minimum(pos, len(self.out_keys) - 1)
+            has = self.out_keys[posc] == lkeys
+            self.out_loop_rel = np.where(has, posc - self.out_offsets[own], -1)
+        else:
+            self.out_loop_rel = np.full(n, -1, dtype=np.int64)
         with np.errstate(divide="ignore"):
             self.inv_outdeg = np.where(self.outdeg > 0, 1.0 / self.outdeg, 0.0)
         # pull index: unique needed sources, grouped by owner then local id
@@ -344,6 +357,30 @@ class GraphShard:
             {"vid": pa.array(self.owned_vids()), "outdeg": pa.array(self.outdeg.astype(np.int64))}
         )
 
+    def out_degrees_of(self, locals_: np.ndarray) -> np.ndarray:
+        """DATA out-degree (current CSR, structural self-loops excluded)
+        for owned local ids — the degree probe of removeRandomEdgeFrom
+        (/root/reference/inc/batch.hxx:29-39). Self-loops are the
+        dead-end-elimination transform (selfLoop.hxx:33-79), not data
+        edges — deleting one would leave a dangling vertex the DF-P
+        closed form divides by, so the sampler never sees them."""
+        offs = self.out_offsets
+        deg = (offs[locals_ + 1] - offs[locals_]).astype(np.int64)
+        return deg - (self.out_loop_rel[locals_] >= 0)
+
+    def sample_out_edges(self, locals_: np.ndarray, hs: np.ndarray) -> np.ndarray:
+        """The (h % datadeg)-th NON-LOOP out-neighbor (dst-vid-ascending
+        order) of each owned local id — the edge pick of
+        removeRandomEdgeFrom (/root/reference/inc/batch.hxx:29-39) with
+        the stream RNG re-expressed as a counter hash. Callers guarantee
+        data out-degree > 0 (see out_degrees_of)."""
+        offs = self.out_offsets
+        rel = self.out_loop_rel[locals_]
+        deg = (offs[locals_ + 1] - offs[locals_]) - (rel >= 0)
+        vi = (hs.astype(np.uint64) % deg.astype(np.uint64)).astype(np.int64)
+        vi += ((rel >= 0) & (vi >= rel))
+        return self.out_dst[offs[locals_] + vi]
+
     # ------------------------------------------------------------------
     # batch updates (dynamic graph)
     # ------------------------------------------------------------------
@@ -398,24 +435,6 @@ class GraphShard:
     def rank_norm_partial(self, other: np.ndarray, ord) -> float:
         """Partial of ||r - other||_ord over this shard's owned rows."""
         return K.norm_delta_partial(self.r, other, ord)
-
-    def sample_edges(self, k: int, seed: int) -> np.ndarray:
-        """Uniformly sample k existing out-edges (with replacement) —
-        the deletion side of the reference's random batch generator
-        (/root/reference/inc/batch.hxx:100-139). Structural self-loops
-        are excluded: they are the dead-end-elimination transform
-        (selfLoop.hxx:33-79), not data edges — deleting one would leave
-        a dangling vertex the DF-P closed form divides by. Returns a
-        (2,k) vid array; tidy dedups like the reference's retry+unique."""
-        if len(self.out_keys) == 0 or k <= 0:
-            return np.empty((2, 0), dtype=np.int64)
-        local, dst = self.out_keys // self.N, self.out_keys % self.N
-        data = np.flatnonzero(dst != local * self.P + self.p)
-        if data.size == 0:
-            return np.empty((2, 0), dtype=np.int64)
-        rng = np.random.default_rng(seed * 1_000_003 + self.p)
-        pick = data[rng.integers(0, len(data), k)]
-        return np.stack([local[pick] * self.P + self.p, dst[pick]])
 
     def clear_flags(self) -> None:
         self.vaff[:] = False

@@ -131,6 +131,19 @@ def test_random_batch_generator(ctx):
     dels, ins = ctx.random_batch(num_insertions=25, num_deletions=15, seed=7)
     assert ins.shape == (2, 25)
     assert dels.shape[1] == 15
+    assert (dels[0] != dels[1]).all(), "structural self-loops never sampled"
+    # counter-mode RNG: the batch is a pure function of (seed, index) —
+    # identical under a different shard count
+    src, dst = ctx._test_edges
+    other = GraphContext(N, 5)
+    other.ingest_pairs(src, dst)
+    other.finalize()
+    try:
+        d5, i5 = other.random_batch(num_insertions=25, num_deletions=15, seed=7)
+        np.testing.assert_array_equal(d5, dels)
+        np.testing.assert_array_equal(i5, ins)
+    finally:
+        other.shutdown()
     d2, i2 = ctx.tidy_batch(dels, ins)
     assert d2.shape[1] > 0, "sampled deletions must hit existing edges"
     marks_del = ctx.compute_frontier_marks(d2, EMPTY)
@@ -144,3 +157,25 @@ def test_random_batch_generator(ctx):
         np.testing.assert_allclose(
             ctx.assemble(res.ranks), ctx.assemble(truth.ranks), atol=1e-6
         )
+
+
+def test_random_batch_retry_on_zero_degree():
+    """Star graph: only vertex 0 has data out-edges, so most deletion
+    draws hit zero-data-degree vertices and must retry (up to 5 fresh
+    vertex draws, batch.hxx retry semantics) or drop the sample."""
+    n = 40
+    src = np.zeros(12, dtype=np.int64)
+    dst = np.arange(1, 13, dtype=np.int64)
+    c = GraphContext(n, 2)
+    c.ingest_pairs(src, dst)
+    c.finalize()
+    try:
+        dels, _ = c.random_batch(num_deletions=30, num_insertions=0, seed=5)
+        assert 0 < dels.shape[1] <= 30          # some survive, some may drop
+        assert (dels[0] == 0).all()             # only vertex 0 has data edges
+        assert np.isin(dels[1], dst).all()      # picks are existing out-edges
+        few, _ = c.random_batch(num_deletions=30, num_insertions=0, seed=5,
+                                retries=1)
+        assert few.shape[1] < dels.shape[1]     # retries rescue samples
+    finally:
+        c.shutdown()
