@@ -740,6 +740,80 @@ class GraphContext:
         return ds
 
 
+def pagerank_recoverable(
+    snap_dir: str,
+    variant: str = "static",
+    warm: list[np.ndarray] | None = None,
+    options: PagerankOptions | None = None,
+    initial_marks: list[np.ndarray] | None = None,
+    mode: str = "auto",
+    batch_idx: int = 0,
+    max_attempts: int = 3,
+    ctx: "GraphContext | None" = None,
+    num_cpus_per_shard: float = 0.5,
+    hub_split_threshold: int | None = None,
+    dictionary: np.ndarray | None = None,
+) -> "tuple[GraphContext, PagerankResult]":
+    """Worker-loss-tolerant PageRank: survive shard-actor death mid-run.
+
+    The reference is a single process with no fault story; on a
+    multi-node cluster any worker can die mid-convergence. This wrapper
+    composes the engine's two durable artifacts — the graph snapshot
+    (``save_graph``: per-partition edge-key parquet) and the rank
+    checkpoint lineage (``checkpoint_dir``: per-partition ranks + vaff
+    per ``checkpoint_every`` iterations) — into an at-least-once run:
+    each attempt (re)builds the actor pool from the snapshot and resumes
+    from the newest COMPLETE checkpoint, so a crash costs at most
+    ``checkpoint_every`` iterations of recompute. Resumed runs are
+    bit-equal to uninterrupted ones (the resume path restores ranks,
+    both buffers and vaff — see test_resume).
+
+    Pass ``ctx`` to reuse an already-built pool for the first attempt
+    (it is shut down and rebuilt from ``snap_dir`` if its actors die).
+    Retryable failures are Ray delivery/actor faults (actor death,
+    unavailability, channel teardown, preempted nodes) — application
+    errors raised *inside* a kernel (``RayTaskError`` wrapping a Python
+    exception) are re-raised immediately: retrying a deterministic bug
+    cannot succeed and would mask it. Returns ``(ctx, result)``; the
+    caller owns ``ctx.shutdown()``.
+    """
+    import ray.exceptions as rex
+
+    retryable: tuple = (rex.RayActorError, rex.ActorUnavailableError,
+                        rex.RaySystemError, rex.GetTimeoutError)
+    try:  # compiled-graph channels raise their own error family
+        retryable = retryable + (rex.RayChannelError,)
+    except AttributeError:
+        pass
+    o = options or PagerankOptions()
+    last_err: BaseException | None = None
+    for attempt in range(max_attempts):
+        if ctx is None:
+            ctx = GraphContext.load_graph(
+                snap_dir, num_cpus_per_shard=num_cpus_per_shard,
+                hub_split_threshold=hub_split_threshold, dictionary=dictionary,
+            )
+        try:
+            # resume=True is a no-op when no checkpoint exists yet
+            res = ctx.pagerank(
+                variant, warm=warm, options=o, initial_marks=initial_marks,
+                resume=bool(o.checkpoint_dir), batch_idx=batch_idx, mode=mode,
+            )
+            return ctx, res
+        except retryable as e:
+            if isinstance(e, rex.RayTaskError):
+                raise  # application error inside a kernel — not a fault
+            last_err = e
+            try:
+                ctx.shutdown()
+            except Exception:
+                pass
+            ctx = None
+    raise RuntimeError(
+        f"pagerank_recoverable: {max_attempts} attempts exhausted"
+    ) from last_err
+
+
 def _light(metric: dict) -> dict:
     return {
         "iteration": metric["iteration"],

@@ -102,3 +102,47 @@ def test_partition_count_invariance():
         ctx.shutdown()
     np.testing.assert_allclose(results[0], results[1], atol=1e-12)
     np.testing.assert_allclose(results[0], results[2], atol=1e-12)
+
+
+def test_actor_death_recovery_is_exact(tmp_path):
+    """A shard actor dying mid-convergence must not lose the run.
+
+    Protocol: checkpointed partial run -> ray.kill one shard actor ->
+    the plain path raises RayActorError -> pagerank_recoverable detects
+    the fault, rebuilds the pool from the graph snapshot, resumes from
+    the newest complete checkpoint, and lands bit-equal to an
+    uninterrupted run."""
+    import ray
+    from ray.exceptions import RayActorError
+
+    from pagerank_cuda_dynamic_ray.pipelines.graph import pagerank_recoverable
+
+    n = 300
+    src, dst = _graph(11, n, 1400)
+    ctx = GraphContext(n, 3)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    snap = str(tmp_path / "snap")
+    ctx.save_graph(snap)
+    full = ctx.pagerank("static")
+    assert full.iterations > 10, "fixture must outlast the interruption point"
+    o_part = PagerankOptions(
+        checkpoint_every=4, checkpoint_dir=str(tmp_path / "ckpt"),
+        run_id="ft", max_iterations=8,
+    )
+    ctx.pagerank("static", options=o_part)
+    ray.kill(ctx.shards[1])
+    with pytest.raises(RayActorError):
+        ctx.pagerank(
+            "static",
+            options=PagerankOptions(
+                checkpoint_dir=str(tmp_path / "ckpt"), run_id="ft"
+            ),
+            resume=True, mode="driver",
+        )
+    o_rest = PagerankOptions(checkpoint_dir=str(tmp_path / "ckpt"), run_id="ft")
+    ctx2, res = pagerank_recoverable(snap, "static", options=o_rest, ctx=ctx)
+    assert ctx2 is not ctx, "dead pool must have been rebuilt from the snapshot"
+    assert res.iterations == full.iterations
+    assert np.array_equal(ctx2.assemble(res.ranks), ctx.assemble(full.ranks))
+    ctx2.shutdown()
