@@ -325,6 +325,71 @@ def run_scaling(sf_dir: str) -> dict:
     }
 
 
+def run_skew(num_cpus: int) -> dict:
+    """Measure the explicit hub-splitting criterion: the same power-law-
+    with-hub graph with splitting OFF vs ON (threshold 256), fixed 20
+    iterations. Reports per-iteration throughput and per-shard step-time
+    balance (mean over iterations of max/mean step_s across shards — 1.0
+    is perfectly balanced; without splitting the hub owner's shard is the
+    straggler every iteration). Results land in BASELINE.md; kept out of
+    the default suite so the headline total stays comparable round over
+    round."""
+    _init_ray(num_cpus)
+    import numpy as np
+
+    from pagerank_cuda_dynamic_ray.options import PagerankOptions
+    from pagerank_cuda_dynamic_ray.pipelines.graph import GraphContext
+
+    n, m, hub_m = 1_000_000, 6_000_000, 1_000_000
+    P = _graph_parts(num_cpus)
+    rng = np.random.default_rng(7)
+    src = np.concatenate([
+        rng.integers(0, n, m), rng.integers(0, n, hub_m)
+    ]).astype(np.int64)
+    dst = np.concatenate([
+        rng.integers(0, n, m), np.zeros(hub_m, dtype=np.int64)
+    ]).astype(np.int64)
+    opts = PagerankOptions(tolerance=0.0, max_iterations=20)
+    out: dict = {"metric": "hub_skew", "unit": "sec", "num_cpus": num_cpus,
+                 "vertices": n, "edges_random": m, "hub_in_degree": hub_m,
+                 "num_parts": P, "iterations": opts.max_iterations}
+    ranks: dict[str, np.ndarray] = {}
+    for name, thresh in (("split_off", None), ("split_on", 256)):
+        ctx = GraphContext(n, P, hub_split_threshold=thresh)
+        # chunked ingest keeps peak driver memory at one chunk
+        for a in range(0, len(src), 2_000_000):
+            ctx.ingest_pairs(src[a:a + 2_000_000], dst[a:a + 2_000_000])
+        ctx.finalize()
+        ctx.pagerank("static", options=PagerankOptions(tolerance=0.0, max_iterations=3))
+        best, best_res = float("inf"), None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = ctx.pagerank("static", options=opts)
+            dt = time.perf_counter() - t0
+            if dt < best:
+                best, best_res = dt, res
+        E = ctx.num_edges()
+        imb = [
+            max(p["step_s"] for p in it["parts"]) /
+            max(1e-12, sum(p["step_s"] for p in it["parts"]) / len(it["parts"]))
+            for it in best_res.metrics
+        ]
+        ranks[name] = ctx.assemble(best_res.ranks)
+        out[name] = {
+            "pr_sec": round(best, 3),
+            "edge_iter_per_sec": round(E * opts.max_iterations / best, 1),
+            "step_imbalance_max_over_mean": round(float(np.mean(imb)), 2),
+        }
+        ctx.shutdown()
+    out["ranks_allclose_1e12"] = bool(
+        np.allclose(ranks["split_off"], ranks["split_on"], atol=1e-12)
+    )
+    out["speedup_split_on"] = round(
+        out["split_off"]["pr_sec"] / out["split_on"]["pr_sec"], 3
+    )
+    return out
+
+
 def main() -> None:
     import ray
 
@@ -332,6 +397,8 @@ def main() -> None:
         out = run_scaling_child(SF_DIR, NUM_CPUS)
     elif "--scaling" in sys.argv:
         out = run_scaling(SF_DIR)
+    elif "--skew" in sys.argv:
+        out = run_skew(NUM_CPUS)
     else:
         out = run_suite(SF_DIR, NUM_CPUS)
     print(json.dumps(out))
