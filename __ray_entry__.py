@@ -453,6 +453,59 @@ def _q_orders_by_segment(sf_dir: str):
     )
 
 
+def _q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-style multi-join rollup — the engine's join taxonomy in
+    one query: a BIG-BIG distributed hash join (lineitem x orders on
+    orderkey via ``Dataset.join``), broadcast dimension lookups
+    (customer/nation/region shipped ONCE via ray.put, probed with
+    vectorized searchsorted inside map_batches — at true scale customer
+    graduates to a second hash join, the dims stay broadcast), and
+    per-batch partial aggregation before a tiny final groupby (shuffle
+    rows ∝ nations × blocks, not lineitems). Revenue is exact integer
+    1e-4 dollars (prices are exact cents, discounts exact hundredths:
+    px_cents * (100 - disc_pct)), so the sum is order-insensitive and
+    hashes bit-equal to the SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas().sort_values("c_custkey")
+    nat = _tbl(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas().sort_values("n_nationkey")
+    reg = _tbl(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkey = int(reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    dim_ref = ray.put((
+        cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy(),
+        nat["n_nationkey"].to_numpy(), nat["n_name"].to_numpy(dtype="U"),
+        nat["n_regionkey"].to_numpy(),
+    ))
+    joined = li.join(
+        orders, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.5},
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ck, cn, nk, nname, nreg = ray.get(dim_ref)
+        ni = np.searchsorted(nk, cn[np.searchsorted(ck, t["o_custkey"].to_numpy())])
+        px = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.rint(t["l_discount"].to_numpy() * 100).astype(np.int64)
+        keep = nreg[ni] == rkey
+        ni, rev = ni[keep], (px * (100 - disc))[keep]
+        uniq, inv = np.unique(ni, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, rev)  # exact int64 segment sums
+        return pa.table({
+            "n_name": pa.array(nname[uniq].tolist(), pa.string()),
+            "revenue_e4": pa.array(sums, pa.int64()),
+        })
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue_e4"))
+    )
+    return _rename(agg, {"sum(revenue_e4)": "revenue_e4"}).sort("n_name")
+
+
 # ----------------------------------------------------------------------
 # event-time operators (stages/temporal.py): tumbling windows, as-of
 # join, interval-join aggregate, sessionization — custom operators Ray
@@ -670,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_summary": _q_events_summary,
         "anti_join_users": _q_anti_join_users,
         "orders_by_segment": _q_orders_by_segment,
+        "revenue_by_nation": _q_revenue_by_nation,
         # event-time family (custom operators Ray Data lacks natively)
         "windowed_events": _q_windowed_events,
         "asof_purchase_click": _q_asof_purchase_click,
@@ -1378,6 +1432,18 @@ SELECT c.c_mktsegment AS segment, count(*) AS n_orders,
        min(o.o_totalprice) AS min_price, max(o.o_totalprice) AS max_price
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY c.c_mktsegment""",
+        "revenue_by_nation": """
+SELECT n.n_name,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_e4
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name ORDER BY n.n_name""",
         "windowed_events": """
 SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS window_start,
        event_type, count(*)::BIGINT AS n_events,
