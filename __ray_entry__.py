@@ -960,13 +960,17 @@ def _sql_random_batch(size: int = 64, seed: int = 11, retries: int = 5) -> str:
     loop-only vertices exercise the retry), and the (h % deg)-th
     non-loop out-neighbor in dst order (engine adjacency is
     dst-vid-ascending; conv_id order == vid order by construction)."""
+    # stream separation mirrors pipelines.graph.RB_STREAM_*: additive
+    # counter-domain offsets 2^60 apart (seed only shifts WITHIN a
+    # domain, so streams stay independent at every seed incl. 0)
+    s_ins, s_del, s_pick = (1 << 60), (2 << 60), (3 << 60)
     ins = _sm64(_sm64(f"(SELECT t.l AS l, n FROM range(0, {size}) t(l) CROSS JOIN nn)",
-                      f"{seed}*1000003 + 2*l", "hu"),
-                f"{seed}*1000003 + 2*l + 1", "hv")
+                      f"{seed}*1000003 + {s_ins} + 2*l", "hu"),
+                f"{seed}*1000003 + {s_ins} + 2*l + 1", "hv")
     delc = _sm64(f"(SELECT t.l AS l, a.j AS j, n FROM range(0, {size}) t(l) "
                  f"CROSS JOIN range(0, {retries}) a(j) CROSS JOIN nn)",
-                 f"{seed}*2000003 + {retries}*l + j", "hc")
-    dvi = _sm64("(SELECT l, uvid, dg FROM du)", f"{seed}*3000007 + l", "hp")
+                 f"{seed}*1000003 + {s_del} + {retries}*l + j", "hc")
+    dvi = _sm64("(SELECT l, uvid, dg FROM du)", f"{seed}*1000003 + {s_pick} + l", "hp")
     return _GRAPH_CTE + f""",
 dict AS (SELECT conv_id, CAST(row_number() OVER (ORDER BY conv_id) - 1 AS BIGINT) AS vid FROM ids),
 nn AS (SELECT count(*) AS n FROM ids),

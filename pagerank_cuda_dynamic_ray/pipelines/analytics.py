@@ -43,6 +43,27 @@ def _label_mode(mode: str) -> str:
     return "p2p" if len(nodes) > 1 else "driver"
 
 
+def _driver_label_fixpoint(shards, push: str, apply_: str, max_rounds: int,
+                           post_round: str | None = None) -> None:
+    """Driver-coordinated label round loop shared by cc / warm-cc / lp:
+    each round every shard pushes per-owner slices (num_returns = P+1),
+    owners apply them and report a changed count, and the loop stops
+    when the global count reaches zero. The in-pool twin of this loop is
+    GraphShard.run_label_iterations — keep their round structure in
+    sync (results are bit-identical across the two)."""
+    P = len(shards)
+    for _ in range(max_rounds):
+        refs = [getattr(s, push).options(num_returns=P + 1).remote() for s in shards]
+        changed = ray.get([
+            getattr(shards[p], apply_).remote(*[refs[q][1 + p] for q in range(P)])
+            for p in range(P)
+        ])
+        if post_round is not None:
+            ray.get([getattr(s, post_round).remote() for s in shards])
+        if sum(changed) == 0:
+            break
+
+
 def connected_components_incremental(ctx: GraphContext, inserted_edges: np.ndarray,
                                      max_rounds: int = 10_000,
                                      mode: str = "auto") -> rd.Dataset:
@@ -76,14 +97,7 @@ def connected_components_incremental(ctx: GraphContext, inserted_edges: np.ndarr
             for s in shards
         ])
     else:
-        for _ in range(max_rounds):
-            push_refs = [s.cc_push.options(num_returns=P + 1).remote() for s in shards]
-            changed = ray.get([
-                shards[p].cc_apply.remote(*[push_refs[q][1 + p] for q in range(P)])
-                for p in range(P)
-            ])
-            if sum(changed) == 0:
-                break
+        _driver_label_fixpoint(shards, "cc_push", "cc_apply", max_rounds)
     tables = ray.get([s.labels_table.remote("component") for s in shards])
     return _with_conv(ctx, tables)
 
@@ -109,21 +123,14 @@ def connected_components(ctx: GraphContext, max_rounds: int = 10_000,
     Returns a Dataset (vid:int64, component:int64[, conv_id]).
     """
     _ensure_symmetric(ctx)
-    P, shards = ctx.P, ctx.shards
+    shards = ctx.shards
     if _label_mode(mode) == "p2p":
         ray.get([
             s.run_label_iterations.remote(shards, "cc", max_rounds) for s in shards
         ])
     else:
         ray.get([s.cc_init.remote() for s in shards])
-        for _ in range(max_rounds):
-            push_refs = [s.cc_push.options(num_returns=P + 1).remote() for s in shards]
-            changed = ray.get([
-                shards[p].cc_apply.remote(*[push_refs[q][1 + p] for q in range(P)])
-                for p in range(P)
-            ])
-            if sum(changed) == 0:
-                break
+        _driver_label_fixpoint(shards, "cc_push", "cc_apply", max_rounds)
     tables = ray.get([s.labels_table.remote("component") for s in shards])
     return _with_conv(ctx, tables)
 
@@ -147,7 +154,7 @@ def label_propagation(ctx: GraphContext, max_iterations: int = 10,
     ``"auto"``: by cluster node count (see :func:`_label_mode`).
     """
     _ensure_symmetric(ctx)
-    P, shards = ctx.P, ctx.shards
+    shards = ctx.shards
     if _label_mode(mode) == "p2p":
         ray.get([
             s.run_label_iterations.remote(shards, "lp", max_iterations)
@@ -155,15 +162,8 @@ def label_propagation(ctx: GraphContext, max_iterations: int = 10,
         ])
     else:
         ray.get([s.lp_init.remote() for s in shards])
-        for _ in range(max_iterations):
-            emit_refs = [s.lp_emit.options(num_returns=P + 1).remote() for s in shards]
-            changed = ray.get([
-                shards[p].lp_apply.remote(*[emit_refs[q][1 + p] for q in range(P)])
-                for p in range(P)
-            ])
-            ray.get([s.lp_swap.remote() for s in shards])
-            if sum(changed) == 0:
-                break
+        _driver_label_fixpoint(shards, "lp_emit", "lp_apply", max_iterations,
+                               post_round="lp_swap")
     tables = ray.get([s.labels_table.remote("label") for s in shards])
     return _with_conv(ctx, tables)
 
@@ -276,7 +276,27 @@ def modularity(ctx: GraphContext, labels: rd.Dataset | None = None) -> float:
         )
     if labels is not None:
         pdf = labels.to_pandas()
-        col = [c for c in pdf.columns if c != "vid"][0]
+        # pick the label column by NAME, not position: engine outputs
+        # carry (vid, component|label[, conv_id]) and column order is
+        # not contractual after joins
+        named = [c for c in ("label", "component") if c in pdf.columns]
+        others = [c for c in pdf.columns if c not in ("vid", "conv_id")]
+        if named:
+            col = named[0]
+        elif len(others) == 1:
+            col = others[0]
+        else:
+            raise ValueError(
+                f"ambiguous label column among {list(pdf.columns)} — "
+                "name it 'label' or 'component'"
+            )
+        if len(pdf) != ctx.N or pdf["vid"].nunique() != ctx.N:
+            raise ValueError(
+                f"labels must cover every vertex exactly once "
+                f"({pdf['vid'].nunique()} unique vids for N={ctx.N}) — "
+                "a partial install would silently merge missing vertices "
+                "into community 0"
+            )
         full = np.zeros(ctx.N, dtype=np.int64)
         full[pdf["vid"].to_numpy()] = pdf[col].to_numpy()
         ray.get([

@@ -37,6 +37,15 @@ from ..state.partitioner import route_edges, split_pairs_by_owner
 from ..state.shard import GraphShard
 
 VARIANTS = ("static", "nd", "dt", "df", "dfp")
+MODES = ("auto", "compiled", "p2p", "driver")
+
+# random_batch counter-domain offsets: the three draw streams live 2^60
+# apart so they are disjoint for any realistic sample count and ANY seed
+# (seed only shifts within a domain). Mirrored verbatim by the SQL
+# oracle (__ray_entry__._sql_random_batch).
+RB_STREAM_INS = np.uint64(1 << 60)
+RB_STREAM_DEL = np.uint64(2 << 60)
+RB_STREAM_PICK = np.uint64(3 << 60)
 
 
 class GraphContext:
@@ -301,25 +310,30 @@ class GraphContext:
         COUNTER-MODE splitmix64: every draw is a pure function of
         (seed, sample index), so the batch is deterministic under any
         partitioning/parallelism, resumable, and SQL-replicable (the
-        driver oracle recomputes it exactly). Degree probes and edge
-        picks run one vectorized call per owner shard — no adjacency
-        ever ships to the driver.
+        driver oracle recomputes it exactly). The three draw streams
+        (insertion endpoints, deletion candidates, edge picks) occupy
+        disjoint ADDITIVE counter domains (offsets 2^60 apart) so they
+        stay independent for every seed — a seed-multiplied separator
+        would collapse all streams onto one domain at seed=0. Degree
+        probes and edge picks run one vectorized call per owner shard —
+        no adjacency ever ships to the driver.
 
         Returns ((2,kd) deletions, (2,ki) insertions) vid arrays in
         sample order, duplicates allowed — feed through tidy_batch, as
         the reference feeds tidyBatchUpdateU. ``undirected=True`` emits
-        both directions of every sampled edge (batch.hxx:105,130)."""
+        both directions of every sampled edge (batch.hxx:105,130).
+        ``retries <= 1`` means a single candidate draw, no retry."""
         from ..functions.hashing import splitmix64
 
-        N, R = np.uint64(self.N), int(retries)
-        s = np.uint64(seed)
+        N, R = np.uint64(self.N), max(1, int(retries))
+        s = np.uint64(seed) * np.uint64(1000003)
         li = np.arange(num_insertions, dtype=np.uint64)
-        ins_u = (splitmix64(s * np.uint64(1000003) + 2 * li) % N).astype(np.int64)
-        ins_v = (splitmix64(s * np.uint64(1000003) + 2 * li + np.uint64(1)) % N).astype(np.int64)
+        ins_u = (splitmix64(s + RB_STREAM_INS + 2 * li) % N).astype(np.int64)
+        ins_v = (splitmix64(s + RB_STREAM_INS + 2 * li + np.uint64(1)) % N).astype(np.int64)
 
         ld = np.arange(num_deletions, dtype=np.uint64)
         att = np.arange(R, dtype=np.uint64)
-        cand = (splitmix64(s * np.uint64(2000003) + ld[:, None] * np.uint64(R) + att) % N
+        cand = (splitmix64(s + RB_STREAM_DEL + ld[:, None] * np.uint64(R) + att) % N
                 ).astype(np.int64)                               # (num_deletions, R)
         deg = self._shard_gather(cand.ravel(), "out_degrees_of").reshape(num_deletions, R)
         ok = deg > 0
@@ -328,7 +342,7 @@ class GraphContext:
         has = ok[rows, first]
         del_l = ld[has]
         del_u = cand[rows, first][has]
-        hvi = splitmix64(s * np.uint64(3000007) + del_l)
+        hvi = splitmix64(s + RB_STREAM_PICK + del_l)
         del_v = self._shard_gather(del_u, "sample_out_edges", hvi)
 
         def pack(u: np.ndarray, v: np.ndarray) -> np.ndarray:
@@ -480,6 +494,7 @@ class GraphContext:
         """
         o = options or PagerankOptions()
         assert variant in VARIANTS, variant
+        assert mode in MODES, f"mode must be one of {MODES}, got {mode!r}"
         if o.repeat > 1 and not resume:
             # reference REPEAT_METHOD semantics (_utility.hxx:113-119):
             # run the whole computation `repeat` times, report the result

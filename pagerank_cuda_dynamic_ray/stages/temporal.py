@@ -45,10 +45,18 @@ _US_DAY = 86_400_000_000
 # tumbling-window aggregate
 # ----------------------------------------------------------------------
 
+def _ts_us(col) -> pa.Array | pa.ChunkedArray:
+    """Timestamp column -> int64 MICROSECONDS regardless of the source
+    unit. A bare ``pc.cast(ts, int64)`` preserves the storage unit — a
+    timestamp[ns] input (the pandas / pd.to_datetime default) would leak
+    nanosecond integers into µs-denominated gap/offset arithmetic and
+    into timestamp("us") reinterpretation of the outputs."""
+    return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+
+
 def windowed_aggregate(events: rd.Dataset, ts: str = "ts", key: str = "event_type",
                        value: str = "value", width_us: int = _US_DAY) -> rd.Dataset:
-    """Tumbling event-time windows: per (window, key) count / min / max
-    (+ an order-insensitive float sum for in-engine use).
+    """Tumbling event-time windows: per (window, key) count / min / max.
 
     The wide step is pushed partial: each batch pre-aggregates its own
     (window, key) groups inside ``map_batches`` (the combiner), so the
@@ -97,7 +105,12 @@ def _pa_types(ds: rd.Dataset) -> dict[str, pa.DataType]:
     out: dict[str, pa.DataType] = {}
     for name, t in zip(sch.names, sch.types):
         if not isinstance(t, pa.DataType):
-            t = pa.from_numpy_dtype(np.dtype(t))
+            dt = np.dtype(t)
+            if dt == np.dtype("O"):
+                # pandas blocks report strings as object dtype
+                t = pa.string()
+            else:
+                t = pa.from_numpy_dtype(dt)
         out[name] = t
     return out
 
@@ -122,7 +135,7 @@ def _tagged_union(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
             k = pc.cast(t[key], pa.int64())
             cols: dict[str, pa.Array | pa.ChunkedArray] = {
                 "__key": k,
-                "__ts": pc.cast(t[ts], pa.int64()),
+                "__ts": _ts_us(t[ts]),
                 "__side": pa.array(np.full(n, side, np.int8)),
                 "__bucket": pa.array(
                     (splitmix64(k.to_numpy().astype(np.uint64))
@@ -183,9 +196,22 @@ def asof_join(left: rd.Dataset, right: rd.Dataset, key: str, ts: str,
             eff_side = side
         if tb is not None:
             # tiebreak orders rights among themselves at equal (key, ts)
-            # — SUBORDINATE to side (lexsort keys innermost-first)
-            tbv = g[tb].to_numpy(zero_copy_only=False)
-            tbv = np.where(side == 0, np.nan_to_num(tbv.astype(np.float64)), 0.0)
+            # — SUBORDINATE to side (lexsort keys innermost-first).
+            # Integer tiebreaks stay int64: a float64 round-trip folds
+            # values above 2^53 (64-bit hashed ids!) and would break the
+            # repartition-invariant determinism the hash-compare gate
+            # needs. Nulls sort BELOW every real value (they lose the
+            # max-tiebreak race, even against negatives).
+            tb_col = g[tb]
+            if pa.types.is_integer(tb_col.type):
+                tbv = pc.fill_null(
+                    pc.cast(tb_col, pa.int64()), np.iinfo(np.int64).min
+                ).to_numpy(zero_copy_only=False)
+                tbv = np.where(side == 0, tbv, np.int64(0))
+            else:
+                tbv = tb_col.to_numpy(zero_copy_only=False).astype(np.float64)
+                tbv = np.where(np.isnan(tbv), -np.inf, tbv)
+                tbv = np.where(side == 0, tbv, 0.0)
             perm = np.lexsort((tbv, eff_side, tsv, keyv))
         else:
             perm = np.lexsort((eff_side, tsv, keyv))
@@ -298,7 +324,7 @@ def sessionize(events: rd.Dataset, key: str = "user_id", ts: str = "ts",
         return pa.table({
             "__bucket": pa.array(b),
             key: t[key],
-            "__ts": pc.cast(t[ts], pa.int64()),
+            "__ts": _ts_us(t[ts]),
             "__tb": pc.cast(t[tiebreak], pa.int64()),
         })
 

@@ -65,3 +65,33 @@ def test_modularity_with_installed_labels(ctx):
     q_one = A.modularity(ctx, labels_one)
     assert q_good > q_one
     assert abs(q_one) < 1e-12  # single community: Q = 0 by definition
+
+
+def test_modularity_install_guards(ctx):
+    import pyarrow as pa
+    import ray.data as rd
+    import pytest
+
+    # column picked by NAME even when another payload column precedes it
+    labels = rd.from_arrow(pa.table({
+        "conv_id": pa.array([f"c{i}" for i in range(8)]),
+        "vid": np.arange(8, dtype=np.int64),
+        "component": np.array([0, 0, 0, 1, 1, 1, 2, 3], dtype=np.int64),
+    }))
+    q = A.modularity(ctx, labels)
+    assert q > 0
+    # partial coverage must raise, not silently merge into community 0
+    partial = rd.from_arrow(pa.table({
+        "vid": np.arange(4, dtype=np.int64),
+        "label": np.zeros(4, dtype=np.int64),
+    }))
+    with pytest.raises(ValueError, match="cover every vertex"):
+        A.modularity(ctx, partial)
+    # unnameable label column must raise, not guess by position
+    ambiguous = rd.from_arrow(pa.table({
+        "vid": np.arange(8, dtype=np.int64),
+        "foo": np.zeros(8, dtype=np.int64),
+        "bar": np.zeros(8, dtype=np.int64),
+    }))
+    with pytest.raises(ValueError, match="ambiguous"):
+        A.modularity(ctx, ambiguous)

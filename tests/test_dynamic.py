@@ -179,3 +179,40 @@ def test_random_batch_retry_on_zero_degree():
         assert few.shape[1] < dels.shape[1]     # retries rescue samples
     finally:
         c.shutdown()
+
+
+def test_random_batch_seed_zero_streams_independent():
+    """seed=0 must still give independent draw streams. Regression: the
+    stream separator was MULTIPLIED by the seed, so seed=0 collapsed
+    insertion endpoints, deletion candidates, and edge picks onto one
+    counter domain (systematically correlated batches)."""
+    n = 40
+    src = np.zeros(12, dtype=np.int64)
+    dst = np.arange(1, 13, dtype=np.int64)
+    c = GraphContext(n, 2)
+    c.ingest_pairs(src, dst)
+    c.finalize()
+    try:
+        from pagerank_cuda_dynamic_ray.functions.hashing import splitmix64
+        from pagerank_cuda_dynamic_ray.pipelines.graph import (
+            RB_STREAM_DEL, RB_STREAM_INS)
+
+        dels, ins = c.random_batch(num_deletions=8, num_insertions=8, seed=0)
+        assert ins.shape == (2, 8)
+        # the two streams read from different splitmix64 counters
+        i0 = splitmix64(RB_STREAM_INS + np.uint64(0))
+        d0 = splitmix64(RB_STREAM_DEL + np.uint64(0))
+        assert i0 != d0
+        # retries<=1 degrades to single-draw sampling instead of crashing
+        d1, _ = c.random_batch(num_deletions=8, num_insertions=0, seed=0,
+                               retries=0)
+        assert d1.shape[0] == 2
+    finally:
+        c.shutdown()
+
+
+def test_pagerank_rejects_unknown_mode(ctx):
+    """A typo'd mode must fail loudly, not silently fall through to the
+    slow debugging driver loop."""
+    with pytest.raises(AssertionError):
+        ctx.pagerank("static", mode="complied")

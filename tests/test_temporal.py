@@ -173,3 +173,79 @@ def test_sessionize(ev, con, parts):
     }))
     s = TP.sessionize(one).to_pandas()
     assert len(s) == 1 and int(s["n_events"].iloc[0]) == 3
+
+
+def test_ns_timestamp_unit_normalized(ev):
+    """timestamp[ns] inputs (the pandas default) must behave exactly like
+    timestamp[us]: gap/offset arithmetic is µs-denominated internally.
+    Regression: a bare int64 cast leaked ns integers into µs math,
+    splitting every session and shrinking interval windows 1000x."""
+    ev_ns = ev.copy()
+    ev_ns["ts"] = ev_ns["ts"].astype("datetime64[ns]")
+
+    s_us = (TP.sessionize(rd.from_pandas(ev), gap_us=US_H).to_pandas()
+            .sort_values(["user_id", "session_seq"]).reset_index(drop=True))
+    s_ns = (TP.sessionize(rd.from_pandas(ev_ns), gap_us=US_H).to_pandas()
+            .sort_values(["user_id", "session_seq"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(s_us, s_ns)
+
+    l_us, r_us = _sides(ev, 3)
+    l_ns, r_ns = _sides(ev_ns, 3)
+    a_us = (TP.asof_join(l_us, r_us, "user_id", "ts", ["event_id"],
+                         ["event_id"], right_tiebreak="event_id").to_pandas()
+            .sort_values("event_id").reset_index(drop=True))
+    a_ns = (TP.asof_join(l_ns, r_ns, "user_id", "ts", ["event_id"],
+                         ["event_id"], right_tiebreak="event_id").to_pandas()
+            .sort_values("event_id").reset_index(drop=True))
+    # passthrough payload columns legitimately keep their source unit —
+    # only the VALUES must agree
+    a_ns["ts"] = a_ns["ts"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(a_us, a_ns)
+
+    i_us = (TP.interval_join_agg(l_us, r_us, "user_id", "ts", ["event_id"],
+                                 lo_offset_us=-US_H).to_pandas()
+            .sort_values("event_id").reset_index(drop=True))
+    i_ns = (TP.interval_join_agg(l_ns, r_ns, "user_id", "ts", ["event_id"],
+                                 lo_offset_us=-US_H).to_pandas()
+            .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(i_us, i_ns)
+
+
+def test_asof_tiebreak_above_2_53_stays_exact():
+    """int64 tiebreaks beyond float64's 2^53 integer range (64-bit hashed
+    ids) must still pick the true max. Regression: a float64 round-trip
+    folded 2^53 and 2^53+1 together, making the winner partition-order-
+    dependent."""
+    ts = np.datetime64("2024-01-01", "us")
+    left = pd.DataFrame({"user_id": [1], "ts": [ts], "event_id": [0]})
+    big = np.int64(2**53)
+    right = pd.DataFrame({
+        "user_id": [1, 1], "ts": [ts, ts],
+        "event_id": [big, big + 1],
+    })
+    for order in ([0, 1], [1, 0]):
+        got = TP.asof_join(
+            rd.from_pandas(left), rd.from_pandas(right.iloc[order]),
+            "user_id", "ts", ["event_id"], ["event_id"],
+            right_tiebreak="event_id",
+        ).to_pandas()
+        assert got["r__event_id"].tolist() == [big + 1]
+
+
+def test_asof_from_pandas_string_payload():
+    """pandas-block inputs with object-dtype (string) columns must work —
+    regression: _pa_types crashed on np.dtype('O') before any work."""
+    ts = np.datetime64("2024-01-01", "us")
+    left = pd.DataFrame({
+        "user_id": [1], "ts": [ts + np.timedelta64(5, "s")],
+        "event_id": [10], "note": ["hello"],
+    })
+    right = pd.DataFrame({
+        "user_id": [1], "ts": [ts], "event_id": [3], "tag": ["world"]
+    })
+    got = TP.asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        "user_id", "ts", ["event_id", "note"], ["event_id", "tag"],
+    ).to_pandas()
+    assert got["note"].tolist() == ["hello"]
+    assert got["r__tag"].tolist() == ["world"]
