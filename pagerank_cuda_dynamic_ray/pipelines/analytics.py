@@ -82,11 +82,11 @@ def connected_components_incremental(ctx: GraphContext, inserted_edges: np.ndarr
     """
     _ensure_symmetric(ctx)
     P, shards = ctx.P, ctx.shards
+    from ..state import kernels as K
+
     ends = np.unique(np.asarray(inserted_edges, dtype=np.int64).reshape(-1))
-    owners = ends % P
-    order = np.argsort(owners, kind="stable")
-    ends, owners = ends[order], owners[order]
-    cuts = np.searchsorted(owners, np.arange(P + 1))
+    order, cuts = K.owner_split(ends, P)
+    ends = ends[order]
     ray.get([
         shards[p].cc_seed_warm.remote(ends[cuts[p]:cuts[p + 1]] // P)
         for p in range(P)

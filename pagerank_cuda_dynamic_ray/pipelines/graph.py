@@ -33,6 +33,7 @@ import ray
 import ray.data as rd
 
 from ..options import PagerankOptions, PagerankResult
+from ..state import kernels as K
 from ..state.partitioner import route_edges, split_pairs_by_owner
 from ..state.shard import GraphShard
 
@@ -276,11 +277,9 @@ class GraphContext:
         local ids (one call per shard, not per vid) and return results
         re-aligned to the input order."""
         P = self.P
-        owners = vids % P
-        order = np.argsort(owners, kind="stable")
+        order, cuts = K.owner_split(vids, P)
         sv = vids[order]
         se = extra[order] if extra is not None else None
-        cuts = np.searchsorted(owners[order], np.arange(P + 1))
         refs = []
         for p in range(P):
             a, b = int(cuts[p]), int(cuts[p + 1])

@@ -57,21 +57,39 @@ def exact_dedup(docs: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
         return agg_texts(batch.iloc[bounds[0]:bounds[-1]])
 
     def block_boundary(batch: pd.DataFrame) -> pd.DataFrame:
+        # PARTIAL-AGGREGATE the boundary slice before it leaves the
+        # block: one (text, min_id, cnt) row per distinct boundary text,
+        # NOT the raw rows — a hash run spanning many blocks (a text
+        # duplicated across most of the corpus) would otherwise ship an
+        # unbounded number of rows to the driver
         k = batch["h"].to_numpy()
         bounds = np.flatnonzero(np.diff(k)) + 1
         first_end = bounds[0] if len(bounds) else len(k)
         last_start = bounds[-1] if len(bounds) else 0
         idx = np.unique(np.concatenate([np.arange(first_end), np.arange(last_start, len(k))]))
-        return batch.iloc[idx]
+        part = batch.iloc[idx]
+        g = part.groupby(text_col, sort=True)[id_col].agg(["min", "count"]).reset_index()
+        return pd.DataFrame({
+            text_col: g[text_col],
+            "min_id": g["min"].astype(np.int64),
+            "cnt": g["count"].astype(np.int64),
+        })
 
-    # complete segments stay a DISTRIBUTED Dataset; only the (tiny,
-    # <= 2-segments-per-block) boundary set merges driver-side and is
-    # unioned back in — no corpus-sized driver materialization
+    # complete segments stay a DISTRIBUTED Dataset; the boundary set
+    # merges driver-side as per-block PARTIALS (one row per distinct
+    # boundary text per block — bounded by block count, never by corpus
+    # skew) and is unioned back in
     complete = srt.map_batches(block_complete, batch_format="pandas", batch_size=None)
     bnd = srt.map_batches(block_boundary, batch_format="pandas", batch_size=None).to_pandas()
-    fixup = agg_texts(bnd) if len(bnd) else pd.DataFrame(
-        {"doc_id": pd.Series([], dtype=np.int64), "n_dups": pd.Series([], dtype=np.int64)}
-    )
+    if len(bnd):
+        g = (bnd.groupby(text_col, sort=True)
+             .agg(min_id=("min_id", "min"), cnt=("cnt", "sum")).reset_index())
+        fixup = pd.DataFrame({"doc_id": g["min_id"].astype(np.int64),
+                              "n_dups": g["cnt"].astype(np.int64)})
+    else:
+        fixup = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64), "n_dups": pd.Series([], dtype=np.int64)}
+        )
     if len(fixup):
         return complete.union(rd.from_pandas(fixup))
     return complete
@@ -94,7 +112,7 @@ def _shingles_flat(texts: list[str], k: int = 3) -> tuple[np.ndarray, np.ndarray
     toks: list[str] = []
     lens = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        ws = t.split()
+        ws = t.split() if t else []     # null/empty text -> empty set
         toks.extend(ws)
         lens[i] = len(ws)
     offs = np.concatenate([[0], np.cumsum(lens)])
@@ -143,16 +161,36 @@ class MinHashStage:
 
 def _segment_pairs(ids: np.ndarray, starts: np.ndarray, ends: np.ndarray,
                    cap: int = MAX_BUCKET):
-    """Vectorized (a<b) pair emission for id segments with >= 2 members."""
+    """Vectorized (a<b) pair emission for id segments with >= 2 members.
+
+    Buckets larger than ``cap`` keep only their ``cap`` smallest unique
+    ids (the quadratic-pair guard — NOT silent: overflow is warned with
+    the dropped count). A doc beyond the cap in EVERY bucket it lands in
+    escapes candidate pairing, so run ``exact_dedup`` first — exact
+    duplicates are the one input class that overflows every bucket."""
     out_a: list[np.ndarray] = []
     out_b: list[np.ndarray] = []
+    overflow = dropped = 0
     for s, e in zip(starts, ends):
         if e - s >= 2:
-            uniq = np.unique(ids[s:e])[:cap]
+            uniq = np.unique(ids[s:e])
+            if len(uniq) > cap:
+                overflow += 1
+                dropped += len(uniq) - cap
+                uniq = uniq[:cap]
             if len(uniq) >= 2:
                 iu, ju = np.triu_indices(len(uniq), k=1)
                 out_a.append(uniq[iu])
                 out_b.append(uniq[ju])
+    if overflow:
+        import warnings
+
+        warnings.warn(
+            f"LSH bucket cap {cap} exceeded in {overflow} bucket(s); "
+            f"{dropped} doc-slots not paired in those buckets — run "
+            "exact_dedup first or raise max_bucket",
+            stacklevel=2,
+        )
     if not out_a:
         return (np.empty(0, dtype=np.int64),) * 2
     return np.concatenate(out_a), np.concatenate(out_b)
@@ -191,14 +229,26 @@ def bucket_pairs(keyed: rd.Dataset, max_bucket: int = MAX_BUCKET) -> rd.Dataset:
         return out.drop_duplicates(["a", "b"])
 
     def block_boundaries(batch: pd.DataFrame) -> pd.DataFrame:
+        # each boundary segment is truncated to its max_bucket SMALLEST
+        # unique ids before leaving the block: any id in the merged
+        # segment's cap-smallest set is necessarily among its own
+        # block's cap smallest, so the truncation is lossless w.r.t.
+        # the capped pairing — and the driver-side set stays
+        # O(blocks x cap) even when one bucket spans the whole dataset
         k = batch["bkey"].to_numpy()
         ids = batch["doc_id"].to_numpy()
         bounds = np.flatnonzero(np.diff(k)) + 1
         first_end = bounds[0] if len(bounds) else len(k)
         last_start = bounds[-1] if len(bounds) else 0
-        idx = np.concatenate([np.arange(first_end), np.arange(last_start, len(k))])
-        idx = np.unique(idx)
-        return batch.iloc[idx][["bkey", "doc_id"]]
+        outs = []
+        for seg in ({0: first_end}, {last_start: len(k)}):
+            (s, e), = seg.items()
+            if e > s:
+                outs.append(pd.DataFrame({
+                    "bkey": k[s], "doc_id": np.unique(ids[s:e])[:max_bucket],
+                }))
+        out = pd.concat(outs) if outs else batch.iloc[0:0][["bkey", "doc_id"]]
+        return out.drop_duplicates(["bkey", "doc_id"])
 
     pairs = srt.map_batches(block_pairs, batch_format="pandas", batch_size=None)
     bnd = srt.map_batches(block_boundaries, batch_format="pandas", batch_size=None).to_pandas()
@@ -341,24 +391,6 @@ def ngram_jaccard_pairs(docs: rd.Dataset, threshold: float = 0.7,
     cands = ngram_jaccard_candidates(docs, threshold, shingle_k)
     out = verify_jaccard(cands, docs, threshold, shingle_k).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
-
-
-def cluster_pairs(pairs_df: pd.DataFrame, all_ids: np.ndarray) -> pd.DataFrame:
-    """Union-find over the verified pair set -> (doc_id, cluster_id, keep).
-
-    Driver-side: the verified near-dup pair set is orders of magnitude
-    smaller than the corpus. At scale, feed the pairs into the engine's
-    distributed min-label CC instead (same semantics).
-    """
-    parent = _uf_roots(pairs_df)
-    cluster = np.array(
-        [parent.get(int(i), int(i)) for i in all_ids], dtype=np.int64
-    )
-    return pd.DataFrame({
-        "doc_id": all_ids.astype(np.int64),
-        "cluster_id": cluster,
-        "keep": cluster == all_ids,
-    })
 
 
 def _uf_roots(pairs_df: pd.DataFrame) -> dict[int, int]:

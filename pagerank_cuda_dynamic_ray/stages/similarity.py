@@ -47,11 +47,18 @@ def knn_bruteforce(embeddings: rd.Dataset, queries: pd.DataFrame, k: int = 10,
             sims[self_mask] = -np.inf
         kk = min(k, sims.shape[1])
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        rows = np.repeat(qi, kk)
-        cols = ids[part.reshape(-1)]
-        vals = np.take_along_axis(sims, part, axis=1).reshape(-1)
+        # tie-inclusive selection: keep EVERYTHING at or above the k-th
+        # score, so exact float ties at the boundary all survive to the
+        # merge (which breaks them deterministically by neighbor_id) —
+        # a bare argpartition keeps an arbitrary, partitioning-dependent
+        # subset of tied candidates
+        thresh = np.take_along_axis(sims, part, axis=1).min(axis=1, keepdims=True)
+        rows_i, cols_i = np.nonzero(sims >= thresh)
+        vals = sims[rows_i, cols_i]
         keep = vals > -np.inf
-        return pd.DataFrame({"query_id": rows[keep], "neighbor_id": cols[keep], "cosine": vals[keep]})
+        return pd.DataFrame({"query_id": qi[rows_i[keep]],
+                             "neighbor_id": ids[cols_i[keep]],
+                             "cosine": vals[keep]})
 
     partials = embeddings.map_batches(block_topk, batch_format="pandas", batch_size=4096)
 
@@ -141,9 +148,9 @@ def knn_ivf(embeddings: rd.Dataset, queries: pd.DataFrame, k: int = 10,
             return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
                                  "neighbor_id": pd.Series([], dtype=np.int64),
                                  "cosine": pd.Series([], dtype=np.float64)})
-        return pd.DataFrame({"query_id": np.concatenate(out_q),
-                             "neighbor_id": np.concatenate(out_n),
-                             "cosine": np.concatenate(out_s)})
+        return _block_partial_topk(
+            np.concatenate(out_q), np.concatenate(out_n), np.concatenate(out_s), k
+        )
 
     partials = embeddings.map_batches(block_topk, batch_format="pandas", batch_size=4096)
 
@@ -156,6 +163,16 @@ def knn_ivf(embeddings: rd.Dataset, queries: pd.DataFrame, k: int = 10,
 
     out = partials.groupby("query_id").map_groups(merge, batch_format="pandas").to_pandas()
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _block_partial_topk(q: np.ndarray, n: np.ndarray, s: np.ndarray, k: int) -> pd.DataFrame:
+    """Per-block top-k COMBINER for the bucketed scans: truncate each
+    query's scanned candidates to its k best (score desc, neighbor asc —
+    a strict total order, so the truncation is lossless for the merged
+    global top-k) before the groupby shuffle. Without this the exchange
+    scales with the scanned volume, not with queries x k."""
+    g, s_, p_, _ = K.topk_per_group(q, s, n, k)
+    return pd.DataFrame({"query_id": g, "neighbor_id": p_, "cosine": s_})
 
 
 class HyperplaneLSH:
@@ -174,17 +191,26 @@ class HyperplaneLSH:
 def knn_lsh(embeddings: rd.Dataset, queries: pd.DataFrame, k: int = 10,
             nbits: int = 8, probes: int = 2, seed: int = 5) -> pd.DataFrame:
     """Approximate top-k: scan only vectors whose hyperplane bucket is
-    within ``probes-1`` bit flips of the query's bucket (multi-probe).
+    within Hamming distance ``probes-1`` of the query's bucket
+    (multi-probe; probes=2 = home bucket + all single-bit flips).
     Same output schema as knn_bruteforce; recall measured in tests."""
     q_ids, q_mat = _matrix(queries)
     dim = q_mat.shape[1]
     lsh = HyperplaneLSH(dim, nbits, seed)
     q_buckets = lsh.bucket(q_mat)
-    # multi-probe: query bucket + single-bit flips (probes levels)
+    # multi-probe: every bucket within Hamming radius probes-1 of the
+    # query's bucket (probes=2, the default and the oracle's pinned
+    # setting, is home + all single-bit flips; larger radii add
+    # C(nbits, r) flip masks per level)
+    from itertools import combinations
+
     probe_sets = [q_buckets]
-    if probes > 1:
-        for b in range(nbits):
-            probe_sets.append(q_buckets ^ (1 << b))
+    for r in range(1, probes):
+        for bits_subset in combinations(range(nbits), r):
+            mask = 0
+            for b in bits_subset:
+                mask |= 1 << b
+            probe_sets.append(q_buckets ^ mask)
     probe_map: dict[int, list[int]] = {}
     for qi, buckets in enumerate(zip(*[p.tolist() for p in probe_sets])):
         for b in buckets:
@@ -220,9 +246,9 @@ def knn_lsh(embeddings: rd.Dataset, queries: pd.DataFrame, k: int = 10,
             return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
                                  "neighbor_id": pd.Series([], dtype=np.int64),
                                  "cosine": pd.Series([], dtype=np.float64)})
-        return pd.DataFrame({"query_id": np.concatenate(out_q),
-                             "neighbor_id": np.concatenate(out_n),
-                             "cosine": np.concatenate(out_s)})
+        return _block_partial_topk(
+            np.concatenate(out_q), np.concatenate(out_n), np.concatenate(out_s), k
+        )
 
     partials = embeddings.map_batches(block_topk, batch_format="pandas", batch_size=4096)
 

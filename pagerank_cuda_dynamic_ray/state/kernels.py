@@ -105,6 +105,19 @@ def encode_pairs(local: np.ndarray, other: np.ndarray, n_other: int) -> np.ndarr
     return local * np.int64(n_other) + other
 
 
+def owner_split(vids: np.ndarray, P: int) -> tuple[np.ndarray, np.ndarray]:
+    """Owner grouping for a per-shard exchange: stable-sorts global vids
+    by owner (``vid % P``). Returns ``(order, cuts)``: ``order``
+    permutes the inputs owner-major (stable within owner) and
+    ``cuts[q]:cuts[q+1]`` delimits owner q's slice of any array indexed
+    by ``order``. The ONE idiom behind every per-owner split in the
+    shard actor and driver (marks, labels, wedges, degree probes)."""
+    owners = vids % P
+    order = np.argsort(owners, kind="stable")
+    cuts = np.searchsorted(owners[order], np.arange(P + 1))
+    return order, cuts
+
+
 def pair_sort(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Rows sorted by (a, b) ascending: one packed-int64 ``np.sort`` when
     the key space fits ((max(a)+1)*(max(b)+1) < 2^62 — true for any graph

@@ -580,10 +580,8 @@ class GraphShard:
                         # DF-P expansion excludes self (pagerankPrune.hxx:64: v != u)
                         own = np.repeat(expand * self.P + self.p, np.diff(bounds))
                         dsts = dsts[dsts != own]
-                    owners = dsts % self.P
-                    order = np.argsort(owners, kind="stable")
-                    dsts, owners = dsts[order], owners[order]
-                    cuts = np.searchsorted(owners, np.arange(self.P + 1))
+                    order, cuts = K.owner_split(dsts, self.P)
+                    dsts = dsts[order]
                     segs = [np.unique(dsts[cuts[q]:cuts[q + 1]] // self.P) for q in range(self.P)]
                     packed_marks = np.concatenate(segs)
                     mark_offsets[1:] = np.cumsum([len(s) for s in segs])
@@ -643,10 +641,8 @@ class GraphShard:
             edge_idx, _ = K.gather_subset_edges(self.out_offsets, src_locals)
             dsts = self.out_dst[edge_idx]
             if dsts.size:
-                owners = dsts % self.P
-                order = np.argsort(owners, kind="stable")
-                dsts, owners = dsts[order], owners[order]
-                cuts = np.searchsorted(owners, np.arange(self.P + 1))
+                order, cuts = K.owner_split(dsts, self.P)
+                dsts = dsts[order]
                 out = [np.unique(dsts[cuts[q]:cuts[q + 1]] // self.P) for q in range(self.P)]
         return (sum(len(o) for o in out), *out)
 
@@ -1036,10 +1032,8 @@ class GraphShard:
                 first[0] = True
                 first[1:] = dsts[1:] != dsts[:-1]
                 dsts, labs = dsts[first], labs[first]
-                owners = dsts % self.P
-                by_owner = np.argsort(owners, kind="stable")
-                dsts, labs, owners = dsts[by_owner], labs[by_owner], owners[by_owner]
-                cuts = np.searchsorted(owners, np.arange(self.P + 1))
+                by_owner, cuts = K.owner_split(dsts, self.P)
+                dsts, labs = dsts[by_owner], labs[by_owner]
                 out = [np.stack([dsts[cuts[q]:cuts[q + 1]] // self.P, labs[cuts[q]:cuts[q + 1]]]) for q in range(self.P)]
         return (sum(o.shape[1] for o in out), *out)
 
@@ -1089,10 +1083,8 @@ class GraphShard:
         starts = np.flatnonzero(new)
         counts = np.diff(np.append(starts, len(dsts)))
         dsts, labs = dsts[starts], labs[starts]
-        owners = dsts % self.P
-        by_owner = np.argsort(owners, kind="stable")
-        dsts, labs, counts, owners = dsts[by_owner], labs[by_owner], counts[by_owner], owners[by_owner]
-        cuts = np.searchsorted(owners, np.arange(self.P + 1))
+        by_owner, cuts = K.owner_split(dsts, self.P)
+        dsts, labs, counts = dsts[by_owner], labs[by_owner], counts[by_owner]
         out = [
             np.stack([dsts[cuts[q]:cuts[q + 1]] // self.P, labs[cuts[q]:cuts[q + 1]], counts[cuts[q]:cuts[q + 1]]])
             for q in range(self.P)
@@ -1155,10 +1147,8 @@ class GraphShard:
             edge_idx, _ = K.gather_subset_edges(self.sym_offsets, src_locals)
             dsts = self.sym_adj[edge_idx]
             if dsts.size:
-                owners = dsts % self.P
-                order = np.argsort(owners, kind="stable")
-                dsts, owners = dsts[order], owners[order]
-                cuts = np.searchsorted(owners, np.arange(self.P + 1))
+                order, cuts = K.owner_split(dsts, self.P)
+                dsts = dsts[order]
                 out = [np.unique(dsts[cuts[q]:cuts[q + 1]] // self.P) for q in range(self.P)]
         return (sum(len(o) for o in out), *out)
 
@@ -1180,10 +1170,8 @@ class GraphShard:
     def mod_needed_neighbors(self):
         """Unique undirected neighbors per owner (to fetch their labels)."""
         uniq = np.unique(self.sym_adj) if self.sym_adj is not None else np.empty(0, np.int64)
-        owners = uniq % self.P
-        order = np.argsort(owners, kind="stable")
-        srt, so = uniq[order], owners[order]
-        cuts = np.searchsorted(so, np.arange(self.P + 1))
+        order, cuts = K.owner_split(uniq, self.P)
+        srt = uniq[order]
         self._mod_uniq = uniq
         return (len(uniq), *[srt[cuts[q]:cuts[q + 1]] // self.P for q in range(self.P)])
 
@@ -1201,8 +1189,7 @@ class GraphShard:
         """Per-community (within-community edge-endpoint count, degree sum)
         for owned vertices: returns (labels, within, degsum) arrays."""
         uniq = self._mod_uniq
-        owners = uniq % self.P
-        order = np.argsort(owners, kind="stable")
+        order, _ = K.owner_split(uniq, self.P)
         aligned = np.empty(len(uniq), dtype=np.int64)
         aligned[order] = np.concatenate(label_slices) if label_slices else np.empty(0, np.int64)
         deg = np.diff(self.sym_offsets)
@@ -1227,10 +1214,8 @@ class GraphShard:
     def tri_needed_neighbors(self) -> list[np.ndarray]:
         """Unique undirected neighbors per owner (to fetch their degrees)."""
         uniq = np.unique(self.sym_adj)
-        owners = uniq % self.P
-        order = np.argsort(owners, kind="stable")
-        srt, owners = uniq[order], owners[order]
-        cuts = np.searchsorted(owners, np.arange(self.P + 1))
+        order, cuts = K.owner_split(uniq, self.P)
+        srt = uniq[order]
         self._tri_uniq = uniq
         return (len(uniq), *[srt[cuts[q]:cuts[q + 1]] // self.P for q in range(self.P)])
 
@@ -1249,8 +1234,7 @@ class GraphShard:
         # deg_map aligned with uniq (owner-grouped order == uniq sorted order
         # grouped by owner; uniq sorted ascending groups owners arbitrarily —
         # rebuild alignment explicitly)
-        owners = uniq % self.P
-        order = np.argsort(owners, kind="stable")
+        order, _ = K.owner_split(uniq, self.P)
         aligned = np.empty(len(uniq), dtype=np.int64)
         aligned[order] = deg_map
         pos = np.searchsorted(uniq, self.sym_adj)
@@ -1313,10 +1297,8 @@ class GraphShard:
         lo = adj_r[base + lo_i]
         hi = adj_r[base + j_ij]
         apex = row_ij * self.P + self.p
-        owners = lo % self.P
-        order3 = np.argsort(owners, kind="stable")
-        lo, hi, apex, owners = lo[order3], hi[order3], apex[order3], owners[order3]
-        cuts = np.searchsorted(owners, np.arange(self.P + 1))
+        order3, cuts = K.owner_split(lo, self.P)
+        lo, hi, apex = lo[order3], hi[order3], apex[order3]
         out = [
             np.stack([lo[cuts[q]:cuts[q + 1]] // self.P, hi[cuts[q]:cuts[q + 1]], apex[cuts[q]:cuts[q + 1]]])
             for q in range(self.P)
@@ -1334,9 +1316,14 @@ class GraphShard:
         lo = np.concatenate([q[0] for q in qs])
         hi = np.concatenate([q[1] for q in qs])
         apex = np.concatenate([q[2] for q in qs])
+        if len(self.ori_adj) == 0:
+            # every owned vertex is a local rank-maximum: oriented
+            # adjacency is empty, so no queried edge can exist (indexing
+            # an empty array below would IndexError)
+            return 0, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
         pos = K.segmented_searchsorted(self.ori_adj, self.ori_offsets[lo], self.ori_offsets[lo + 1], hi)
         found = (pos < self.ori_offsets[lo + 1]) & (
-            self.ori_adj[np.minimum(pos, max(len(self.ori_adj) - 1, 0))] == hi
+            self.ori_adj[np.minimum(pos, len(self.ori_adj) - 1)] == hi
         )
         np.add.at(self._tri_counts, lo[found], 1)
         return int(found.sum()), hi[found], apex[found]

@@ -137,3 +137,27 @@ def test_cc_incremental_rejects_lp_labels():
     with pytest.raises(Exception):
         analytics.connected_components_incremental(ctx, ins)
     ctx.shutdown()
+
+
+def test_triangles_empty_oriented_shard():
+    """A shard whose every owned vertex is a local rank-maximum has an
+    EMPTY oriented adjacency but still receives wedge queries.
+    Regression: tri_answer indexed position 0 of the empty array.
+
+    Construction (P=4): apex 2 connects to x=3 and y=4; x's other
+    neighbors (0, 1) rank below it and y is not adjacent to x, so
+    ori(x) = {}; vertex 7 (isolated, ori = {}) co-owns shard 3 with x —
+    yet apex 2 emits the wedge query (3, 4) to that empty-ori shard.
+    No triangle exists."""
+    n = 8
+    src = np.array([2, 2, 3, 3, 4, 4], dtype=np.int64)
+    dst = np.array([3, 4, 0, 1, 5, 6], dtype=np.int64)
+    ctx = GraphContext(n, 4)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    try:
+        total, per = analytics.triangle_count(ctx)
+        assert total == 0
+        assert per.to_pandas()["triangles"].sum() == 0
+    finally:
+        ctx.shutdown()

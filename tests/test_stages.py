@@ -228,3 +228,49 @@ def test_multimodal_real_frame_sample():
     assert bytes(row["frame_payload"]) == bytes(vid["payload"][f * flen:(f + 1) * flen])
     rgb = multimodal.decode_ppm(bytes(row["frame_payload"]))
     assert rgb.shape == (int(vid["height"]), int(vid["width"]), 3)
+
+
+def test_minhash_handles_null_and_empty_text():
+    """Null / empty texts must flow through the shingle paths as empty
+    shingle sets, not crash (regression: None.split())."""
+    texts = ["alpha beta gamma delta epsilon", None, "", "alpha beta gamma delta epsilon"]
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64), "text": texts,
+    }))
+    out = dedup.minhash_dedup(docs, threshold=0.5).to_pandas().sort_values("doc_id")
+    assert len(out) == 4
+    assert bool(out.loc[out["doc_id"] == 1, "keep"].iloc[0])  # null: own cluster
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    assert set(zip(pairs["a"], pairs["b"])) == {(0, 3)}
+
+
+def test_exact_dedup_dominant_text_across_blocks():
+    """One text duplicated across MANY blocks (a single hash run spanning
+    block boundaries): min id and count must still be exact, and the
+    boundary path ships per-block partials, not raw rows."""
+    n = 4000
+    texts = ["common boilerplate text"] * n
+    texts[1234] = "the one unique document"
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64), "text": texts,
+    })).repartition(8)
+    out = dedup.exact_dedup(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [0, 1234]
+    assert dict(zip(out["doc_id"], out["n_dups"])) == {0: n - 1, 1234: 1}
+
+
+def test_knn_bruteforce_exact_tie_at_k_boundary():
+    """Duplicate vectors tie exactly at the k-th score: the contract
+    (score desc, neighbor_id asc) must pick the LOWEST id regardless of
+    block partitioning (regression: argpartition kept an arbitrary
+    tied candidate)."""
+    base = np.eye(4)[0]
+    # vectors 1..6 identical (cosine 1.0 to the query), vector 0 = query
+    mat = np.stack([base] * 7)
+    ids = np.array([0, 6, 5, 4, 3, 2, 1], dtype=np.int64)
+    df = pd.DataFrame({"vec_id": ids, "embedding": [v for v in mat]})
+    for parts in (1, 4):
+        ds = rd.from_pandas(df).repartition(parts)
+        q = df[df["vec_id"] == 0]
+        got = similarity.knn_bruteforce(ds, q, k=3)
+        assert got["neighbor_id"].tolist() == [1, 2, 3]
