@@ -43,6 +43,21 @@ EDGE_SCHEMA = pa.schema(
 )
 
 
+def cluster_cpus(default: int = 8) -> int:
+    """Session CPU count (``default`` when Ray is down) — the ONE probe
+    behind every read/partition sizing decision in this module."""
+    return int(ray.cluster_resources().get("CPU", default)) if ray.is_initialized() else default
+
+
+def _uniq_ids(col: str):
+    """Per-block distinct-id combiner shared by both dictionary builds:
+    blocks shrink to their unique ids before leaving the read tasks."""
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"id": pc.unique(t[col])})
+
+    return f
+
+
 def read_transcripts(path: str, columns: list[str] | None = None,
                      parallelism: int | None = None) -> rd.Dataset:
     """Column-pruned Parquet read of a transcript table.
@@ -54,7 +69,7 @@ def read_transcripts(path: str, columns: list[str] | None = None,
     every core busy through extract/encode while keeping sort fan-in low.
     """
     if parallelism is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        cpus = cluster_cpus()
         parallelism = max(8, cpus)
     return rd.read_parquet(path, columns=columns, override_num_blocks=parallelism)
 
@@ -145,15 +160,9 @@ def vertex_dictionary(transcripts: rd.Dataset, edges: rd.Dataset | None = None) 
     per-block combiner below is the first stage of exactly that plan.
     """
 
-    def _uniq(col: str):
-        def f(t: pa.Table) -> pa.Table:
-            return pa.table({"id": pc.unique(t[col])})
-
-        return f
-
-    parts = transcripts.map_batches(_uniq("conv_id"), batch_format="pyarrow")
+    parts = transcripts.map_batches(_uniq_ids("conv_id"), batch_format="pyarrow")
     if edges is not None:
-        parts = parts.union(edges.map_batches(_uniq("dst"), batch_format="pyarrow"))
+        parts = parts.union(edges.map_batches(_uniq_ids("dst"), batch_format="pyarrow"))
 
     chunks: list[np.ndarray] = []
     maxlen = 1
@@ -177,7 +186,7 @@ def _append_vid(tbl: pa.Table, offset: int) -> pa.Table:
 
 
 def _default_partitions() -> int:
-    return max(8, int(ray.cluster_resources().get("CPU", 8))) if ray.is_initialized() else 8
+    return max(8, cluster_cpus())
 
 
 def vertex_dictionary_ds(transcripts: rd.Dataset,
@@ -195,15 +204,9 @@ def vertex_dictionary_ds(transcripts: rd.Dataset,
     the driver touches only the per-block counts for the prefix sum).
     """
 
-    def _uniq(col: str):
-        def f(t: pa.Table) -> pa.Table:
-            return pa.table({"id": pc.unique(t[col])})
-
-        return f
-
-    parts = transcripts.map_batches(_uniq("conv_id"), batch_format="pyarrow")
+    parts = transcripts.map_batches(_uniq_ids("conv_id"), batch_format="pyarrow")
     if edges is not None:
-        parts = parts.union(edges.map_batches(_uniq("dst"), batch_format="pyarrow"))
+        parts = parts.union(edges.map_batches(_uniq_ids("dst"), batch_format="pyarrow"))
     from ray.data.aggregate import Count
 
     distinct = parts.groupby("id").aggregate(Count()).select_columns(["id"])
@@ -242,7 +245,7 @@ def encode_edges_ds(edges: rd.Dataset, dict_ds: rd.Dataset,
     # (2 x P actors) together reserve at most half the cluster — a full
     # reservation leaves no slots for the read/map tasks feeding the
     # joins and the pipeline deadlocks (observed at 4 CPUs, P=4, 0.5).
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    cpus = cluster_cpus()
     agg = {"num_cpus": min(0.5, max(0.1, (cpus / 2) / (2 * P)))}
     return (
         edges

@@ -37,14 +37,25 @@ def read_mtx_header(path: str) -> dict:
         if not banner.startswith("%%MatrixMarket"):
             raise ValueError(f"not a MatrixMarket file: {banner[:50]!r}")
         parts = banner.split()
-        symmetric = len(parts) >= 5 and parts[4].lower() == "symmetric"
-        weighted = len(parts) >= 4 and parts[3].lower() != "pattern"
+        fmt = parts[2].lower() if len(parts) >= 3 else "coordinate"
+        if fmt != "coordinate":
+            raise ValueError(
+                f"unsupported MatrixMarket format {fmt!r} — only sparse "
+                "'coordinate' files describe an edge list (mtx.hxx reads "
+                "coordinate only)"
+            )
+        field = parts[3].lower() if len(parts) >= 4 else "real"
+        symmetric = len(parts) >= 5 and parts[4].lower() in ("symmetric", "hermitian", "skew-symmetric")
+        weighted = field != "pattern"
+        # complex body lines carry FOUR fields (i j real imag); the
+        # engine keeps the real part as the weight
+        complex_ = field == "complex"
         line = f.readline()
         while line.startswith("%"):
             line = f.readline()
         rows, cols, nnz = (int(x) for x in line.split()[:3])
     return {
-        "symmetric": symmetric, "weighted": weighted,
+        "symmetric": symmetric, "weighted": weighted, "complex": complex_,
         "rows": rows, "cols": cols, "nnz": nnz,
     }
 
@@ -101,7 +112,7 @@ def read_mtx(path: str) -> tuple[rd.Dataset, dict]:
     with weight == nnz — a body edge colliding with all three is
     vanishingly unlikely and documented)."""
     hdr = read_mtx_header(path)
-    n_fields = 3 if hdr["weighted"] else 2
+    n_fields = 4 if hdr.get("complex") else (3 if hdr["weighted"] else 2)
     r0, c0 = hdr["rows"] - 1, hdr["cols"] - 1
     wv = float(hdr["nnz"])
 

@@ -133,22 +133,49 @@ def generate_chunk(n_conv: int, lo: int, hi: int, g0: int, seed: int = 42) -> pa
 CHUNK_CONVS = 250_000  # conversations per generation chunk / parquet part
 
 
+def _meta_path(path: str) -> str:
+    return path + ".meta.json"
+
+
 def write_transcripts(path: str, n_conv: int, seed: int = 42, row_group_size: int = 200_000) -> str:
     """Write the synthetic transcript table to Parquet (idempotent).
 
-    Small scales produce one file; above CHUNK_CONVS conversations the
-    table is written as a directory of chunk files (one per conversation
-    range — resumable layout), generated in parallel as Ray tasks when a
-    Ray session exists (np.char string kernels are slow; chunk tasks
-    make a 10M-conversation fixture a ~1 minute job instead of ~10)."""
+    Idempotency is keyed on (n_conv, seed) via a sidecar meta file — an
+    existing fixture generated with DIFFERENT parameters is regenerated,
+    not silently reused. Small scales produce one file; above
+    CHUNK_CONVS conversations the table is written as a directory of
+    chunk files (one per conversation range — resumable layout),
+    generated in parallel as Ray tasks when a single-node Ray session
+    exists (np.char string kernels are slow; chunk tasks make a
+    10M-conversation fixture a ~1 minute job instead of ~10). On a
+    multi-node cluster the chunk tasks would write to REMOTE nodes'
+    filesystems, so generation falls back to the driver-local loop."""
+    import json
+
+    meta = {"n_conv": int(n_conv), "seed": int(seed)}
     if os.path.exists(path):
-        return path
+        try:
+            with open(_meta_path(path)) as f:
+                if json.load(f) == meta:
+                    return path
+        except (OSError, ValueError):
+            pass  # pre-meta fixture or corrupt sidecar: regenerate
+        import shutil
+
+        shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
+
+    def _publish() -> str:
+        with open(_meta_path(path) + ".tmp", "w") as f:
+            json.dump(meta, f)
+        os.replace(_meta_path(path) + ".tmp", _meta_path(path))
+        return path
+
     if n_conv <= CHUNK_CONVS:
         tmp = path + ".tmp"
         pq.write_table(generate_table(n_conv, seed), tmp, row_group_size=row_group_size)
         os.replace(tmp, path)  # atomic publish so concurrent readers never see partial files
-        return path
+        return _publish()
     turns = turns_per_conv(n_conv, seed)
     cum = np.concatenate([[0], np.cumsum(turns)])
     bounds = list(range(0, n_conv, CHUNK_CONVS)) + [n_conv]
@@ -164,7 +191,15 @@ def write_transcripts(path: str, n_conv: int, seed: int = 42, row_group_size: in
 
     import ray
 
+    single_node = False
     if ray.is_initialized():
+        try:
+            single_node = len([n for n in ray.nodes() if n.get("Alive", False)]) == 1
+        except Exception:
+            single_node = False
+    if single_node:
+        # tasks write to the driver's local tmpdir — only valid when
+        # every task runs on this node
         task = ray.remote(num_cpus=1)(
             lambda i, lo, hi, g0: _write_one(i, lo, hi, g0)
         )
@@ -173,7 +208,7 @@ def write_transcripts(path: str, n_conv: int, seed: int = 42, row_group_size: in
         for i, (lo, hi, g0) in enumerate(specs):
             _write_one(i, lo, hi, g0)
     os.replace(tmpdir, path)
-    return path
+    return _publish()
 
 
 # Scale presets (FIXTURES.md §1). sf-keyed so the driver's sf0.01 checks

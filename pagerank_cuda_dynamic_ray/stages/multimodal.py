@@ -85,20 +85,37 @@ def encode_ppm(rgb: np.ndarray) -> bytes:
 
 
 def decode_ppm(buf: bytes) -> np.ndarray:
-    """Decode a binary PPM (P6) payload to an (h, w, 3) uint8 array."""
+    """Decode a binary PPM (P6) payload to an (h, w, 3) uint8 array.
+
+    Spec-complete header handling: '#' comment lines (netpbm/GIMP/
+    ImageMagick emit them) are skipped, and a truncated header raises
+    ValueError instead of scanning past the buffer (an unbounded scan
+    would spin an actor forever on one corrupt payload)."""
     if buf[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
-    # Header: three whitespace-separated tokens (w, h, maxval) after "P6".
+    n = len(buf)
     pos, tokens = 2, []
     while len(tokens) < 3:
-        while buf[pos:pos + 1].isspace():
-            pos += 1
+        # skip whitespace and comment lines
+        while pos < n:
+            c = buf[pos:pos + 1]
+            if c.isspace():
+                pos += 1
+            elif c == b"#":
+                nl = buf.find(b"\n", pos)
+                pos = n if nl < 0 else nl + 1
+            else:
+                break
         start = pos
-        while not buf[pos:pos + 1].isspace():
+        while pos < n and not buf[pos:pos + 1].isspace():
             pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
         tokens.append(int(buf[start:pos]))
     pos += 1  # single whitespace byte after maxval
     w, h, _maxval = tokens
+    if n - pos < h * w * 3:
+        raise ValueError("truncated PPM pixel data")
     return np.frombuffer(buf, dtype=np.uint8, count=h * w * 3, offset=pos).reshape(h, w, 3)
 
 

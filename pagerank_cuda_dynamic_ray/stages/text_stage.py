@@ -43,12 +43,13 @@ def _analyze_batch(batch: pd.DataFrame, with_fingerprint: bool = True) -> pd.Dat
 
 
 class TextAnalysis:
-    """Actor-pool variant: state resolved once per actor in ``__init__``."""
+    """Actor-pool variant — the shape for when the stage grows expensive
+    per-actor state (a model, a big lexicon). Today all stage state
+    (compiled regexes, stopword set) lives at module level in
+    ``functions.text``, so ``__init__`` is trivially cheap; it exists as
+    the seam where real setup would go."""
 
     def __init__(self, with_fingerprint: bool = True):
-        # compile once per actor (not per batch)
-        self.ws_re = X.WS_RE
-        self.bpe_re = X.BPE_RE
         self.with_fingerprint = with_fingerprint
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -71,8 +72,12 @@ def analyze_documents(docs: rd.Dataset, concurrency: int | None = None,
 
 def quality_filter(docs: rd.Dataset, min_quality: float = 0.2,
                    min_tokens: int = 5) -> rd.Dataset:
-    """Filter stage a training-data pipeline chains after scoring."""
-    scored = analyze_documents(docs)
+    """Filter stage a training-data pipeline chains after scoring.
+
+    Fingerprinting (the stage's most expensive kernel) is skipped — the
+    filter reads only quality and token count. Output carries doc_id +
+    features; join on doc_id to recover kept documents' text."""
+    scored = analyze_documents(docs, with_fingerprint=False)
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
         return batch[(batch["quality"] >= min_quality) & (batch["n_tokens_ws"] >= min_tokens)]

@@ -20,7 +20,7 @@ def test_read_mtx_general_weighted(tmp_path):
         "1 4 3.0\n"
     )
     ds, hdr = M.read_mtx(str(p))
-    assert hdr == {"symmetric": False, "weighted": True, "rows": 4, "cols": 4, "nnz": 5}
+    assert hdr == {"symmetric": False, "weighted": True, "complex": False, "rows": 4, "cols": 4, "nnz": 5}
     pdf = ds.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
     assert len(pdf) == 5
     assert pdf["src"].tolist() == [0, 0, 1, 2, 3]      # 0-indexed
@@ -83,3 +83,28 @@ def test_mtx_to_pagerank_end_to_end(tmp_path):
     want, _ = pagerank_oracle(src.astype(np.int64), dst.astype(np.int64), n)
     np.testing.assert_allclose(full, want, atol=1e-6)
     ctx.shutdown()
+
+
+def test_read_mtx_complex_keeps_real_part(tmp_path):
+    """complex coordinate files carry 4 body fields (i j re im); the
+    real part becomes the weight. Regression: the 3-field filter
+    silently rejected every body line (zero edges, no error)."""
+    p = tmp_path / "c.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate complex general\n"
+        "3 3 2\n"
+        "1 2 1.5 -0.5\n"
+        "2 3 2.0 0.25\n"
+    )
+    ds, hdr = M.read_mtx(str(p))
+    pdf = ds.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert hdr["nnz"] == 2 and hdr["complex"]
+    assert pdf[["src", "dst"]].to_numpy().tolist() == [[0, 1], [1, 2]]
+    assert pdf["weight"].tolist() == [1.5, 2.0]
+
+
+def test_read_mtx_rejects_array_format(tmp_path):
+    p = tmp_path / "a.mtx"
+    p.write_text("%%MatrixMarket matrix array real general\n2 2\n1.0\n2.0\n3.0\n4.0\n")
+    with pytest.raises(ValueError, match="coordinate"):
+        M.read_mtx(str(p))

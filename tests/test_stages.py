@@ -274,3 +274,15 @@ def test_knn_bruteforce_exact_tie_at_k_boundary():
         q = df[df["vec_id"] == 0]
         got = similarity.knn_bruteforce(ds, q, k=3)
         assert got["neighbor_id"].tolist() == [1, 2, 3]
+
+
+def test_decode_ppm_comments_and_truncation():
+    """PPM headers may contain '#' comment lines (netpbm tools emit
+    them); truncated payloads must raise, not spin forever (regression:
+    the header scan looped past end-of-buffer)."""
+    rgb = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    with_comment = b"P6\n# made by gimp\n2 2\n# another\n255\n" + rgb.tobytes()
+    np.testing.assert_array_equal(multimodal.decode_ppm(with_comment), rgb)
+    for bad in (b"P6", b"P6\n2 2\n", b"P6\n2 2\n255\n" + rgb.tobytes()[:-1]):
+        with pytest.raises(ValueError):
+            multimodal.decode_ppm(bad)
