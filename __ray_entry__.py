@@ -48,6 +48,20 @@ _CTX: dict[str, Any] = {}
 _PR: dict[str, Any] = {}
 _PRQ: dict[str, Any] = {}
 _TRI: dict[str, Any] = {}
+_DOCS: dict[str, Any] = {}
+
+
+def _analyzed_docs(sf_dir: str, with_fingerprint: bool):
+    """Shared, materialized text-analysis pass (the _PR/_TRI pattern):
+    the four doc_* queries differ only in projected columns, so the
+    tokenize/regex/lang pass runs once per (sf_dir, fingerprint)."""
+    key = f"{sf_dir}|{with_fingerprint}"
+    if key not in _DOCS:
+        _DOCS[key] = TS.analyze_documents(
+            _tbl(sf_dir, "documents", ["doc_id", "text"]),
+            with_fingerprint=with_fingerprint,
+        ).materialize()
+    return _DOCS[key]
 
 # Fixed iteration count for the oracle-checked PageRank queries: both the
 # engine and the DuckDB recursive-CTE oracle run EXACTLY this many
@@ -577,23 +591,21 @@ def _q_exact_dedup(sf_dir: str):
 
 
 def _q_doc_tokens(sf_dir: str):
-    ds = TS.analyze_documents(_tbl(sf_dir, "documents", ["doc_id", "text"]), with_fingerprint=False)
-    return ds.select_columns(["doc_id", "n_chars", "n_tokens_ws", "n_tokens_bpe"])
+    return _analyzed_docs(sf_dir, False).select_columns(
+        ["doc_id", "n_chars", "n_tokens_ws", "n_tokens_bpe"])
 
 
 def _q_doc_lang(sf_dir: str):
-    ds = TS.analyze_documents(_tbl(sf_dir, "documents", ["doc_id", "text"]), with_fingerprint=False)
-    return ds.select_columns(["doc_id", "lang"])
+    return _analyzed_docs(sf_dir, False).select_columns(["doc_id", "lang"])
 
 
 def _q_doc_quality(sf_dir: str):
-    ds = TS.analyze_documents(_tbl(sf_dir, "documents", ["doc_id", "text"]), with_fingerprint=False)
-    return ds.select_columns(["doc_id", "punct_ratio", "upper_ratio", "stop_ratio", "quality"])
+    return _analyzed_docs(sf_dir, False).select_columns(
+        ["doc_id", "punct_ratio", "upper_ratio", "stop_ratio", "quality"])
 
 
 def _q_doc_fingerprint(sf_dir: str):
-    ds = TS.analyze_documents(_tbl(sf_dir, "documents", ["doc_id", "text"]), with_fingerprint=True)
-    return ds.select_columns(["doc_id", "fingerprint"])
+    return _analyzed_docs(sf_dir, True).select_columns(["doc_id", "fingerprint"])
 
 
 def _q_minhash_dedup(sf_dir: str):
@@ -852,7 +864,10 @@ def _sm64(sub: str, xexpr: str, out: str) -> str:
 
 def _sql_fingerprint() -> str:
     """Sum of the 4 smallest base-131 8-byte-window hashes mod 2^31-1
-    (functions/text.fingerprint). Assumes ASCII docs of length >= 8."""
+    (functions/text.fingerprint). Assumes ASCII docs of length >= 8 AND
+    <= 8199 chars: the window index table is a fixed range(0, 8192) —
+    longer docs would lose tail windows the engine hashes (current
+    testdata max is ~550 chars; raise the range if documents grow)."""
     pows, p = [1], 1
     for _ in range(7):
         p = p * 131 % 2147483647
@@ -1000,8 +1015,11 @@ def _sql_dsh_ctes() -> str:
     (functions/hashing.poly_token_hash64) -> rolling 3-gram mix2
     shingles -> DISTINCT per-doc shingle sets (the SQL twin of
     stages/dedup._shingles_flat). Assumes every doc has >= 3 tokens
-    (the engine's <k combine-all fallback is not replicated here; the
-    testdata satisfies this). MATERIALIZED so the 16-level fold and the
+    (the engine's <k combine-all fallback is not replicated here) AND
+    <= 2048 whitespace tokens: the token index table is a fixed
+    range(0, 2048) — longer docs would lose tail shingles the engine
+    hashes (current testdata max is ~100 tokens). The testdata
+    satisfies both. MATERIALIZED so the 16-level fold and the
     mix2/sm64 nests run once, not per downstream self-join branch."""
     tok = (r"(SELECT doc_id, t.i AS pos, toks[t.i + 1] AS tk, CAST(0 AS BIGINT) AS __f0 "
            r"FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks "

@@ -252,8 +252,13 @@ def _run_child(cpus: int, scale: str, parts: int, sf_dir: str, pinned: bool = Tr
     if pinned and shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"scaling child (cpus={cpus}, scale={scale}) produced no JSON "
+            f"(exit {out.returncode}); stderr tail:\n{out.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1])
 
 
 def _run_pair(levels: tuple[int, int], scale: str, parts: int, sf_dir: str) -> dict:
@@ -281,16 +286,30 @@ def _run_pair(levels: tuple[int, int], scale: str, parts: int, sf_dir: str) -> d
 
 
 def run_scaling(sf_dir: str) -> dict:
-    # pre-generate the fixtures + per-(scale, P) graph-snapshot caches
-    # with full parallelism so the pinned fresh-session children restore
-    # shard state instead of re-deriving it
+    if len(SCALING_LEVELS) != 2:
+        raise SystemExit(
+            f"GRAFT_SCALING_LEVELS must name exactly two parallelism levels "
+            f"(lo,hi), got {SCALING_LEVELS}"
+        )
+    # pre-generate the fixtures AND the per-(scale, P) graph-snapshot
+    # caches with full parallelism so EVERY pinned fresh-session child
+    # restores shard state instead of re-deriving it — without this the
+    # first (low-cpu) child pays a cold graph derive that no later child
+    # pays, skewing efficiency_total_pipeline
     ray = _init_ray(max(SCALING_LEVELS))
+    from pagerank_cuda_dynamic_ray import api
+    from pagerank_cuda_dynamic_ray.pipelines.graph import GraphContext
     from pagerank_cuda_dynamic_ray.sources import transcripts as T
 
-    T.ensure_fixture(SCALING_SCALE)
-    T.ensure_fixture("cal1m")
-    ray.shutdown()
     parts = int(os.environ.get("GRAFT_SCALING_PARTS", 0)) or _graph_parts(max(SCALING_LEVELS))
+    for scale, P in ((SCALING_SCALE, parts), ("cal1m", 8)):
+        fixture = T.ensure_fixture(scale)
+        snap = f"/tmp/graft_graph_cache/{scale}_P{P}"
+        if not os.path.exists(os.path.join(snap, "meta.json")):
+            ctx, _ = api.build_graph(fixture, num_parts=P)
+            ctx.save_graph(snap)
+            ctx.shutdown()
+    ray.shutdown()
     main_pair = _run_pair(tuple(SCALING_LEVELS), SCALING_SCALE, parts, sf_dir)
     # secondary N-vs-4N pair BELOW the box's DRAM-saturation knee
     # (one box cannot emulate the per-node memory bandwidth a real 4x

@@ -144,6 +144,7 @@ def run_temporal_experiment(
     base_fraction: float = 0.90,
     batch_fraction: float = 1e-3,
     num_batches: int = 5,
+    ranks_out_dir: str | None = None,
 ) -> dict:
     """The reference's batch-update benchmark protocol (main.cu:79-147).
 
@@ -152,6 +153,11 @@ def run_temporal_experiment(
     snapshot marks -> apply -> run each variant warm-started from its own
     previous ranks -> compare to a fresh static run (L1 error, the
     reference's oracle metric, main.cu:55, 88).
+
+    ``ranks_out_dir``: when set, each variant's FINAL ranks (after the
+    last batch) are written as partitioned Parquet under
+    ``{dir}/ranks_{variant}``. The shard actor pool is released before
+    returning either way — callers receive metrics, not a live pool.
     """
     o = options or PagerankOptions()
     ctx, batches = build_graph(
@@ -192,4 +198,12 @@ def run_temporal_experiment(
             err = float(np.abs(ctx.assemble(res.ranks) - s0).sum())
             rec[v] = {"iterations": res.iterations, "time": res.time, "l1_error": err}
         out["batches"].append(rec)
+    if ranks_out_dir is not None:
+        import os as _os
+
+        for v in variants:
+            ctx.ranks_dataset(warm[v]).write_parquet(
+                _os.path.join(ranks_out_dir, f"ranks_{v}")
+            )
+    ctx.shutdown()
     return out

@@ -15,14 +15,18 @@ _C2 = _U64(0xBF58476D1CE4E5B9)
 _C3 = _U64(0x94D049BB133111EB)
 
 # numpy intentionally warns on uint64 overflow in some paths; modular
-# wraparound is exactly what a mixer wants.
-_err = np.errstate(over="ignore")
+# wraparound is exactly what a mixer wants. Each with-block constructs a
+# FRESH errstate: np.errstate instances are not re-entrant — nested
+# re-entry of a shared instance overwrites its saved state and leaks
+# over='ignore' into the process's global numpy error state forever.
+def _err():
+    return np.errstate(over="ignore")
 
 
 def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer (public-domain algorithm)."""
     x = x.astype(np.uint64, copy=True)
-    with _err:
+    with _err():
         x += _C1
         z = x
         z ^= z >> _U64(30)
@@ -37,7 +41,7 @@ def mix2(a: np.ndarray, b) -> np.ndarray:
     """Hash-combine two uint64 streams."""
     a = np.asarray(a, dtype=np.uint64)
     b = np.asarray(b, dtype=np.uint64)
-    with _err:
+    with _err():
         return splitmix64(a ^ (splitmix64(b) + _C1))
 
 
@@ -110,7 +114,7 @@ def minhash_signatures_flat(
     lens = np.diff(offsets)
     nonempty = np.flatnonzero(lens > 0)
     starts = offsets[nonempty]
-    with _err:
+    with _err():
         for j in range(num_perm):
             m = splitmix64(flat_hashes ^ salts[j])
             out[nonempty, j] = np.minimum.reduceat(m, starts)
@@ -128,7 +132,7 @@ def simhash64_flat(flat_hashes: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     nonempty = np.flatnonzero(lens > 0)
     starts = offsets[nonempty]
     ln = lens[nonempty]
-    with _err:
+    with _err():
         for b in range(64):
             ones = np.add.reduceat((flat_hashes >> _U64(b)) & _U64(1), starts)
             # votes = 2*ones - n > 0  <=>  ones > n/2

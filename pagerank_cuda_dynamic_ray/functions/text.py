@@ -50,8 +50,10 @@ def quality_features(texts: pd.Series) -> pd.DataFrame:
 
     n_chars, n_tokens (whitespace), punct_ratio (punct chars / chars),
     upper_ratio, stop_ratio (English stopword share), mean_token_len,
-    quality score = clamp(0.3 + 0.4*stop - punct - max(0, 12-mean_len)*0... )
-    — a simple, auditable heuristic (not a learned model).
+    quality = clamp(0.3 + 0.5*stop_ratio - punct_ratio
+                    - max(mean_token_len - 12, 0)*0.02, 0, 1)
+    — a simple, auditable heuristic (not a learned model); the DuckDB
+    oracle reproduces this formula bitwise.
     """
     n_chars = texts.str.len().fillna(0).to_numpy(dtype=np.int64)
     n_tok = ws_token_count(texts)

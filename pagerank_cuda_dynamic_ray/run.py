@@ -73,6 +73,7 @@ def main(argv: list[str] | None = None) -> int:
         out = api.run_temporal_experiment(
             args.input, num_parts=P, variants=tuple(variants), options=opts,
             num_batches=args.num_batches, batch_fraction=args.batch_fraction,
+            ranks_out_dir=args.output,
         )
         metrics["experiment"] = out
     else:
