@@ -14,7 +14,7 @@ import numpy as np
 import ray
 import ray.data as rd
 
-from .graph import GraphContext
+from .graph import GraphContext, get_all_fail_fast
 
 
 def _ensure_symmetric(ctx: GraphContext) -> None:
@@ -92,7 +92,7 @@ def connected_components_incremental(ctx: GraphContext, inserted_edges: np.ndarr
         for p in range(P)
     ])
     if _label_mode(mode) == "p2p":
-        ray.get([
+        get_all_fail_fast([
             s.run_label_iterations.remote(shards, "cc", max_rounds, warm=True)
             for s in shards
         ])
@@ -125,7 +125,7 @@ def connected_components(ctx: GraphContext, max_rounds: int = 10_000,
     _ensure_symmetric(ctx)
     shards = ctx.shards
     if _label_mode(mode) == "p2p":
-        ray.get([
+        get_all_fail_fast([
             s.run_label_iterations.remote(shards, "cc", max_rounds) for s in shards
         ])
     else:
@@ -156,7 +156,7 @@ def label_propagation(ctx: GraphContext, max_iterations: int = 10,
     _ensure_symmetric(ctx)
     shards = ctx.shards
     if _label_mode(mode) == "p2p":
-        ray.get([
+        get_all_fail_fast([
             s.run_label_iterations.remote(shards, "lp", max_iterations)
             for s in shards
         ])
@@ -237,7 +237,7 @@ def bfs_distances(ctx: GraphContext, source_vid: int, max_rounds: int = 100_000,
     _ensure_symmetric(ctx)
     P, shards = ctx.P, ctx.shards
     if _label_mode(mode) == "p2p":
-        ray.get([
+        get_all_fail_fast([
             s.run_label_iterations.remote(shards, "bfs", max_rounds, source_vid)
             for s in shards
         ])

@@ -633,7 +633,9 @@ class GraphContext:
                 )
                 for s in shards
             ]
-            per_shard = ray.get(refs)
+            # fail-fast collective get: a dead shard must raise, not
+            # leave the driver blocked behind its hung peers
+            per_shard = get_all_fail_fast(refs)
             n_it = len(per_shard[0])
             for k in range(n_it):
                 linf = per_shard[0][k]["linf_global"]
@@ -752,6 +754,26 @@ class GraphContext:
                 aggregator_ray_remote_args={"num_cpus": 0.25},
             ).rename_columns({"id": "conv_id"})
         return ds
+
+
+def get_all_fail_fast(refs: list) -> list:
+    """``ray.get`` for in-pool (p2p) collective runs that surfaces a
+    member's death IMMEDIATELY. A plain ``ray.get(list)`` fetches refs
+    in order, so if shard 0 is alive-but-hung (awaiting a message from a
+    shard that died) the driver blocks on shard 0 forever and never sees
+    the dead shard's error. Completing refs one at a time raises the
+    dead member's RayActorError as soon as it lands; the caller's
+    recovery path (``pagerank_recoverable``) then tears down the hung
+    peers."""
+    import ray as _ray
+
+    results: dict[int, object] = {}
+    by_ref = {r: i for i, r in enumerate(refs)}
+    pending = list(refs)
+    while pending:
+        done, pending = _ray.wait(pending, num_returns=1)
+        results[by_ref[done[0]]] = _ray.get(done[0])  # raises on member death
+    return [results[i] for i in range(len(refs))]
 
 
 def pagerank_recoverable(

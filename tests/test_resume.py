@@ -146,3 +146,45 @@ def test_actor_death_recovery_is_exact(tmp_path):
     assert res.iterations == full.iterations
     assert np.array_equal(ctx2.assemble(res.ranks), ctx.assemble(full.ranks))
     ctx2.shutdown()
+
+
+def test_actor_death_recovery_p2p_mode(tmp_path):
+    """p2p mode: a dead shard leaves its PEERS alive-but-hung awaiting
+    its messages. The fail-fast collective get must surface the death
+    (a plain ray.get(list) would block forever behind the first hung
+    peer) so pagerank_recoverable can rebuild and resume bit-exactly."""
+    import ray
+    from ray.exceptions import RayActorError
+
+    from pagerank_cuda_dynamic_ray.pipelines.graph import pagerank_recoverable
+
+    n = 300
+    src, dst = _graph(13, n, 1400)
+    ctx = GraphContext(n, 3)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    snap = str(tmp_path / "snap")
+    ctx.save_graph(snap)
+    full = ctx.pagerank("static", mode="p2p")
+    o_part = PagerankOptions(
+        checkpoint_every=4, checkpoint_dir=str(tmp_path / "ckpt"),
+        run_id="ftp", max_iterations=8,
+    )
+    ctx.pagerank("static", options=o_part, mode="p2p")
+    ray.kill(ctx.shards[0])
+    with pytest.raises(RayActorError):
+        ctx.pagerank(
+            "static",
+            options=PagerankOptions(
+                checkpoint_dir=str(tmp_path / "ckpt"), run_id="ftp"
+            ),
+            resume=True, mode="p2p",
+        )
+    o_rest = PagerankOptions(checkpoint_dir=str(tmp_path / "ckpt"), run_id="ftp")
+    ctx2, res = pagerank_recoverable(
+        snap, "static", options=o_rest, ctx=ctx, mode="p2p"
+    )
+    assert ctx2 is not ctx
+    assert res.iterations == full.iterations
+    assert np.array_equal(ctx2.assemble(res.ranks), ctx2.assemble(full.ranks))
+    ctx2.shutdown()
