@@ -573,15 +573,27 @@ def embedding_neardup_lsh(embeddings: rd.Dataset, threshold: float = 0.95,
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.95) -> pd.DataFrame:
+def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.95,
+                            max_rows: int = 200_000) -> pd.DataFrame:
     """Cosine-similar (a<b) pairs above threshold.
 
     Blocked brute force: the normalized matrix is broadcast once
     (``ray.put``); each batch computes its block row of the similarity
     matrix with one matmul. O(n²·d) flops but streaming memory — the
     correct baseline at verification scale; ``embedding_neardup_lsh``
-    is the bucketed 100 TB path.
+    is the bucketed 100 TB path. Corpora above ``max_rows`` are
+    REFUSED (explicitly, per the no-silent-scale-cliff rule): the
+    broadcast matrix and O(n²) flops grow without bound, and quietly
+    attempting them would look like a hang — route large corpora to
+    ``embedding_neardup_lsh`` or raise ``max_rows`` deliberately.
     """
+    n_rows = embeddings.count()
+    if n_rows > max_rows:
+        raise ValueError(
+            f"embedding_neardup_pairs is the O(n²) verification-scale "
+            f"baseline ({n_rows} rows > max_rows={max_rows}); use "
+            "embedding_neardup_lsh for large corpora or raise max_rows"
+        )
     pdf = embeddings.to_pandas().sort_values("vec_id")
     ids = pdf["vec_id"].to_numpy()
     mat = np.stack(pdf["embedding"].to_list()).astype(np.float64)

@@ -286,3 +286,17 @@ def test_decode_ppm_comments_and_truncation():
     for bad in (b"P6", b"P6\n2 2\n", b"P6\n2 2\n255\n" + rgb.tobytes()[:-1]):
         with pytest.raises(ValueError):
             multimodal.decode_ppm(bad)
+
+
+def test_embedding_neardup_refuses_large_corpus():
+    """The O(n^2) exact baseline must refuse oversized corpora loudly
+    (the LSH variant is the scale path), not attempt an unbounded
+    broadcast that looks like a hang."""
+    rng = np.random.RandomState(2)
+    mat = rng.randn(30, 4)
+    ds = _emb_ds(mat)
+    with pytest.raises(ValueError, match="embedding_neardup_lsh"):
+        dedup.embedding_neardup_pairs(ds, max_rows=10)
+    # under the cap the baseline still works
+    out = dedup.embedding_neardup_pairs(ds, threshold=0.99)
+    assert set(out.columns) == {"a", "b", "cosine"}
