@@ -243,6 +243,32 @@ def _q_pagerank_top20(sf_dir: str):
     )
 
 
+PPR_SEEDS = 10
+
+
+def _q_pagerank_personalized(sf_dir: str):
+    """Personalized PageRank (§2.10 teleport seam): restart mass lands
+    uniformly on the 10 highest-out-degree vertices (ties -> lowest
+    conv_id). Fixed PR_ORACLE_ITERS iterations, 1e10-quantized — hash-
+    comparable against the DuckDB recursive oracle with the same
+    per-vertex teleport term."""
+    ctx = _graph(sf_dir)
+    top = (
+        ctx.out_degrees()
+        .sort(["outdeg", "vid"], descending=[True, False])
+        .limit(PPR_SEEDS)
+        .to_pandas()
+    )
+    pers = np.zeros(ctx.N)
+    pers[top["vid"].to_numpy()] = 1.0
+    res = ctx.pagerank(
+        "static", personalization=pers,
+        options=PagerankOptions(tolerance=0.0, max_iterations=PR_ORACLE_ITERS),
+    )
+    e10 = np.round(ctx.assemble(res.ranks) * 1e10).astype(np.int64)
+    return pa.table({"conv_id": pa.array(ctx.dictionary), "rank_e10": pa.array(e10)})
+
+
 def _q_pagerank_dynamic(sf_dir: str):
     out = api.run_temporal_experiment(
         _fixture(sf_dir), num_parts=NUM_PARTS, num_batches=3, batch_fraction=1e-3
@@ -721,6 +747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_per_vertex": _q_triangles_per_vertex,
         "pagerank_static": _q_pagerank_static,
         "pagerank_top20": _q_pagerank_top20,
+        "pagerank_personalized": _q_pagerank_personalized,
         "pagerank_dynamic": _q_pagerank_dynamic,
         "pagerank_dynamic_ranks": _q_pagerank_dynamic_ranks,
         "connected_components": _q_connected_components,
@@ -806,6 +833,31 @@ prr AS (
     FROM pr JOIN uedges e ON e.src = pr.v JOIN odeg od ON od.v = pr.v
     WHERE pr.i < {PR_ORACLE_ITERS}
     GROUP BY pr.i, e.dst
+  ) SELECT v, CAST(round(r * 1e10) AS BIGINT) AS rank_e10
+    FROM pr WHERE i = {PR_ORACLE_ITERS}
+)"""
+
+# Personalized-PR oracle: identical recursion, but the (1-d) restart term
+# is (1-d)*tele_v with the teleport mass uniform over the PPR_SEEDS
+# highest-out-degree vertices (ties -> lexicographically lowest id) — the
+# same seed rule the engine query computes distributed. Same uniform 1/n
+# init (the fixpoint is init-independent; 250 iterations erase it).
+_PPR_CTE = f""",
+nverts AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ids),
+seeds AS (SELECT v FROM odeg ORDER BY outdeg DESC, v LIMIT {PPR_SEEDS}),
+tele AS (SELECT conv_id AS v,
+  CASE WHEN conv_id IN (SELECT v FROM seeds) THEN 1.0 / {PPR_SEEDS} ELSE 0.0 END AS t
+  FROM ids),
+pprr AS (
+  WITH RECURSIVE pr(i, v, r) AS (
+    SELECT 0, conv_id, (SELECT 1.0 / n FROM nverts) FROM ids
+    UNION ALL
+    SELECT pr.i + 1, e.dst,
+           (1.0 - 0.85) * max(t.t) + 0.85 * sum(pr.r * (1.0 / od.outdeg))
+    FROM pr JOIN uedges e ON e.src = pr.v JOIN odeg od ON od.v = pr.v
+         JOIN tele t ON t.v = e.dst
+    WHERE pr.i < {PR_ORACLE_ITERS}
+    GROUP BY pr.i + 1, e.dst
   ) SELECT v, CAST(round(r * 1e10) AS BIGINT) AS rank_e10
     FROM pr WHERE i = {PR_ORACLE_ITERS}
 )"""
@@ -1367,6 +1419,10 @@ SELECT i.conv_id AS conv_id, CAST(coalesce(c.n, 0) AS BIGINT) AS triangles
 FROM ids i LEFT JOIN (SELECT v, count(*) AS n FROM corners GROUP BY v) c ON c.v = i.conv_id""",
         "pagerank_static": _GRAPH_CTE2 + _PR_CTE
         + "\nSELECT v AS conv_id, rank_e10 FROM prr",
+        # personalized PR: same fixed-iteration recursion, restart mass
+        # on the 10 highest-out-degree vertices (ties -> lowest conv_id)
+        "pagerank_personalized": _GRAPH_CTE2 + _PPR_CTE
+        + "\nSELECT v AS conv_id, rank_e10 FROM pprr",
         # the dynamic-protocol query must land on the SAME fixpoint as a
         # from-scratch power iteration over the complete edge set
         "pagerank_dynamic_ranks": _GRAPH_CTE2 + _PR_CTE

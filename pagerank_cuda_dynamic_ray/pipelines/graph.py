@@ -471,6 +471,7 @@ class GraphContext:
         resume: bool = False,
         batch_idx: int = 0,
         mode: str = "auto",
+        personalization: np.ndarray | None = None,
     ) -> PagerankResult:
         """Run one PageRank computation to convergence.
 
@@ -494,6 +495,33 @@ class GraphContext:
         o = options or PagerankOptions()
         assert variant in VARIANTS, variant
         assert mode in MODES, f"mode must be one of {MODES}, got {mode!r}"
+        if variant == "dfp" and not self.self_loops:
+            raise ValueError(
+                "dfp requires the self-loop graph transform "
+                "(add_self_loops=True): the DF-P closed-form update "
+                "(pagerankPrune.hxx:38-39) solves the self-loop fixpoint "
+                "and divides by out-degree, which a dangling vertex makes "
+                "undefined"
+            )
+        # personalized PageRank (§2.10 extension seam): an optional dense
+        # vid-indexed teleport vector; normalized here, sliced per owner
+        # (vid i lives at shard i%P, row i//P) and installed as shard
+        # state so every loop mode reads it. None clears any previous
+        # run's vector (teleport must not leak across runs on a shared
+        # GraphContext).
+        pers = None
+        if personalization is not None:
+            pers = np.asarray(personalization, dtype=np.float64)
+            if pers.shape != (self.N,):
+                raise ValueError(f"personalization shape {pers.shape} != ({self.N},)")
+            mass = float(pers.sum())
+            if not mass > 0.0 or not np.all(pers >= 0.0):
+                raise ValueError("personalization must be nonnegative with positive mass")
+            pers = pers / mass
+        ray.get([
+            sh.set_teleport.remote(None if pers is None else pers[p::self.P])
+            for p, sh in enumerate(self.shards)
+        ])
         if o.repeat > 1 and not resume:
             # reference REPEAT_METHOD semantics (_utility.hxx:113-119):
             # run the whole computation `repeat` times, report the result
@@ -505,6 +533,7 @@ class GraphContext:
                     variant, warm=warm,
                     options=dataclasses.replace(o, repeat=1),
                     initial_marks=initial_marks, batch_idx=batch_idx, mode=mode,
+                    personalization=personalization,
                 )
                 for _ in range(o.repeat)
             ]

@@ -78,6 +78,10 @@ class GraphShard:
         self.r = np.zeros(self.n_local)
         self.a = np.zeros(self.n_local)
         self.vaff = np.zeros(self.n_local, dtype=bool)
+        # personalized-PageRank teleport slice (None = uniform 1/N).
+        # Shard state rather than a step() argument so all three loop
+        # modes (driver / p2p / compiled dag) pick it up unchanged.
+        self.tele: np.ndarray | None = None
         # p2p iteration state (run_iterations)
         self._cv: asyncio.Condition | None = None
         self._contrib_inbox: dict[int, dict[int, tuple]] = {}
@@ -429,6 +433,20 @@ class GraphShard:
             self.r = np.full(self.n_local, 1.0 / self.N)
         self.a = self.r.copy()
 
+    def set_teleport(self, tele: np.ndarray | None) -> None:
+        """Install (or clear) this shard's slice of a personalized-
+        PageRank teleport vector, indexed like the local rank vector
+        (local row i <-> vid i*P + p). The §2.10 extension seam applied
+        to the rank update: the uniform (1-d)/N restart term becomes
+        (1-d)*tele_v, and redistributed dangling mass teleports
+        proportionally to tele instead of uniformly."""
+        if tele is None:
+            self.tele = None
+        else:
+            t = np.asarray(tele, dtype=np.float64)
+            assert t.shape == (self.n_local,), (t.shape, self.n_local)
+            self.tele = t.copy()
+
     def get_ranks(self) -> np.ndarray:
         return self.r
 
@@ -514,8 +532,16 @@ class GraphShard:
     ):
         t0 = time.perf_counter()
         d = damping
-        dang = d * dangling_mass / self.N
         r, n = self.r, self.n_local
+        # restart + dangling teleport term per owned row. Uniform: the
+        # scalar C0 + d*M/N (reference pagerank.hxx:155-174). With a
+        # personalization vector installed, both the (1-d) restart and
+        # the redistributed dangling mass teleport proportionally to
+        # tele_v instead of uniformly — same kernel, vector base.
+        if self.tele is None:
+            base = C0 + d * dangling_mass / self.N
+        else:
+            base = ((1.0 - d) + d * dangling_mass) * self.tele
         nh = int(self.hub_counts[self.p]) if self.hub_split else 0
         if not use_affected:
             # fast full-sweep path: read each producer's segment directly
@@ -529,7 +555,7 @@ class GraphShard:
                     np.take(sl, keys[lo:hi], out=pe[lo:hi])
             sums = np.bincount(self.in_rows_sweep, weights=pe, minlength=n)
             np.multiply(sums, d, out=sums)
-            sums += C0 + dang
+            sums += base
             a = sums
             if nh:
                 # hub rows: combine the per-source partial sums riding
@@ -537,7 +563,8 @@ class GraphShard:
                 hub_sum = np.zeros(nh, dtype=np.float64)
                 for sl in slices:
                     hub_sum += sl[len(sl) - nh:]
-                a[self.hub_rows] = C0 + d * hub_sum + dang
+                bh = base if self.tele is None else base[self.hub_rows]
+                a[self.hub_rows] = bh + d * hub_sum
             rows = None
         else:
             regs = [sl[: len(sl) - nh] for sl in slices] if nh else slices
@@ -551,13 +578,16 @@ class GraphShard:
                 edge_idx, bounds = K.gather_subset_edges(self.in_offsets, rows)
                 per_edge = gathered[self.in_key[edge_idx]]
                 sums = K.segment_sums(per_edge, bounds)
+                br = base if self.tele is None else base[rows]
                 if prune:
                     deg = self.outdeg[rows]
                     # closed-form self-loop fixpoint (pagerankPrune.hxx:38-39);
-                    # deg >= 1 guaranteed by the self-loop transform
-                    a[rows] = (C0 + d * (sums - r[rows] / deg)) / (1.0 - d / deg)
+                    # deg >= 1 guaranteed by the self-loop transform, which
+                    # pagerank() enforces for dfp (base == C0 there: the
+                    # self-loop graph has no dangling mass)
+                    a[rows] = (br + d * (sums - r[rows] / deg)) / (1.0 - d / deg)
                 else:
-                    a[rows] = C0 + d * sums + dang
+                    a[rows] = br + d * sums
         delta = self._delta
         np.subtract(a, r, out=delta)
         np.abs(delta, out=delta)

@@ -22,19 +22,29 @@ def dedup_edges(src, dst, n, add_self_loops=True):
 
 
 def pagerank_oracle(src, dst, n, damping=0.85, tol=1e-10, max_iter=500,
-                    add_self_loops=True, warm=None, dangling="selfloops"):
-    """Returns (ranks, iterations)."""
+                    add_self_loops=True, warm=None, dangling="selfloops",
+                    personalization=None):
+    """Returns (ranks, iterations). ``personalization``: optional dense
+    teleport vector (normalized here); restart mass and redistributed
+    dangling mass both teleport proportionally to it."""
     s, d = dedup_edges(src, dst, n, add_self_loops)
     outdeg = np.bincount(s, minlength=n).astype(np.float64)
     inv = np.where(outdeg > 0, 1.0 / np.maximum(outdeg, 1), 0.0)
     r = np.full(n, 1.0 / n) if warm is None else np.asarray(warm, dtype=np.float64).copy()
+    tele = None
+    if personalization is not None:
+        tele = np.asarray(personalization, dtype=np.float64)
+        tele = tele / tele.sum()
     C0 = (1.0 - damping) / n
     for it in range(1, max_iter + 1):
         contrib = r * inv
         sums = np.zeros(n)
         np.add.at(sums, d, contrib[s])
-        dang = damping * r[outdeg == 0].sum() / n if dangling == "redistribute" else 0.0
-        a = C0 + damping * sums + dang
+        M = r[outdeg == 0].sum() if dangling == "redistribute" else 0.0
+        if tele is None:
+            a = C0 + damping * sums + damping * M / n
+        else:
+            a = (1.0 - damping) * tele + damping * sums + damping * M * tele
         linf = np.abs(a - r).max()
         r = a
         if linf < tol:

@@ -108,3 +108,93 @@ def test_degrees_and_self_loops(tiny_path):
     deg = ctx.out_degrees().to_pandas().sort_values("vid")["outdeg"].to_numpy()
     want_deg = np.bincount(s, minlength=n)
     np.testing.assert_array_equal(deg, want_deg)
+
+
+def test_personalized_pagerank_matches_oracle(tiny_path):
+    """PPR via the §2.10 teleport seam: restart mass lands on the seed
+    set, matches the numpy oracle, is bit-equal across loop modes, and
+    does NOT leak into a later uniform run on the same context."""
+    src, dst, n, _ = _edge_arrays(tiny_path)
+    ctx = GraphContext(n, 3)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    pers = np.zeros(n)
+    seeds = np.random.RandomState(7).choice(n, size=5, replace=False)
+    pers[seeds] = 1.0
+    res = ctx.pagerank("static", personalization=pers)
+    got = ctx.assemble(res.ranks)
+    want, want_iters = pagerank_oracle(src, dst, n, personalization=pers)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+    assert abs(res.iterations - want_iters) <= 1
+    assert abs(got.sum() - 1.0) < 1e-6  # self-loop graph conserves mass
+    # teleport targets dominate their uniform-PR counterparts
+    uni = ctx.pagerank("static")
+    got_uni = ctx.assemble(uni.ranks)
+    assert (got[seeds] > got_uni[seeds]).all()
+    # uniform run above must NOT have inherited the teleport vector
+    want_uni, _ = pagerank_oracle(src, dst, n)
+    np.testing.assert_allclose(got_uni, want_uni, atol=1e-6)
+    # all three loop modes bit-equal (same kernel, same shard state)
+    for mode in ("p2p", "compiled"):
+        r2 = ctx.pagerank("static", personalization=pers, mode=mode)
+        assert r2.iterations == res.iterations, mode
+        np.testing.assert_array_equal(ctx.assemble(r2.ranks), got)
+
+
+def test_personalized_pagerank_redistribute_dangling(tiny_path):
+    """No self-loops: dangling mass teleports proportionally to the
+    personalization vector (not uniformly)."""
+    src, dst, n, _ = _edge_arrays(tiny_path)
+    ctx = GraphContext(n, 2, add_self_loops=False)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    from pagerank_cuda_dynamic_ray.options import PagerankOptions
+
+    pers = np.arange(1, n + 1, dtype=np.float64)  # non-uniform, full support
+    res = ctx.pagerank(
+        "static", options=PagerankOptions(dangling="redistribute"),
+        personalization=pers,
+    )
+    got = ctx.assemble(res.ranks)
+    want, _ = pagerank_oracle(
+        src, dst, n, add_self_loops=False, dangling="redistribute",
+        personalization=pers,
+    )
+    np.testing.assert_allclose(got, want, atol=1e-9)
+    assert abs(got.sum() - 1.0) < 1e-6
+
+
+def test_personalized_dynamic_df_reaches_ppr_fixpoint(tiny_path):
+    """DF warm-started after an insertion batch converges to the fresh
+    personalized fixpoint (the dynamic variants compose with PPR)."""
+    src, dst, n, _ = _edge_arrays(tiny_path)
+    k = 8
+    ctx = GraphContext(n, 3)
+    ctx.ingest_pairs(src[:-k], dst[:-k])
+    ctx.finalize()
+    pers = np.zeros(n)
+    pers[: max(3, n // 16)] = 1.0
+    base = ctx.pagerank("static", personalization=pers)
+    empty = np.empty((2, 0), dtype=np.int64)
+    ins = np.stack([src[-k:].astype(np.int64), dst[-k:].astype(np.int64)])
+    _, ins_t = ctx.tidy_batch(empty, ins)
+    ctx.apply_batch(empty, ins_t)
+    marks = ctx.compute_frontier_marks(empty, ins_t)
+    df = ctx.pagerank(
+        "df", warm=list(base.ranks), initial_marks=marks, personalization=pers
+    )
+    fresh = ctx.pagerank("static", personalization=pers)
+    np.testing.assert_allclose(
+        ctx.assemble(df.ranks), ctx.assemble(fresh.ranks), atol=1e-8
+    )
+
+
+def test_dfp_requires_self_loops(tiny_path):
+    """The DF-P closed form divides by out-degree; without the self-loop
+    transform a dangling vertex makes it undefined — must refuse."""
+    src, dst, n, _ = _edge_arrays(tiny_path)
+    ctx = GraphContext(n, 2, add_self_loops=False)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    with pytest.raises(ValueError, match="self-loop"):
+        ctx.pagerank("dfp")
