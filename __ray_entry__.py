@@ -336,6 +336,38 @@ def _q_modularity(sf_dir: str):
     return pa.table({"modularity_e9": pa.array([int(np.round(q * 1e9))], pa.int64())})
 
 
+TRI_INC_BATCHES = 3
+
+
+def _q_triangles_incremental(sf_dir: str):
+    """Dynamic triangle counting over the temporal protocol: base graph
+    = 90% prefix of the ordered mention log, then TRI_INC_BATCHES
+    insertion batches; after each batch the total is maintained via
+    batch-delta counting (T1/T2/T3 classes, analytics.
+    triangle_count_incremental) — never a full rescan. The oracle
+    recounts each stage's prefix graph from scratch in SQL, so a hash
+    match proves the incremental path lands on the exact cold counts."""
+    ctx, batches = api.build_graph(
+        _fixture(sf_dir), num_parts=NUM_PARTS, temporal=True,
+        num_batches=TRI_INC_BATCHES,
+    )
+    try:
+        total, _ = A.triangle_count(ctx)
+        rows = [(0, total)]
+        empty = np.empty((2, 0), dtype=np.int64)
+        for j, b in enumerate(batches, start=1):
+            total = A.triangle_count_incremental(ctx, b, total)
+            _, ins_t = ctx.tidy_batch(empty, b)
+            ctx.apply_batch(empty, ins_t)
+            rows.append((j, total))
+    finally:
+        ctx.shutdown()
+    return pa.table({
+        "stage": pa.array([r[0] for r in rows], pa.int64()),
+        "triangles": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
 def _q_connected_components(sf_dir: str):
     ctx = _graph(sf_dir)
     ds = A.connected_components(ctx)
@@ -745,6 +777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_batch": _q_random_batch,
         "triangle_total": _q_triangle_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
+        "triangles_incremental": _q_triangles_incremental,
         "pagerank_static": _q_pagerank_static,
         "pagerank_top20": _q_pagerank_top20,
         "pagerank_personalized": _q_pagerank_personalized,
@@ -1408,6 +1441,29 @@ SELECT count(*) AS triangles
 FROM und e1
 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
 JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b""",
+        # cold per-stage recount of the temporal prefixes the engine
+        # maintains incrementally: stage s = first
+        # min(m, floor(0.9 m) + s*ceil(1e-3 m)) rows of the ordered log
+        "triangles_incremental": f"""WITH tr AS (SELECT * FROM read_parquet('{_FX01}')),
+raw AS (SELECT conv_id AS src,
+    coalesce(nullif(regexp_extract(tool, '^ref:([A-Za-z0-9_-]+)$', 1), ''),
+             nullif(regexp_extract(text, 'see:([A-Za-z0-9_-]+)', 1), '')) AS dst,
+    turn_idx, ts FROM tr),
+mention AS (SELECT src, dst, turn_idx, ts FROM raw WHERE dst IS NOT NULL),
+ordered AS (SELECT src, dst, row_number() OVER (ORDER BY ts, src, turn_idx) AS rn FROM mention),
+mm AS (SELECT count(*) AS m FROM mention),
+stages AS (SELECT s, least((SELECT m FROM mm),
+                 CAST(floor(0.9 * (SELECT m FROM mm)) AS BIGINT)
+                 + s * greatest(1, CAST(ceil(0.001 * (SELECT m FROM mm)) AS BIGINT))) AS cut
+           FROM (SELECT unnest(range(0, {TRI_INC_BATCHES} + 1)) AS s)),
+sund AS (SELECT DISTINCT st.s, least(o.src, o.dst) AS a, greatest(o.src, o.dst) AS b
+         FROM stages st JOIN ordered o ON o.rn <= st.cut WHERE o.src <> o.dst),
+tri AS (SELECT e1.s FROM sund e1
+        JOIN sund e2 ON e2.s = e1.s AND e2.a = e1.a AND e2.b > e1.b
+        JOIN sund e3 ON e3.s = e1.s AND e3.a = e1.b AND e3.b = e2.b)
+SELECT st.s AS stage, CAST(coalesce(t.n, 0) AS BIGINT) AS triangles
+FROM stages st LEFT JOIN (SELECT s, count(*) AS n FROM tri GROUP BY s) t ON t.s = st.s
+ORDER BY stage""",
         "triangles_per_vertex": _GRAPH_CTE
         + """,
 tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z

@@ -225,6 +225,147 @@ def triangle_count(ctx: GraphContext, max_wedges: int = 4_000_000) -> tuple[int,
     return int(total), _with_conv(ctx, tables)
 
 
+def _route_by_owner(ctx: GraphContext, key_vids: np.ndarray):
+    """Owner grouping of driver-held vids: returns (order, cuts) such
+    that order[cuts[p]:cuts[p+1]] indexes owner p's slice."""
+    from ..state import kernels as K
+
+    return K.owner_split(key_vids, ctx.P)
+
+
+def _sym_member_mask(ctx: GraphContext, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Distributed undirected-membership test for (a, b) vid pairs,
+    routed to owner(a); returns a bool mask aligned with the input."""
+    order, cuts = _route_by_owner(ctx, a)
+    refs = {}
+    for p in range(ctx.P):
+        seg = order[cuts[p]:cuts[p + 1]]
+        if len(seg):
+            refs[p] = ctx.shards[p].sym_member.remote(np.stack([a[seg], b[seg]]))
+    mask = np.zeros(len(a), dtype=bool)
+    for p, ref in refs.items():
+        mask[order[cuts[p]:cuts[p + 1]]] = ray.get(ref)
+    return mask
+
+
+def _sym_degrees(ctx: GraphContext, v: np.ndarray) -> np.ndarray:
+    """Symmetric-view degrees of driver-held vids (one routed exchange)."""
+    order, cuts = _route_by_owner(ctx, v)
+    refs = {}
+    for p in range(ctx.P):
+        seg = order[cuts[p]:cuts[p + 1]]
+        if len(seg):
+            refs[p] = ctx.shards[p].degrees_for.remote(v[seg] // ctx.P)
+    deg = np.zeros(len(v), dtype=np.int64)
+    for p, ref in refs.items():
+        deg[order[cuts[p]:cuts[p + 1]]] = ray.get(ref)
+    return deg
+
+
+def _batch_local_terms(a: np.ndarray, b: np.ndarray, n: int) -> tuple[int, np.ndarray, np.ndarray]:
+    """Triangles/wedges entirely inside the batch's own (tiny) edge set.
+
+    Returns (t3, wedge_lo, wedge_hi): t3 = triangles whose three edges
+    are all new; (wedge_lo, wedge_hi) = for every wedge formed by two
+    new edges sharing a vertex, the normalized third pair to test
+    against the OLD graph (each exactly-2-new triangle has exactly one
+    such apex, so membership hits count it once). Pure numpy over the
+    batch arrays — batches ride the driver as (2, k) arrays throughout
+    the engine's update protocol (api.build_graph, tidy/apply), so this
+    term lives where the batch lives."""
+    # batch adjacency via both directions sorted by source
+    s = np.concatenate([a, b])
+    t = np.concatenate([b, a])
+    order = np.lexsort((t, s))
+    s, t = s[order], t[order]
+    # wedges at each apex: pairs of distinct neighbors (j1 < j2)
+    uniq, counts = np.unique(s, return_counts=True)
+    lo_list, hi_list = [], []
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    for i in range(len(uniq)):
+        nb = t[offs[i]:offs[i + 1]]
+        if len(nb) < 2:
+            continue
+        iu, ju = np.triu_indices(len(nb), k=1)
+        x, y = nb[iu], nb[ju]
+        lo_list.append(np.minimum(x, y))
+        hi_list.append(np.maximum(x, y))
+    if lo_list:
+        wlo = np.concatenate(lo_list)
+        whi = np.concatenate(hi_list)
+    else:
+        wlo = whi = np.empty(0, dtype=np.int64)
+    # t3: wedge third-pair ∈ batch edge set; each all-new triangle has
+    # 3 apexes, so it closes 3 wedges — divide by 3
+    keys = np.sort(a * np.int64(n) + b)
+    wkeys = wlo * np.int64(n) + whi
+    pos = np.searchsorted(keys, wkeys)
+    inbatch = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == wkeys)
+    t3 = int(inbatch.sum()) // 3
+    return t3, wlo[~inbatch], whi[~inbatch]
+
+
+def triangle_count_incremental(
+    ctx: GraphContext, insertions: np.ndarray, total_before: int
+) -> int:
+    """Delta triangle counting for an insertion batch — the dynamic-
+    batch analogue (reference batch.hxx insertion protocol) of
+    ``triangle_count``. Call BEFORE ``ctx.apply_batch``; returns the
+    exact post-batch global count without re-scanning the graph.
+
+    New triangles are partitioned by how many batch edges they contain,
+    each counted exactly once (batch edges are first reduced to
+    undirected pairs NOT already present, so the three classes are
+    disjoint):
+      T1 (one new edge): for each new edge, common OLD neighbors of its
+         endpoints — wedge queries emitted at the lower-degree endpoint
+         (work ∝ Σ min-deg, the standard intersection bound) and
+         answered by owner(lo) against the symmetric CSR;
+      T2 (two new edges): batch wedges whose third pair is an OLD edge
+         (one distributed membership round);
+      T3 (three new edges): closed entirely within the batch (local).
+    """
+    _ensure_symmetric(ctx)
+    P, shards = ctx.P, ctx.shards
+    ins = np.asarray(insertions).reshape(2, -1).astype(np.int64)
+    lo = np.minimum(ins[0], ins[1])
+    hi = np.maximum(ins[0], ins[1])
+    keep = lo != hi  # self-loops never form triangles
+    ab = np.unique(lo[keep] * np.int64(ctx.N) + hi[keep])
+    a, b = ab // ctx.N, ab % ctx.N
+    if not len(a):
+        return int(total_before)
+    # only genuinely-new undirected pairs change the count
+    fresh = ~_sym_member_mask(ctx, a, b)
+    a, b = a[fresh], b[fresh]
+    if not len(a):
+        return int(total_before)
+    t3, wlo, whi = _batch_local_terms(a, b, ctx.N)
+    t2 = int(_sym_member_mask(ctx, wlo, whi).sum()) if len(wlo) else 0
+    # T1: emit wedge queries from the lower-(degree, vid) endpoint
+    dega = _sym_degrees(ctx, a)
+    degb = _sym_degrees(ctx, b)
+    b_first = (degb < dega) | ((degb == dega) & (b < a))
+    src = np.where(b_first, b, a)
+    oth = np.where(b_first, a, b)
+    order, cuts = _route_by_owner(ctx, src)
+    wq = {}
+    for p in range(P):
+        seg = order[cuts[p]:cuts[p + 1]]
+        if len(seg):
+            wq[p] = shards[p].pair_wedge_queries.options(num_returns=P + 1).remote(
+                np.stack([src[seg], oth[seg]])
+            )
+    t1 = 0
+    if wq:
+        answers = [
+            shards[q].sym_answer_count.remote(*[wq[p][1 + q] for p in wq])
+            for q in range(P)
+        ]
+        t1 = int(sum(ray.get(answers)))
+    return int(total_before) + t1 + t2 + t3
+
+
 def bfs_distances(ctx: GraphContext, source_vid: int, max_rounds: int = 100_000,
                   mode: str = "auto") -> rd.Dataset:
     """Level-synchronous BFS hop distances from a source on the undirected

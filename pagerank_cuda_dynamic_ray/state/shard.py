@@ -1374,3 +1374,61 @@ class GraphShard:
         return pa.table(
             {"vid": pa.array(self.owned_vids()), "triangles": pa.array(self._tri_counts)}
         )
+
+    # ------------------------------------------------------------------
+    # incremental triangle counting (batch-delta primitives over the
+    # symmetric CSR — the dynamic analogue of the tri_* family)
+    # ------------------------------------------------------------------
+
+    def sym_member(self, pairs: np.ndarray) -> np.ndarray:
+        """Undirected-edge membership: for each column (a, b) with a
+        owned here, is b ∈ N(a) in the symmetric CSR? Vectorized
+        segmented binary search (same ``hasEdge`` analogue as
+        tri_answer, /root/reference/inc/_bitset.hxx:165-194)."""
+        k = pairs.shape[1] if pairs is not None and pairs.ndim == 2 else 0
+        if not k:
+            return np.empty(0, dtype=bool)
+        if self.sym_adj is None or not len(self.sym_adj):
+            return np.zeros(k, dtype=bool)
+        a_local = pairs[0] // self.P
+        b = pairs[1]
+        pos = K.segmented_searchsorted(
+            self.sym_adj, self.sym_offsets[a_local], self.sym_offsets[a_local + 1], b
+        )
+        return (pos < self.sym_offsets[a_local + 1]) & (
+            self.sym_adj[np.minimum(pos, len(self.sym_adj) - 1)] == b
+        )
+
+    def pair_wedge_queries(self, pairs: np.ndarray):
+        """For each new edge (s, o) with s owned here, emit one
+        membership query (lo=min(w,o), hi=max(w,o)) per old neighbor
+        w ∈ N(s) — the candidate third corners of triangles closed by
+        the new edge. Queries are grouped by owner(lo); call with
+        num_returns=P+1 (leading element = total query count)."""
+        out = [np.empty((2, 0), dtype=np.int64) for _ in range(self.P)]
+        k = pairs.shape[1] if pairs is not None and pairs.ndim == 2 else 0
+        if k and self.sym_adj is not None and len(self.sym_adj):
+            s_local = pairs[0] // self.P
+            edge_idx, bounds = K.gather_subset_edges(self.sym_offsets, s_local)
+            w = self.sym_adj[edge_idx]
+            o = np.repeat(pairs[1], np.diff(bounds))
+            keep = w != o  # defensive: o ∉ N(s) for genuinely-new edges
+            w, o = w[keep], o[keep]
+            lo = np.minimum(w, o)
+            hi = np.maximum(w, o)
+            order, cuts = K.owner_split(lo, self.P)
+            lo, hi = lo[order], hi[order]
+            out = [
+                np.stack([lo[cuts[q]:cuts[q + 1]], hi[cuts[q]:cuts[q + 1]]])
+                for q in range(self.P)
+            ]
+        return (sum(o_.shape[1] for o_ in out), *out)
+
+    def sym_answer_count(self, *query_arrays: np.ndarray) -> int:
+        """Count how many queried (lo, hi) pairs are present undirected
+        edges (lo owned here)."""
+        qs = [q for q in query_arrays if q is not None and q.shape[1]]
+        if not qs:
+            return 0
+        cat = np.concatenate(qs, axis=1)
+        return int(self.sym_member(cat).sum())

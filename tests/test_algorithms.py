@@ -161,3 +161,37 @@ def test_triangles_empty_oriented_shard():
         assert per.to_pandas()["triangles"].sum() == 0
     finally:
         ctx.shutdown()
+
+
+@pytest.mark.parametrize("num_parts", [1, 3])
+def test_triangles_incremental_equals_recount(num_parts):
+    """Batch-delta triangle counting: after each insertion batch the
+    incrementally-maintained total must equal a cold recount (which the
+    brute-force oracle verifies). Batches deliberately include
+    self-loops, duplicates, reversed duplicates and already-present
+    edges — all must be no-ops for the delta."""
+    n = 40
+    src, dst = _graph(3, n, 100)
+    ctx = GraphContext(n, num_parts)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    total, _ = analytics.triangle_count(ctx)
+    rng = np.random.RandomState(17)
+    empty = np.empty((2, 0), dtype=np.int64)
+    all_src, all_dst = [src], [dst]
+    for round_ in range(3):
+        k = 12
+        ins = np.stack([rng.randint(0, n, k), rng.randint(0, n, k)]).astype(np.int64)
+        ins[:, 0] = ins[:, 1]  # duplicate pair inside the batch
+        ins[0, 2] = ins[1, 2]  # self-loop
+        ins[:, 3] = [dst[0], src[0]]  # reversed already-present edge
+        total = analytics.triangle_count_incremental(ctx, ins, total)
+        _, ins_t = ctx.tidy_batch(empty, ins)
+        ctx.apply_batch(empty, ins_t)
+        all_src.append(ins[0])
+        all_dst.append(ins[1])
+        cold, _ = analytics.triangle_count(ctx)
+        assert total == cold, (round_, total, cold)
+        want, _ = triangles_oracle(np.concatenate(all_src), np.concatenate(all_dst), n)
+        assert total == want, (round_, total, want)
+    ctx.shutdown()
