@@ -269,6 +269,23 @@ def _q_pagerank_personalized(sf_dir: str):
     return pa.table({"conv_id": pa.array(ctx.dictionary), "rank_e10": pa.array(e10)})
 
 
+def _q_pagerank_weighted(sf_dir: str):
+    """Multiplicity-weighted PageRank: edge weight = number of times dst
+    is mentioned across src's turns (+1 structural self-loop); pull
+    contribution r_u * w_uv / W_u. Fixed-iteration, 1e10-quantized,
+    hash-comparable against the weighted recursive-CTE oracle."""
+    ctx, _ = api.build_graph(_fixture(sf_dir), num_parts=NUM_PARTS, weighted=True)
+    try:
+        res = ctx.pagerank(
+            "static",
+            options=PagerankOptions(tolerance=0.0, max_iterations=PR_ORACLE_ITERS),
+        )
+        e10 = np.round(ctx.assemble(res.ranks) * 1e10).astype(np.int64)
+        return pa.table({"conv_id": pa.array(ctx.dictionary), "rank_e10": pa.array(e10)})
+    finally:
+        ctx.shutdown()
+
+
 def _q_pagerank_dynamic(sf_dir: str):
     out = api.run_temporal_experiment(
         _fixture(sf_dir), num_parts=NUM_PARTS, num_batches=3, batch_fraction=1e-3
@@ -781,6 +798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_static": _q_pagerank_static,
         "pagerank_top20": _q_pagerank_top20,
         "pagerank_personalized": _q_pagerank_personalized,
+        "pagerank_weighted": _q_pagerank_weighted,
         "pagerank_dynamic": _q_pagerank_dynamic,
         "pagerank_dynamic_ranks": _q_pagerank_dynamic_ranks,
         "connected_components": _q_connected_components,
@@ -889,6 +907,30 @@ pprr AS (
            (1.0 - 0.85) * max(t.t) + 0.85 * sum(pr.r * (1.0 / od.outdeg))
     FROM pr JOIN uedges e ON e.src = pr.v JOIN odeg od ON od.v = pr.v
          JOIN tele t ON t.v = e.dst
+    WHERE pr.i < {PR_ORACLE_ITERS}
+    GROUP BY pr.i + 1, e.dst
+  ) SELECT v, CAST(round(r * 1e10) AS BIGINT) AS rank_e10
+    FROM pr WHERE i = {PR_ORACLE_ITERS}
+)"""
+
+# Weighted-PR oracle: multiplicity weights (mention count per (src,dst)
+# pair; the structural self-loop rides the UNION ALL as one extra
+# occurrence — identical to the shard build's unique-key counting). The
+# per-edge value (r * (1/W)) * w mirrors the engine's op order exactly.
+_WPR_CTE = f""",
+nverts AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ids),
+wed AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+        FROM (SELECT src, dst FROM mention UNION ALL SELECT conv_id, conv_id FROM ids)
+        GROUP BY src, dst),
+wdeg AS (SELECT src AS v, sum(w) AS wd FROM wed GROUP BY src),
+wprr AS (
+  WITH RECURSIVE pr(i, v, r) AS (
+    SELECT 0, conv_id, (SELECT 1.0 / n FROM nverts) FROM ids
+    UNION ALL
+    SELECT pr.i + 1, e.dst,
+           (SELECT (1.0 - 0.85) / n FROM nverts)
+           + 0.85 * sum((pr.r * (1.0 / od.wd)) * e.w)
+    FROM pr JOIN wed e ON e.src = pr.v JOIN wdeg od ON od.v = pr.v
     WHERE pr.i < {PR_ORACLE_ITERS}
     GROUP BY pr.i + 1, e.dst
   ) SELECT v, CAST(round(r * 1e10) AS BIGINT) AS rank_e10
@@ -1479,6 +1521,8 @@ FROM ids i LEFT JOIN (SELECT v, count(*) AS n FROM corners GROUP BY v) c ON c.v 
         # on the 10 highest-out-degree vertices (ties -> lowest conv_id)
         "pagerank_personalized": _GRAPH_CTE2 + _PPR_CTE
         + "\nSELECT v AS conv_id, rank_e10 FROM pprr",
+        "pagerank_weighted": _GRAPH_CTE + _WPR_CTE
+        + "\nSELECT v AS conv_id, rank_e10 FROM wprr",
         # the dynamic-protocol query must land on the SAME fixpoint as a
         # from-scratch power iteration over the complete edge set
         "pagerank_dynamic_ranks": _GRAPH_CTE2 + _PR_CTE

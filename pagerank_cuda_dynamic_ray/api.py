@@ -52,6 +52,7 @@ def build_graph(
     num_cpus_per_shard: float = 0.5,
     hub_split_threshold: int | None = None,
     dictionary_mode: str = "auto",
+    weighted: bool = False,
 ):
     """Transcripts Parquet -> (GraphContext, insertion batches).
 
@@ -62,6 +63,11 @@ def build_graph(
     ``batch_fraction * M`` edges are returned as insertion batches
     ((2,k) vid arrays, temporal order preserved). ``num_parts=None``
     auto-sizes the shard count from the edge count.
+
+    ``weighted=True``: edge weight = mention multiplicity — each
+    (src, dst) pair carries the number of times dst is mentioned across
+    src's turns (plus 1 for the structural self-loop). Static-only
+    (apply_update refuses), so it composes with ``temporal=False`` only.
 
     ``dictionary_mode``: ``"broadcast"`` builds the id->vid dictionary
     as one sorted numpy array shipped via ``ray.put`` (fast, fine up to
@@ -118,10 +124,12 @@ def build_graph(
             ]))
     else:
         encoded = encoded_all
+    if weighted and temporal:
+        raise ValueError("weighted graphs are static-only (batch updates carry no weights)")
     ctx = GraphContext.from_edges(
         encoded.select_columns(["src", "dst"]), n, num_parts, dictionary, add_self_loops,
         num_cpus_per_shard=num_cpus_per_shard, hub_split_threshold=hub_split_threshold,
-        dictionary_ds=dict_ds,
+        dictionary_ds=dict_ds, weighted=weighted,
     )
     return ctx, batches
 

@@ -55,7 +55,8 @@ class GraphContext:
     def __init__(self, num_vertices: int, num_parts: int = 8, dictionary: np.ndarray | None = None,
                  add_self_loops: bool = True, num_cpus_per_shard: float = 0.5,
                  hub_split_threshold: int | None = None,
-                 dictionary_ds: "rd.Dataset | None" = None):
+                 dictionary_ds: "rd.Dataset | None" = None,
+                 weighted: bool = False):
         # num_cpus_per_shard defaults to 0.5 so a pool of P shards reserves
         # P/2 CPU slots, leaving headroom for the Ray Data ingest/derive
         # tasks that feed the pool — a pool reserving every CPU deadlocks
@@ -72,6 +73,12 @@ class GraphContext:
         # partials combined at the owner (None = off). SURVEY.md §4 /
         # reference pagerankCuda.hxx:470-481 degree-64 two-kernel split.
         self.hub_split_threshold = hub_split_threshold
+        # weighted=True: edge weight = ingest multiplicity (mention count
+        # for the transcript graph). Static-only: apply_update and hub
+        # splitting refuse on weighted graphs (see GraphShard.build).
+        self.weighted = bool(weighted)
+        if self.weighted and hub_split_threshold is not None:
+            raise ValueError("hub splitting is unsupported on weighted graphs")
         actor_cls = ray.remote(num_cpus=num_cpus_per_shard)(GraphShard)
         self.shards = [actor_cls.remote(p, self.P, self.N) for p in range(self.P)]
         self._sym_built = False
@@ -158,9 +165,11 @@ class GraphContext:
                    dictionary: np.ndarray | None = None, add_self_loops: bool = True,
                    num_cpus_per_shard: float = 0.5,
                    hub_split_threshold: int | None = None,
-                   dictionary_ds: "rd.Dataset | None" = None) -> "GraphContext":
+                   dictionary_ds: "rd.Dataset | None" = None,
+                   weighted: bool = False) -> "GraphContext":
         ctx = cls(num_vertices, num_parts, dictionary, add_self_loops, num_cpus_per_shard,
-                  hub_split_threshold=hub_split_threshold, dictionary_ds=dictionary_ds)
+                  hub_split_threshold=hub_split_threshold, dictionary_ds=dictionary_ds,
+                  weighted=weighted)
         route_edges(encoded_edges, ctx.shards)
         ctx.finalize()
         return ctx
@@ -180,7 +189,10 @@ class GraphContext:
         """Build CSRs on every shard and exchange the pull/send indices —
         the distributed analogue of csrCreate* (/root/reference/inc/
         csr.hxx:100-287) + the H2D transfer (pagerankCuda.hxx:797-805)."""
-        needs = ray.get([s.build.remote(add_self_loops=self.self_loops) for s in self.shards])
+        needs = ray.get([
+            s.build.remote(add_self_loops=self.self_loops, weighted=self.weighted)
+            for s in self.shards
+        ])
         self._setup_hubs()
         self._exchange(needs)
         self._sym_built = False
@@ -239,7 +251,7 @@ class GraphContext:
         with open(os.path.join(snap_dir, "meta.json"), "w") as f:
             json.dump(
                 {"num_vertices": self.N, "num_parts": self.P,
-                 "self_loops": self.self_loops}, f,
+                 "self_loops": self.self_loops, "weighted": self.weighted}, f,
             )
 
     @classmethod
@@ -250,7 +262,8 @@ class GraphContext:
             meta = json.load(f)
         ctx = cls(meta["num_vertices"], meta["num_parts"], dictionary,
                   meta["self_loops"], num_cpus_per_shard,
-                  hub_split_threshold=hub_split_threshold)
+                  hub_split_threshold=hub_split_threshold,
+                  weighted=meta.get("weighted", False))
         needs = ray.get([s.load_keys.remote(snap_dir) for s in ctx.shards])
         ctx._setup_hubs()
         ctx._exchange(needs)

@@ -63,6 +63,11 @@ class GraphShard:
         # out_keys = src_local * N + dst ; in_keys = dst_local * N + src
         self.out_keys = np.empty(0, dtype=np.int64)
         self.in_keys = np.empty(0, dtype=np.int64)
+        # per-unique-edge multiplicity weights (weighted builds only)
+        self.out_w: np.ndarray | None = None
+        self.in_w: np.ndarray | None = None
+        self.outw = None          # weighted out-degree per owned row
+        self._w_sweep = None      # in_w permuted to sweep-stream order
         self._out_chunks: list[np.ndarray] = []
         self._in_chunks: list[np.ndarray] = []
         # derived CSR state (build() / _rebuild())
@@ -125,24 +130,41 @@ class GraphShard:
             n += in_tbl.num_rows
         return n
 
-    def build(self, add_self_loops: bool = True) -> dict[int, np.ndarray]:
+    def build(self, add_self_loops: bool = True, weighted: bool = False) -> dict[int, np.ndarray]:
         """Finalize ingested edges into CSR state; returns the pull index
         (owner -> local source indices this shard needs).
 
         ``add_self_loops=True`` replicates the reference driver's
         dead-end elimination — a self loop on every vertex
-        (/root/reference/main.cu:168-169, inc/selfLoop.hxx:33-79)."""
+        (/root/reference/main.cu:168-169, inc/selfLoop.hxx:33-79).
+
+        ``weighted=True``: edge weight = ingest multiplicity (each routed
+        duplicate counts 1; the structural self-loop adds 1) — for the
+        transcript graph that is the mention count per (src, dst) pair.
+        The unique-key aggregation the unweighted build already performs
+        doubles as the weight reduction, so weighting adds no extra
+        exchange. Weighted graphs are static: ``apply_update`` refuses
+        (the set-algebra batch path has no weight bookkeeping)."""
         chunks_out, chunks_in = self._out_chunks, self._in_chunks
         if add_self_loops and self.n_local:
             loops = K.encode_pairs(np.arange(self.n_local, dtype=np.int64), self.owned_vids(), self.N)
             chunks_out = chunks_out + [loops]
             chunks_in = chunks_in + [loops]
-        self.out_keys = (
-            np.unique(np.concatenate(chunks_out)) if chunks_out else np.empty(0, dtype=np.int64)
-        )
-        self.in_keys = (
-            np.unique(np.concatenate(chunks_in)) if chunks_in else np.empty(0, dtype=np.int64)
-        )
+        if weighted:
+            ocat = np.concatenate(chunks_out) if chunks_out else np.empty(0, dtype=np.int64)
+            icat = np.concatenate(chunks_in) if chunks_in else np.empty(0, dtype=np.int64)
+            self.out_keys, ocnt = np.unique(ocat, return_counts=True)
+            self.in_keys, icnt = np.unique(icat, return_counts=True)
+            self.out_w = ocnt.astype(np.float64)
+            self.in_w = icnt.astype(np.float64)
+        else:
+            self.out_keys = (
+                np.unique(np.concatenate(chunks_out)) if chunks_out else np.empty(0, dtype=np.int64)
+            )
+            self.in_keys = (
+                np.unique(np.concatenate(chunks_in)) if chunks_in else np.empty(0, dtype=np.int64)
+            )
+            self.out_w = self.in_w = None
         self._out_chunks, self._in_chunks = [], []
         return self._rebuild()
 
@@ -167,8 +189,17 @@ class GraphShard:
             self.out_loop_rel = np.where(has, posc - self.out_offsets[own], -1)
         else:
             self.out_loop_rel = np.full(n, -1, dtype=np.int64)
-        with np.errstate(divide="ignore"):
-            self.inv_outdeg = np.where(self.outdeg > 0, 1.0 / self.outdeg, 0.0)
+        # weighted mode: contributions scale by 1/weighted-out-degree at
+        # the source and by the edge weight at the destination, so
+        # c_u * w_uv = r_u * w_uv / W_u (the standard weighted PR pull)
+        if self.out_w is not None:
+            self.outw = np.bincount(o_local, weights=self.out_w, minlength=n)
+            with np.errstate(divide="ignore"):
+                self.inv_outdeg = np.where(self.outw > 0, 1.0 / self.outw, 0.0)
+        else:
+            self.outw = None
+            with np.errstate(divide="ignore"):
+                self.inv_outdeg = np.where(self.outdeg > 0, 1.0 / self.outdeg, 0.0)
         # pull index: unique needed sources, grouped by owner then local id
         uniq = np.unique(self.in_src)
         owner, local = uniq % self.P, uniq // self.P
@@ -190,6 +221,7 @@ class GraphShard:
         self.in_rows_sweep = np.repeat(
             np.arange(n, dtype=np.int64), np.diff(self.in_offsets)
         )[sweep_order].astype(np.int32)
+        self._w_sweep = self.in_w[sweep_order] if self.in_w is not None else None
         self.gather_ids = gather_ids
         g_owner = gather_ids % self.P
         self.gather_counts = np.bincount(g_owner, minlength=self.P)
@@ -276,6 +308,11 @@ class GraphShard:
         the source-side per-destination partial-sum structures. The
         affected-path CSR (in_key / in_offsets) is untouched, so dynamic
         variants still compute exact full sums for hub rows."""
+        if self.out_w is not None:
+            raise ValueError(
+                "hub splitting is unsupported on a weighted graph: the "
+                "source-side hub partial sums do not carry edge weights"
+            )
         P = self.P
         all_hubs = np.asarray(all_hubs, dtype=np.int64)
         self.hub_counts = np.bincount(all_hubs % P, minlength=P)
@@ -335,7 +372,11 @@ class GraphShard:
         lineage (CSR state is derived, so keys are all that's needed)."""
         path = os.path.join(snap_dir, f"part-{self.p}.npz")
         tmp = path + ".tmp.npz"
-        np.savez(tmp, out_keys=self.out_keys, in_keys=self.in_keys)
+        if self.out_w is not None:
+            np.savez(tmp, out_keys=self.out_keys, in_keys=self.in_keys,
+                     out_w=self.out_w, in_w=self.in_w)
+        else:
+            np.savez(tmp, out_keys=self.out_keys, in_keys=self.in_keys)
         os.replace(tmp, path)
         return path
 
@@ -345,6 +386,8 @@ class GraphShard:
         d = np.load(os.path.join(snap_dir, f"part-{self.p}.npz"))
         self.out_keys = d["out_keys"]
         self.in_keys = d["in_keys"]
+        self.out_w = d["out_w"] if "out_w" in d.files else None
+        self.in_w = d["in_w"] if "in_w" in d.files else None
         return self._rebuild()
 
     def count_self_loops(self) -> int:
@@ -406,6 +449,14 @@ class GraphShard:
         applyBatchUpdateU (/root/reference/inc/batch.hxx:222-248) as a
         per-partition Arrow/numpy set operation. Arguments are (2,n)
         [src,dst] arrays routed by src owner (out) / dst owner (in)."""
+
+        if self.out_w is not None:
+            raise ValueError(
+                "batch updates are unsupported on a weighted graph: the "
+                "set-algebra update path (set_minus_union) carries no "
+                "weight bookkeeping — rebuild with weighted=False or "
+                "re-ingest"
+            )
 
         def keys_of(pairs, by_dst):
             if pairs is None or pairs.shape[1] == 0:
@@ -553,6 +604,9 @@ class GraphShard:
                 lo, hi = cuts[q], cuts[q + 1]
                 if hi > lo:
                     np.take(sl, keys[lo:hi], out=pe[lo:hi])
+            if self._w_sweep is not None:
+                # weighted pull: per-edge value = (r_u / W_u) * w_uv
+                np.multiply(pe, self._w_sweep, out=pe)
             sums = np.bincount(self.in_rows_sweep, weights=pe, minlength=n)
             np.multiply(sums, d, out=sums)
             sums += base
@@ -577,10 +631,16 @@ class GraphShard:
             if rows.size:
                 edge_idx, bounds = K.gather_subset_edges(self.in_offsets, rows)
                 per_edge = gathered[self.in_key[edge_idx]]
+                if self.in_w is not None:
+                    per_edge = per_edge * self.in_w[edge_idx]
                 sums = K.segment_sums(per_edge, bounds)
                 br = base if self.tele is None else base[rows]
                 if prune:
-                    deg = self.outdeg[rows]
+                    # weighted out-degree when weighted (note: dynamic
+                    # variants are unreachable on weighted graphs today —
+                    # apply_update refuses — and the closed form assumes
+                    # a unit-weight self-loop)
+                    deg = (self.outw if self.outw is not None else self.outdeg)[rows]
                     # closed-form self-loop fixpoint (pagerankPrune.hxx:38-39);
                     # deg >= 1 guaranteed by the self-loop transform, which
                     # pagerank() enforces for dfp (base == C0 there: the

@@ -21,14 +21,32 @@ def dedup_edges(src, dst, n, add_self_loops=True):
     return keys // n, keys % n
 
 
+def weighted_edges(src, dst, n, add_self_loops=True):
+    """Multiplicity-weighted dedup: returns (src, dst, w) with w = the
+    number of raw occurrences (+1 for the structural self-loop)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    if add_self_loops:
+        src = np.concatenate([src, np.arange(n, dtype=np.int64)])
+        dst = np.concatenate([dst, np.arange(n, dtype=np.int64)])
+    keys, cnt = np.unique(src * np.int64(n) + dst, return_counts=True)
+    return keys // n, keys % n, cnt.astype(np.float64)
+
+
 def pagerank_oracle(src, dst, n, damping=0.85, tol=1e-10, max_iter=500,
                     add_self_loops=True, warm=None, dangling="selfloops",
-                    personalization=None):
+                    personalization=None, weighted=False):
     """Returns (ranks, iterations). ``personalization``: optional dense
     teleport vector (normalized here); restart mass and redistributed
-    dangling mass both teleport proportionally to it."""
-    s, d = dedup_edges(src, dst, n, add_self_loops)
-    outdeg = np.bincount(s, minlength=n).astype(np.float64)
+    dangling mass both teleport proportionally to it. ``weighted=True``:
+    multiplicity-weighted pull (contribution r_u * w_uv / W_u)."""
+    if weighted:
+        s, d, w = weighted_edges(src, dst, n, add_self_loops)
+        outdeg = np.bincount(s, weights=w, minlength=n)
+    else:
+        s, d = dedup_edges(src, dst, n, add_self_loops)
+        w = None
+        outdeg = np.bincount(s, minlength=n).astype(np.float64)
     inv = np.where(outdeg > 0, 1.0 / np.maximum(outdeg, 1), 0.0)
     r = np.full(n, 1.0 / n) if warm is None else np.asarray(warm, dtype=np.float64).copy()
     tele = None
@@ -39,7 +57,7 @@ def pagerank_oracle(src, dst, n, damping=0.85, tol=1e-10, max_iter=500,
     for it in range(1, max_iter + 1):
         contrib = r * inv
         sums = np.zeros(n)
-        np.add.at(sums, d, contrib[s])
+        np.add.at(sums, d, contrib[s] if w is None else contrib[s] * w)
         M = r[outdeg == 0].sum() if dangling == "redistribute" else 0.0
         if tele is None:
             a = C0 + damping * sums + damping * M / n

@@ -198,3 +198,63 @@ def test_dfp_requires_self_loops(tiny_path):
     ctx.finalize()
     with pytest.raises(ValueError, match="self-loop"):
         ctx.pagerank("dfp")
+
+
+def test_weighted_pagerank_matches_oracle(tiny_path):
+    """Multiplicity-weighted PageRank: duplicate mentions strengthen an
+    edge (contribution r_u * w_uv / W_u). Shard-side unique-key
+    aggregation is the weight reduction; matches the numpy oracle and is
+    bit-equal across all three loop modes and partition counts."""
+    src, dst, n, _ = _edge_arrays(tiny_path)
+    # raw mention log carries duplicates naturally; amplify a few
+    src = np.concatenate([src, src[:10], src[:5]])
+    dst = np.concatenate([dst, dst[:10], dst[:5]])
+    want, want_iters = pagerank_oracle(src, dst, n, weighted=True)
+    got = {}
+    for num_parts in (1, 3):
+        ctx = GraphContext(n, num_parts, weighted=True)
+        ctx.ingest_pairs(src, dst)
+        ctx.finalize()
+        res = ctx.pagerank("static")
+        got[num_parts] = ctx.assemble(res.ranks)
+        np.testing.assert_allclose(got[num_parts], want, atol=1e-9)
+        assert abs(res.iterations - want_iters) <= 1
+        assert abs(got[num_parts].sum() - 1.0) < 1e-6
+        # weighted semantics differ from unweighted on this graph
+        uw, _ = pagerank_oracle(src, dst, n)
+        assert not np.allclose(got[num_parts], uw, atol=1e-9)
+        for mode in ("p2p", "compiled"):
+            r2 = ctx.pagerank("static", mode=mode)
+            np.testing.assert_array_equal(ctx.assemble(r2.ranks), got[num_parts])
+        ctx.shutdown()
+    np.testing.assert_allclose(got[1], got[3], atol=1e-12)
+
+
+def test_weighted_personalized_composes(tiny_path):
+    """Weighted pull + personalized teleport through the same kernel."""
+    src, dst, n, _ = _edge_arrays(tiny_path)
+    src = np.concatenate([src, src[:7]])
+    dst = np.concatenate([dst, dst[:7]])
+    pers = np.zeros(n)
+    pers[:4] = 1.0
+    ctx = GraphContext(n, 2, weighted=True)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    got = ctx.assemble(ctx.pagerank("static", personalization=pers).ranks)
+    want, _ = pagerank_oracle(src, dst, n, weighted=True, personalization=pers)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+    ctx.shutdown()
+
+
+def test_weighted_graph_refuses_updates_and_hub_split(tiny_path):
+    src, dst, n, _ = _edge_arrays(tiny_path)
+    ctx = GraphContext(n, 2, weighted=True)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    empty = np.empty((2, 0), dtype=np.int64)
+    ins = np.stack([src[:2].astype(np.int64), dst[:2].astype(np.int64)])
+    with pytest.raises(Exception, match="weighted"):
+        ctx.apply_batch(empty, ins)
+    ctx.shutdown()
+    with pytest.raises(ValueError, match="weighted"):
+        GraphContext(n, 2, weighted=True, hub_split_threshold=64)

@@ -88,6 +88,27 @@ def test_graph_snapshot_roundtrip(tmp_path):
     ctx2.shutdown()
 
 
+def test_weighted_graph_snapshot_roundtrip(tmp_path):
+    """Weighted graphs snapshot their multiplicity weights: restored
+    static ranks are bit-identical and the weighted flag survives."""
+    n = 120
+    src, dst = _graph(11, n, 700)
+    src = np.concatenate([src, src[:50]])  # duplicates -> weights > 1
+    dst = np.concatenate([dst, dst[:50]])
+    ctx = GraphContext(n, 3, weighted=True)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    want = ctx.pagerank("static")
+    ctx.save_graph(str(tmp_path / "wsnap"))
+    ctx.shutdown()
+    ctx2 = GraphContext.load_graph(str(tmp_path / "wsnap"))
+    assert ctx2.weighted
+    got = ctx2.pagerank("static")
+    assert got.iterations == want.iterations
+    assert np.array_equal(ctx2.assemble(got.ranks), ctx2.assemble(want.ranks))
+    ctx2.shutdown()
+
+
 def test_partition_count_invariance():
     """Same graph, different shard counts -> identical ranks (1e-12)."""
     n = 200
