@@ -269,6 +269,23 @@ def _q_pagerank_personalized(sf_dir: str):
     return pa.table({"conv_id": pa.array(ctx.dictionary), "rank_e10": pa.array(e10)})
 
 
+HITS_ITERS = 20
+
+
+def _q_hits_scores(sf_dir: str):
+    """HITS hubs/authorities: 20 iterations from h0=1, end-normalized to
+    unit L2 (the variant a recursive CTE can replicate — per-iteration
+    renormalization only rescales, directions are identical),
+    1e10-quantized for hash comparison."""
+    ctx = _graph(sf_dir)
+    a, h = ctx.hits(iterations=HITS_ITERS, normalize="end")
+    return pa.table({
+        "conv_id": pa.array(ctx.dictionary),
+        "auth_e10": pa.array(np.round(a * 1e10).astype(np.int64)),
+        "hub_e10": pa.array(np.round(h * 1e10).astype(np.int64)),
+    })
+
+
 def _q_pagerank_weighted(sf_dir: str):
     """Multiplicity-weighted PageRank: edge weight = number of times dst
     is mentioned across src's turns (+1 structural self-loop); pull
@@ -799,6 +816,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_top20": _q_pagerank_top20,
         "pagerank_personalized": _q_pagerank_personalized,
         "pagerank_weighted": _q_pagerank_weighted,
+        "hits_scores": _q_hits_scores,
         "pagerank_dynamic": _q_pagerank_dynamic,
         "pagerank_dynamic_ranks": _q_pagerank_dynamic_ranks,
         "connected_components": _q_connected_components,
@@ -1523,6 +1541,30 @@ FROM ids i LEFT JOIN (SELECT v, count(*) AS n FROM corners GROUP BY v) c ON c.v 
         + "\nSELECT v AS conv_id, rank_e10 FROM pprr",
         "pagerank_weighted": _GRAPH_CTE + _WPR_CTE
         + "\nSELECT v AS conv_id, rank_e10 FROM wprr",
+        # HITS: h recursion steps through the co-citation operator
+        # (h_i = A Aᵀ h_{i-1} as one flat two-hop sum); authority at the
+        # final step derives from h_{K-1}; both end-normalized to unit L2
+        "hits_scores": _GRAPH_CTE + f""",
+hrec AS (
+  WITH RECURSIVE h(i, v, hv) AS (
+    SELECT 0, conv_id, CAST(1.0 AS DOUBLE) FROM ids
+    UNION ALL
+    SELECT h.i + 1, e2.src, CAST(sum(h.hv) AS DOUBLE)
+    FROM h JOIN uedges e1 ON e1.src = h.v JOIN uedges e2 ON e2.dst = e1.dst
+    WHERE h.i < {HITS_ITERS}
+    GROUP BY h.i + 1, e2.src
+  ) SELECT i, v, hv FROM h
+),
+hfin AS (SELECT v, hv FROM hrec WHERE i = {HITS_ITERS}),
+hprev AS (SELECT v, hv FROM hrec WHERE i = {HITS_ITERS} - 1),
+afin AS (SELECT e.dst AS v, sum(hp.hv) AS av
+         FROM hprev hp JOIN uedges e ON e.src = hp.v GROUP BY e.dst),
+norms AS (SELECT (SELECT sqrt(sum(av * av)) FROM afin) AS na,
+                 (SELECT sqrt(sum(hv * hv)) FROM hfin) AS nh)
+SELECT a.v AS conv_id,
+       CAST(round(a.av / (SELECT na FROM norms) * 1e10) AS BIGINT) AS auth_e10,
+       CAST(round(h.hv / (SELECT nh FROM norms) * 1e10) AS BIGINT) AS hub_e10
+FROM afin a JOIN hfin h ON h.v = a.v""",
         # the dynamic-protocol query must land on the SAME fixpoint as a
         # from-scratch power iteration over the complete edge set
         "pagerank_dynamic_ranks": _GRAPH_CTE2 + _PR_CTE

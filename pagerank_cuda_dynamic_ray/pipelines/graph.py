@@ -411,6 +411,83 @@ class GraphContext:
         self._setup_hubs()
         self._exchange(needs)
         self._sym_built = False
+        self._hits_ready = False  # transpose pull index is CSR-derived
+
+    # ------------------------------------------------------------------
+    # HITS hubs & authorities
+    # ------------------------------------------------------------------
+
+    def hits(self, iterations: int = 20, normalize: str = "iter"):
+        """HITS (Kleinberg): authority a = A^T h, hub h = A a, iterated
+        ``iterations`` times from h⁰ = 1; weighted graphs use w_uv in
+        both pulls. The authority phase rides the existing contribution
+        exchange (same packed layout, value = h); the hub phase pulls
+        through a transpose exchange built lazily on first call (and
+        invalidated by batch updates).
+
+        ``normalize``: "iter" rescales a and h to unit L2 after each
+        phase (numerically safe default); "end" normalizes only the
+        final vectors — the variant the SQL oracle replicates (a
+        recursive CTE cannot renormalize per step). Directions are
+        identical; only float magnitudes differ mid-run.
+
+        Returns (authority, hub): dense vid-indexed unit-L2 float64
+        arrays. Driver-coordinated loop only — 2P objects per phase;
+        HITS runs are short (tens of iterations) so the compiled-dag
+        treatment PageRank gets is not worth a second channel graph.
+        """
+        assert normalize in ("iter", "end"), normalize
+        assert iterations >= 1, "HITS needs at least one iteration"
+        if self.hub_split_threshold is not None:
+            raise ValueError(
+                "HITS does not support hub-split contexts: the PR hub "
+                "partial-sum tails change the packed-exchange layout"
+            )
+        shards, P = self.shards, self.P
+        if not getattr(self, "_hits_ready", False):
+            needs = ray.get([s.hits_prepare.remote() for s in shards])
+            refs = [
+                shards[q].set_t_send_index.remote([needs[p][q] for p in range(P)])
+                for q in range(P)
+            ]
+            sizes = np.array(
+                [[len(needs[p][q]) for q in range(P)] for p in range(P)], dtype=np.int64
+            )
+            cum = np.vstack([np.zeros((1, P), dtype=np.int64), np.cumsum(sizes, axis=0)])
+            refs += [
+                shards[p].set_t_gather_layout.remote(np.stack([cum[p], cum[p + 1]], axis=1))
+                for p in range(P)
+            ]
+            ray.get(refs)
+            self._hits_ready = True
+        ray.get([s.hits_init.remote() for s in shards])
+        for _ in range(int(iterations)):
+            packed_h = [s.hits_pack_h.remote() for s in shards]
+            ssq_a = ray.get([shards[p].hits_authority.remote(*packed_h) for p in range(P)])
+            if normalize == "iter":
+                na = float(np.sqrt(sum(ssq_a)))
+                if na > 0.0:
+                    ray.get([s.hits_scale.remote(1.0 / na, 1.0) for s in shards])
+            packed_a = [s.hits_pack_a.remote() for s in shards]
+            ssq_h = ray.get([shards[p].hits_hub.remote(*packed_a) for p in range(P)])
+            if normalize == "iter":
+                nh = float(np.sqrt(sum(ssq_h)))
+                if nh > 0.0:
+                    ray.get([s.hits_scale.remote(1.0, 1.0 / nh) for s in shards])
+        if normalize == "end":
+            na = float(np.sqrt(sum(ssq_a)))
+            nh = float(np.sqrt(sum(ssq_h)))
+            ray.get([
+                s.hits_scale.remote(1.0 / na if na > 0 else 1.0, 1.0 / nh if nh > 0 else 1.0)
+                for s in shards
+            ])
+        parts = ray.get([s.hits_result.remote() for s in shards])
+        a = np.zeros(self.N)
+        h = np.zeros(self.N)
+        for p, (ap, hp) in enumerate(parts):
+            a[p::P] = ap
+            h[p::P] = hp
+        return a, h
 
     # ------------------------------------------------------------------
     # affected-vertex marking

@@ -1436,6 +1436,106 @@ class GraphShard:
         )
 
     # ------------------------------------------------------------------
+    # HITS hubs & authorities
+    #
+    # authority a = A^T h (pull h of in-edge sources — the EXISTING
+    # contribution exchange, value = h instead of r/W) and hub h = A a
+    # (pull a of out-edge destinations — a TRANSPOSE exchange built
+    # lazily by hits_prepare, mirroring _rebuild's in-direction pull
+    # index over the out-CSR).
+    # ------------------------------------------------------------------
+
+    def hits_prepare(self) -> dict[int, np.ndarray]:
+        """Build the transpose pull index + sweep arrays (out-CSR edges
+        reordered by needed-destination key). Returns `needs` with the
+        same contract as ``build`` so the driver can run the same
+        send/gather layout exchange for the reverse direction."""
+        n = self.n_local
+        uniq = np.unique(self.out_dst) if self.out_dst is not None else np.empty(0, np.int64)
+        owner, local = uniq % self.P, uniq // self.P
+        order = np.lexsort((local, owner))
+        t_gather = uniq[order]
+        inv = np.empty(len(uniq), dtype=np.int64)
+        inv[order] = np.arange(len(uniq))
+        t_key = inv[np.searchsorted(uniq, self.out_dst)]
+        sweep = np.argsort(t_key, kind="stable")
+        tks = t_key[sweep].astype(np.int32)
+        self._t_rows_sweep = np.repeat(
+            np.arange(n, dtype=np.int64), np.diff(self.out_offsets)
+        )[sweep].astype(np.int32)
+        self._t_w_sweep = self.out_w[sweep] if self.out_w is not None else None
+        counts = np.bincount(t_gather % self.P, minlength=self.P)
+        gpref = np.zeros(self.P + 1, dtype=np.int64)
+        np.cumsum(counts, out=gpref[1:])
+        self._t_edge_cuts = np.searchsorted(tks, gpref)
+        self._t_key_adj = tks - np.repeat(
+            gpref[:-1], np.diff(self._t_edge_cuts)
+        ).astype(np.int32)
+        self._t_per_edge = np.empty(len(tks), dtype=np.float64)
+        return {q: (t_gather[t_gather % self.P == q] // self.P) for q in range(self.P)}
+
+    def set_t_send_index(self, send_idx: list[np.ndarray]) -> None:
+        self._t_send_cat = (
+            np.concatenate(send_idx) if send_idx else np.empty(0, dtype=np.int64)
+        )
+        self._t_send_buf = np.empty(len(self._t_send_cat), dtype=np.float64)
+
+    def set_t_gather_layout(self, layout: np.ndarray) -> None:
+        self._t_gather_layout = layout
+
+    def hits_init(self) -> None:
+        """h^0 = 1 on every vertex (standard HITS seed)."""
+        self.hits_h = np.ones(self.n_local)
+        self.hits_a = np.zeros(self.n_local)
+        # dedicated send buffer for the forward direction: _send_buf may
+        # carry hub-partial tails (PR hub splitting), which HITS neither
+        # produces nor expects
+        self._h_send_buf = np.empty(len(self.send_cat), dtype=np.float64)
+
+    def hits_pack_h(self) -> np.ndarray:
+        return np.take(self.hits_h, self.send_cat, out=self._h_send_buf)
+
+    def hits_pack_a(self) -> np.ndarray:
+        return np.take(self.hits_a, self._t_send_cat, out=self._t_send_buf)
+
+    def hits_authority(self, *packed: np.ndarray) -> float:
+        """a(v) = Σ_{u→v} w_uv · h(u) over the in-CSR sweep; returns the
+        shard's Σ a² partial for the global L2 normalization."""
+        slices = [pk[int(s):int(e)] for pk, (s, e) in zip(packed, self.gather_layout)]
+        pe, cuts, keys = self._per_edge, self._edge_cuts, self._key_adj
+        for q, sl in enumerate(slices):
+            lo, hi = cuts[q], cuts[q + 1]
+            if hi > lo:
+                np.take(sl, keys[lo:hi], out=pe[lo:hi])
+        if self._w_sweep is not None:
+            np.multiply(pe, self._w_sweep, out=pe)
+        self.hits_a = np.bincount(self.in_rows_sweep, weights=pe, minlength=self.n_local)
+        return float(np.dot(self.hits_a, self.hits_a))
+
+    def hits_hub(self, *packed: np.ndarray) -> float:
+        """h(u) = Σ_{u→v} w_uv · a(v) over the transpose sweep; returns
+        the shard's Σ h² partial."""
+        slices = [pk[int(s):int(e)] for pk, (s, e) in zip(packed, self._t_gather_layout)]
+        pe, cuts, keys = self._t_per_edge, self._t_edge_cuts, self._t_key_adj
+        for q, sl in enumerate(slices):
+            lo, hi = cuts[q], cuts[q + 1]
+            if hi > lo:
+                np.take(sl, keys[lo:hi], out=pe[lo:hi])
+        if self._t_w_sweep is not None:
+            np.multiply(pe, self._t_w_sweep, out=pe)
+        self.hits_h = np.bincount(self._t_rows_sweep, weights=pe, minlength=self.n_local)
+        return float(np.dot(self.hits_h, self.hits_h))
+
+    def hits_scale(self, fa: float, fh: float) -> None:
+        if fa != 1.0:
+            self.hits_a *= fa
+        if fh != 1.0:
+            self.hits_h *= fh
+
+    def hits_result(self) -> tuple[np.ndarray, np.ndarray]:
+        return self.hits_a, self.hits_h
+
+    # ------------------------------------------------------------------
     # incremental triangle counting (batch-delta primitives over the
     # symmetric CSR — the dynamic analogue of the tri_* family)
     # ------------------------------------------------------------------

@@ -132,3 +132,37 @@ def triangles_oracle(src, dst, n):
                     per[v] += 1
                     per[w] += 1
     return count, per
+
+
+def hits_oracle(src, dst, n, iterations=20, add_self_loops=True,
+                weighted=False, normalize="iter"):
+    """HITS reference: a = A^T h, h = A a from h0 = 1 (w_uv in both
+    pulls when weighted). Returns (authority, hub), unit-L2."""
+    if weighted:
+        s, d, w = weighted_edges(src, dst, n, add_self_loops)
+    else:
+        s, d = dedup_edges(src, dst, n, add_self_loops)
+        w = np.ones(len(s))
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(iterations):
+        a = np.zeros(n)
+        np.add.at(a, d, h[s] * w)
+        if normalize == "iter":
+            na = np.sqrt((a * a).sum())
+            if na > 0:
+                a = a / na
+        h = np.zeros(n)
+        np.add.at(h, s, a[d] * w)
+        if normalize == "iter":
+            nh = np.sqrt((h * h).sum())
+            if nh > 0:
+                h = h / nh
+    if normalize == "end":
+        na = np.sqrt((a * a).sum())
+        nh = np.sqrt((h * h).sum())
+        if na > 0:
+            a = a / na
+        if nh > 0:
+            h = h / nh
+    return a, h

@@ -195,3 +195,57 @@ def test_triangles_incremental_equals_recount(num_parts):
         want, _ = triangles_oracle(np.concatenate(all_src), np.concatenate(all_dst), n)
         assert total == want, (round_, total, want)
     ctx.shutdown()
+
+
+@pytest.mark.parametrize("num_parts", [1, 3])
+def test_hits_matches_oracle(num_parts):
+    """HITS hubs/authorities vs the numpy oracle; transpose-exchange
+    pull must survive a batch update (index rebuilt lazily)."""
+    from .oracle import hits_oracle
+
+    n = 50
+    src, dst = _graph(21, n, 160)
+    ctx = GraphContext(n, num_parts)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    a, h = ctx.hits(iterations=20)
+    wa, wh = hits_oracle(src, dst, n, iterations=20)
+    np.testing.assert_allclose(a, wa, atol=1e-9)
+    np.testing.assert_allclose(h, wh, atol=1e-9)
+    assert abs((a * a).sum() - 1.0) < 1e-9 and abs((h * h).sum() - 1.0) < 1e-9
+    # end-normalized variant points the same direction
+    a2, h2 = ctx.hits(iterations=20, normalize="end")
+    np.testing.assert_allclose(a2, wa, atol=1e-7)
+    np.testing.assert_allclose(h2, wh, atol=1e-7)
+    # batch update invalidates the transpose index; rerun must match a
+    # fresh oracle over the updated edge set
+    empty = np.empty((2, 0), dtype=np.int64)
+    rng = np.random.RandomState(5)
+    ins = np.stack([rng.randint(0, n, 6), rng.randint(0, n, 6)]).astype(np.int64)
+    _, ins_t = ctx.tidy_batch(empty, ins)
+    ctx.apply_batch(empty, ins_t)
+    a3, h3 = ctx.hits(iterations=20)
+    wa3, wh3 = hits_oracle(np.concatenate([src, ins[0]]), np.concatenate([dst, ins[1]]), n, iterations=20)
+    np.testing.assert_allclose(a3, wa3, atol=1e-9)
+    np.testing.assert_allclose(h3, wh3, atol=1e-9)
+    ctx.shutdown()
+
+
+def test_hits_weighted():
+    from .oracle import hits_oracle
+
+    n = 30
+    src, dst = _graph(8, n, 90)
+    src = np.concatenate([src, src[:30]])
+    dst = np.concatenate([dst, dst[:30]])
+    ctx = GraphContext(n, 2, weighted=True)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    a, h = ctx.hits(iterations=15)
+    wa, wh = hits_oracle(src, dst, n, iterations=15, weighted=True)
+    np.testing.assert_allclose(a, wa, atol=1e-9)
+    np.testing.assert_allclose(h, wh, atol=1e-9)
+    # weights change the answer
+    ua, _ = hits_oracle(src, dst, n, iterations=15)
+    assert not np.allclose(a, ua, atol=1e-9)
+    ctx.shutdown()
