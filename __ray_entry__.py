@@ -408,6 +408,16 @@ def _q_connected_components(sf_dir: str):
     return _vid_to_conv(ctx, ds, "component", "component_id")
 
 
+def _q_core_numbers(sf_dir: str):
+    """k-core decomposition (core number per vertex) of the undirected
+    view — distributed parallel peel; bulk simultaneous removal gives
+    the same schedule-invariant core numbers as the sequential
+    Batagelj-Zaversnik peel, which the SQL oracle replays as a
+    recursive windowed edge-filter."""
+    ctx = _graph(sf_dir)
+    return A.core_numbers(ctx).select_columns(["conv_id", "core"])
+
+
 def _q_cc_incremental(sf_dir: str):
     """Incremental CC hash-verified: cold CC on the base 80% of the
     ordered log, then each insertion batch applied and the components
@@ -820,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_dynamic": _q_pagerank_dynamic,
         "pagerank_dynamic_ranks": _q_pagerank_dynamic_ranks,
         "connected_components": _q_connected_components,
+        "core_numbers": _q_core_numbers,
         "cc_incremental": _q_cc_incremental,
         "label_propagation": _q_label_propagation,
         "bfs_distances": _q_bfs_distances,
@@ -1585,6 +1596,36 @@ ccr AS (
   ) SELECT v, lab FROM cc WHERE i = {CC_ORACLE_ITERS}
 )
 SELECT v AS conv_id, lab AS component_id FROM ccr""",
+        # sequential Batagelj-Zaversnik peel replayed as a recursive
+        # windowed edge filter: each step computes per-endpoint degrees
+        # with window functions (one reference to the recursive CTE),
+        # lifts the watermark to the current min degree, and drops every
+        # edge touching a peeled vertex; a vertex's core = the watermark
+        # at the step after its last appearance = greatest(k, min-deg)
+        # of its last step. Terminates naturally (every step removes at
+        # least the min-degree vertex). Isolated vertices core 0.
+        "core_numbers": _GRAPH_CTE2 + """,
+peel AS (
+  WITH RECURSIVE pl(i, k, a, b) AS (
+    SELECT 0, 0, a, b FROM nbr
+    UNION ALL
+    SELECT i + 1, newk, a, b FROM (
+      SELECT i, a, b, sd, dd, greatest(k, min(sd) OVER ()) AS newk
+      FROM (SELECT i, k, a, b,
+                   count(*) OVER (PARTITION BY a) AS sd,
+                   count(*) OVER (PARTITION BY b) AS dd
+            FROM pl)
+    ) WHERE sd > newk AND dd > newk
+  ) SELECT i, k, a FROM pl
+),
+istat AS (SELECT i, max(k) AS k, min(d) AS mind FROM
+            (SELECT i, k, a, count(*) AS d FROM peel GROUP BY i, k, a)
+          GROUP BY i),
+vlast AS (SELECT a AS v, max(i) AS li FROM peel GROUP BY a),
+corev AS (SELECT l.v, greatest(s.k, s.mind) AS core
+          FROM vlast l JOIN istat s ON s.i = l.li)
+SELECT i.conv_id, CAST(coalesce(c.core, 0) AS BIGINT) AS core
+FROM ids i LEFT JOIN corev c ON c.v = i.conv_id""",
         # warm restarts must land on the same full-graph components
         "cc_incremental": _GRAPH_CTE2 + f""",
 ccr AS (

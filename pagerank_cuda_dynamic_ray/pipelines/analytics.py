@@ -399,6 +399,40 @@ def bfs_distances(ctx: GraphContext, source_vid: int, max_rounds: int = 100_000,
     return _with_conv(ctx, tables)
 
 
+def core_numbers(ctx: GraphContext) -> rd.Dataset:
+    """k-core decomposition of the undirected view by parallel peeling:
+    watermark k = max(k, global min alive degree); every alive vertex
+    with deg <= k is removed at core number k, decrements cascade at the
+    same watermark until stable, then the watermark advances. Bulk
+    simultaneous removal yields the same (schedule-invariant) core
+    numbers as the sequential min-degree peel. Isolated vertices get
+    core 0. Driver-coordinated rounds (one emit + one apply exchange per
+    cascade wave — round count is the peel depth, tens not thousands, so
+    the in-pool p2p loop that PageRank/CC use is not worth a third
+    collective here). Returns Dataset(vid, core[, conv_id])."""
+    _ensure_symmetric(ctx)
+    P, shards = ctx.P, ctx.shards
+    ray.get([s.core_init.remote() for s in shards])
+    k = 0
+    while True:
+        mins = [m for m in ray.get([s.core_min_alive_deg.remote() for s in shards]) if m >= 0]
+        if not mins:
+            break
+        k = max(k, min(mins))
+        frontier = ray.get([s.core_peel.remote(k) for s in shards])
+        while any(f.size for f in frontier):
+            refs = [
+                shards[p].core_emit.options(num_returns=P + 1).remote(frontier[p])
+                for p in range(P)
+            ]
+            frontier = ray.get([
+                shards[p].core_apply.remote(k, *[refs[q][1 + p] for q in range(P)])
+                for p in range(P)
+            ])
+    tables = ray.get([s.core_table.remote() for s in shards])
+    return _with_conv(ctx, tables)
+
+
 def modularity(ctx: GraphContext, labels: rd.Dataset | None = None) -> float:
     """Modularity Q of the current shard labels (run connected_components
     or label_propagation first; or pass a (vid,label) Dataset to install).

@@ -1255,6 +1255,70 @@ class GraphShard:
     def dist_table(self) -> pa.Table:
         return pa.table({"vid": pa.array(self.owned_vids()), "distance": pa.array(self.dist)})
 
+    # --- k-core decomposition (parallel peel over the symmetric CSR;
+    # same frontier-exchange shape as BFS but decrements carry
+    # multiplicity: each removed vertex costs every alive neighbor one
+    # degree unit) ---
+
+    def core_init(self) -> None:
+        """deg = undirected degree, everyone alive, core = 0."""
+        n = self.n_local
+        self._core_deg = (
+            np.diff(self.sym_offsets).astype(np.int64)
+            if self.sym_offsets is not None and n
+            else np.zeros(n, dtype=np.int64)
+        )
+        self._core_alive = np.ones(n, dtype=bool)
+        self._core = np.zeros(n, dtype=np.int64)
+
+    def core_min_alive_deg(self) -> int:
+        """Shard's min degree among alive vertices (-1 = none alive)."""
+        d = self._core_deg[self._core_alive]
+        return int(d.min()) if d.size else -1
+
+    def core_peel(self, k: int) -> np.ndarray:
+        """Remove every alive vertex with deg <= k at core number k;
+        returns the removed local rows (the decrement frontier)."""
+        fr = np.flatnonzero(self._core_alive & (self._core_deg <= k))
+        self._core[fr] = k
+        self._core_alive[fr] = False
+        return fr
+
+    def core_emit(self, fr: np.ndarray):
+        """Decrement counts per owner for the removed frontier's
+        undirected neighbors: (total, (2,m) [dst_local, count] per owner).
+        Counts pre-combined per destination (the combiner before the
+        exchange — many removals sharing a neighbor ship one row)."""
+        out: list[np.ndarray] = [np.empty((2, 0), dtype=np.int64) for _ in range(self.P)]
+        if fr.size and self.sym_adj is not None and self.sym_adj.size:
+            edge_idx, _ = K.gather_subset_edges(self.sym_offsets, fr)
+            dsts = self.sym_adj[edge_idx]
+            if dsts.size:
+                uniq, counts = np.unique(dsts, return_counts=True)
+                order, cuts = K.owner_split(uniq, self.P)
+                u, c = uniq[order], counts[order]
+                out = [
+                    np.stack([u[cuts[q]:cuts[q + 1]] // self.P, c[cuts[q]:cuts[q + 1]]])
+                    for q in range(self.P)
+                ]
+        return (sum(o.shape[1] for o in out), *out)
+
+    def core_apply(self, k: int, *pair_arrays: np.ndarray) -> np.ndarray:
+        """Apply incoming decrements (dead rows absorb them harmlessly —
+        their degree is never read again) and peel the next cascade wave
+        at the same watermark k. Returns the new frontier."""
+        ds = [p[0] for p in pair_arrays if p is not None and p.shape[1]]
+        if ds:
+            d = np.concatenate(ds)
+            c = np.concatenate([p[1] for p in pair_arrays if p is not None and p.shape[1]])
+            self._core_deg -= np.bincount(
+                d, weights=c, minlength=self.n_local
+            ).astype(np.int64)
+        return self.core_peel(k)
+
+    def core_table(self) -> pa.Table:
+        return pa.table({"vid": pa.array(self.owned_vids()), "core": pa.array(self._core)})
+
     # --- modularity (properties.hxx:123-256 grouped sums, distributed) ---
 
     def mod_needed_neighbors(self):

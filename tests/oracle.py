@@ -166,3 +166,32 @@ def hits_oracle(src, dst, n, iterations=20, add_self_loops=True,
         if nh > 0:
             h = h / nh
     return a, h
+
+
+def core_oracle(src, dst, n):
+    """Core number per vertex: sequential min-degree peel over the
+    undirected deduped self-loop-free view (textbook Batagelj-Zaversnik)."""
+    adj = [set() for _ in range(n)]
+    for u, v in zip(src, dst):
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    deg = np.array([len(s) for s in adj], dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+    core = np.zeros(n, dtype=np.int64)
+    k = 0
+    remaining = n
+    while remaining:
+        k = max(k, int(deg[alive].min()))
+        while True:
+            fr = np.flatnonzero(alive & (deg <= k))
+            if not fr.size:
+                break
+            for v in fr:
+                core[v] = k
+                alive[v] = False
+                remaining -= 1
+                for w in adj[v]:
+                    if alive[w]:
+                        deg[w] -= 1
+    return core

@@ -249,3 +249,50 @@ def test_hits_weighted():
     ua, _ = hits_oracle(src, dst, n, iterations=15)
     assert not np.allclose(a, ua, atol=1e-9)
     ctx.shutdown()
+
+
+@pytest.mark.parametrize("num_parts", [1, 3])
+def test_core_numbers_matches_oracle(num_parts):
+    """Distributed parallel peel vs the sequential Batagelj-Zaversnik
+    oracle (core numbers are a schedule-invariant graph invariant, so
+    both must agree exactly); survives a batch update."""
+    from .oracle import core_oracle
+
+    n = 70
+    src, dst = _graph(33, n, 260)  # dense enough for cores >= 3
+    ctx = GraphContext(n, num_parts)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    got = analytics.core_numbers(ctx).to_pandas().sort_values("vid")["core"].to_numpy()
+    want = core_oracle(src, dst, n)
+    np.testing.assert_array_equal(got, want)
+    assert want.max() >= 3  # exercise watermark jumps, not just the 0/1 fringe
+    # batch update invalidates the symmetric view; rerun matches a fresh oracle
+    empty = np.empty((2, 0), dtype=np.int64)
+    rng = np.random.RandomState(7)
+    ins = np.stack([rng.randint(0, n, 20), rng.randint(0, n, 20)]).astype(np.int64)
+    _, ins_t = ctx.tidy_batch(empty, ins)
+    ctx.apply_batch(empty, ins_t)
+    got2 = analytics.core_numbers(ctx).to_pandas().sort_values("vid")["core"].to_numpy()
+    want2 = core_oracle(np.concatenate([src, ins[0]]), np.concatenate([dst, ins[1]]), n)
+    np.testing.assert_array_equal(got2, want2)
+    ctx.shutdown()
+
+
+def test_core_numbers_isolated_and_ring():
+    """Structured shapes: isolated vertices core 0, a pure ring core 2,
+    a pendant path core 1."""
+    from .oracle import core_oracle
+
+    # ring 0..9, path 10-11-12 hanging off vertex 0, isolated 13..15
+    ring = np.arange(10)
+    src = np.concatenate([ring, [0, 10, 11]]).astype(np.int64)
+    dst = np.concatenate([(ring + 1) % 10, [10, 11, 12]]).astype(np.int64)
+    n = 16
+    ctx = GraphContext(n, 2)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    got = analytics.core_numbers(ctx).to_pandas().sort_values("vid")["core"].to_numpy()
+    np.testing.assert_array_equal(got, core_oracle(src, dst, n))
+    assert list(got[13:]) == [0, 0, 0] and got[12] == 1 and got[5] == 2
+    ctx.shutdown()
