@@ -34,6 +34,7 @@ from pagerank_cuda_dynamic_ray.sources import edges as E
 from pagerank_cuda_dynamic_ray.sources import transcripts as T
 from pagerank_cuda_dynamic_ray.stages import dedup as D
 from pagerank_cuda_dynamic_ray.stages import multimodal as MM
+from pagerank_cuda_dynamic_ray.stages import sampling as SP
 from pagerank_cuda_dynamic_ray.stages import similarity as S
 from pagerank_cuda_dynamic_ray.stages import temporal as TP
 from pagerank_cuda_dynamic_ray.stages import text_stage as TS
@@ -710,6 +711,38 @@ def _q_doc_fingerprint(sf_dir: str):
     return _analyzed_docs(sf_dir, True).select_columns(["doc_id", "fingerprint"])
 
 
+# deterministic sampling family (stages/sampling.py): every operator
+# keys on splitmix64(doc_id + seed*2^60), so the SQL oracle replays the
+# exact membership through the emulated splitmix chain
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+STRAT_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25}
+STRAT_DEFAULT = 0.1
+PER_KEY_K = 50
+VOCAB_TOP = 100
+
+
+def _q_hash_split(sf_dir: str):
+    docs = _tbl(sf_dir, "documents", columns=["doc_id"])
+    return SP.hash_split(docs, SPLIT_WEIGHTS, seed=0).select_columns(["doc_id", "split"])
+
+
+def _q_stratified_sample(sf_dir: str):
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "lang"])
+    return SP.stratified_sample(
+        docs, STRAT_RATES, seed=1, default_rate=STRAT_DEFAULT
+    ).select_columns(["doc_id", "lang"])
+
+
+def _q_sample_per_key(sf_dir: str):
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "lang"])
+    return SP.sample_per_key(docs, PER_KEY_K, seed=2).select_columns(["doc_id", "lang"])
+
+
+def _q_vocabulary(sf_dir: str):
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return SP.vocabulary(docs, top_n=VOCAB_TOP)
+
+
 def _q_minhash_dedup(sf_dir: str):
     return D.minhash_dedup(_tbl(sf_dir, "documents", ["doc_id", "text"]), threshold=0.7)
 
@@ -854,6 +887,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang": _q_doc_lang,
         "doc_quality": _q_doc_quality,
         "doc_fingerprint": _q_doc_fingerprint,
+        "hash_split": _q_hash_split,
+        "stratified_sample": _q_stratified_sample,
+        "sample_per_key": _q_sample_per_key,
+        "vocabulary": _q_vocabulary,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_dedup": _q_simhash_dedup,
@@ -1041,6 +1078,56 @@ WITH wins AS (
 ),
 mk AS (SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rk FROM wins)
 SELECT doc_id, CAST(sum(h) AS BIGINT) AS fingerprint FROM mk WHERE rk <= 4 GROUP BY doc_id"""
+
+
+def _sm_threshold(rate: float) -> int:
+    """rate -> integer hash threshold; the EXACT clamp formula of
+    stages/sampling.py (Python-int domain — float 2^64-1 == 2^64)."""
+    return min(int(round(max(0.0, min(1.0, rate)) * 2.0**64)), 2**64 - 1)
+
+
+def _sql_doc_hash(seed: int, cols: str) -> str:
+    """Subquery computing h = splitmix64(doc_id + seed*2^60 mod 2^64)
+    over the documents table — the sampling family's row hash."""
+    off = (seed << 60) % (1 << 64)
+    return _sm64(
+        f"(SELECT {cols} FROM documents)",
+        f"(CAST(doc_id AS HUGEINT) + {off}) % {_T64}",
+        "h",
+    )
+
+
+def _sql_hash_split() -> str:
+    total = float(sum(SPLIT_WEIGHTS.values()))
+    names = list(SPLIT_WEIGHTS)
+    edges = np.cumsum([SPLIT_WEIGHTS[k] / total for k in names])
+    whens = " ".join(
+        f"WHEN h < CAST('{_sm_threshold(float(e))}' AS UBIGINT) THEN '{nm}'"
+        for nm, e in zip(names[:-1], edges[:-1])
+    )
+    return (
+        f"SELECT doc_id, CASE {whens} ELSE '{names[-1]}' END AS split\n"
+        f"FROM {_sql_doc_hash(0, 'doc_id')}"
+    )
+
+
+def _sql_stratified_sample() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN CAST('{_sm_threshold(r)}' AS UBIGINT)"
+        for k, r in STRAT_RATES.items()
+    )
+    return (
+        f"SELECT doc_id, lang FROM {_sql_doc_hash(1, 'doc_id, lang')}\n"
+        f"WHERE h < CASE lang {whens} "
+        f"ELSE CAST('{_sm_threshold(STRAT_DEFAULT)}' AS UBIGINT) END"
+    )
+
+
+def _sql_sample_per_key() -> str:
+    return (
+        f"SELECT doc_id, lang FROM {_sql_doc_hash(2, 'doc_id, lang')}\n"
+        f"QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= {PER_KEY_K}"
+    )
 
 
 def _sql_simhash_dedup() -> str:
@@ -1669,6 +1756,13 @@ FROM terms""",
         "minhash_dedup": _sql_minhash_dedup(),
         "ngram_jaccard": _sql_ngram_jaccard(),
         "doc_fingerprint": _sql_fingerprint(),
+        "hash_split": _sql_hash_split(),
+        "stratified_sample": _sql_stratified_sample(),
+        "sample_per_key": _sql_sample_per_key(),
+        "vocabulary": f"""
+SELECT t AS token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents)
+GROUP BY t ORDER BY n DESC, t LIMIT {VOCAB_TOP}""",
         "simhash_dedup": _sql_simhash_dedup(),
         "multimodal_decode": _sql_multimodal_decode(),
         "frame_sample": _sql_frame_sample(),

@@ -1,0 +1,166 @@
+"""Deterministic sampling / splitting stages for training-data curation.
+
+Every operator keys its randomness on ``splitmix64(id + seed·2^60)`` —
+a pure function of the row, so results are independent of partitioning,
+block order and cluster size, and a DuckDB oracle can replay them
+exactly (the engine's seed-offset convention: additive 2^60 stream
+offsets keep distinct seeds in distinct splitmix streams).
+
+All stages are stateless ``map_batches`` transforms over pyarrow
+batches (zero-copy from the object store); the only shuffle in the
+family is ``sample_per_key``'s per-key merge, whose input is already
+combiner-reduced to <= k rows per (key, block).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.hashing import splitmix64
+
+_SEED_STRIDE = np.uint64(1) << np.uint64(60)
+_TWO64 = float(2**64)
+
+
+def _row_hash(ids: np.ndarray, seed: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return splitmix64(
+            ids.astype(np.uint64) + np.uint64(seed) * _SEED_STRIDE
+        )
+
+
+def hash_split(
+    ds: rd.Dataset,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> rd.Dataset:
+    """Add a ``split`` column assigning each row to a named fraction
+    (e.g. train/val/test) by hash threshold: row r lands in the bucket
+    whose cumulative-weight interval contains splitmix64(r.id)/2^64.
+    Deterministic per row — re-runs, re-partitions and late-arriving
+    shards all agree, which is what makes the split safe to recompute
+    instead of persist at 100 TB."""
+    total = float(sum(weights.values()))
+    names = list(weights)
+    # integer thresholds: cum_i * 2^64, clamped to the uint64 domain in
+    # PYTHON ints — float(2^64) - 1 == 2^64, so a float-domain clamp
+    # would overflow the uint64 cast for the last bucket
+    edges = np.cumsum([weights[k] / total for k in names])
+    thresholds = np.array(
+        [min(int(round(float(e) * _TWO64)), 2**64 - 1) for e in edges], dtype=np.uint64
+    )
+    names_arr = np.asarray(names, dtype=object)
+
+    def assign(t: pa.Table) -> pa.Table:
+        h = _row_hash(t[id_col].to_numpy(), seed)
+        idx = np.searchsorted(thresholds, h, side="right")
+        # h == max threshold lands in the last bucket
+        idx = np.minimum(idx, len(names_arr) - 1)
+        return t.append_column("split", pa.array(names_arr[idx], type=pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: rd.Dataset,
+    rates: dict[str, float],
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 1,
+    default_rate: float = 0.0,
+) -> rd.Dataset:
+    """Per-stratum Bernoulli sampling at exact deterministic rates:
+    keep row r of stratum s iff splitmix64(r.id) < rates[s]·2^64.
+    A pure filter — no shuffle, no state; rebalancing a skewed corpus
+    (e.g. downsample the dominant language) costs one streaming pass."""
+    def _thr(rate: float) -> int:
+        # clamp in PYTHON ints (float 2^64 - 1 == 2^64 would overflow)
+        return min(int(round(max(0.0, min(1.0, rate)) * _TWO64)), 2**64 - 1)
+
+    keys = np.asarray(list(rates), dtype=object)
+    thr = np.array([_thr(rates[k]) for k in keys], dtype=np.uint64)
+    dflt = np.uint64(_thr(default_rate))
+    order = np.argsort(keys)
+    keys_sorted, thr_sorted = keys[order], thr[order]
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = _row_hash(t[id_col].to_numpy(), seed)
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(object)
+        pos = np.searchsorted(keys_sorted, k)
+        pos = np.minimum(pos, len(keys_sorted) - 1)
+        known = keys_sorted[pos] == k
+        row_thr = np.where(known, thr_sorted[pos], dflt)
+        return t.filter(pa.array(h < row_thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _topk_by_hash(t: pa.Table, key_col: str, k: int, h: np.ndarray,
+                  ids: np.ndarray) -> pa.Table:
+    """Rows with the k smallest (hash, id) per key value — one lexsort,
+    no per-key Python loop. Ties break by id, never by block position,
+    so the result is partitioning-invariant."""
+    keyv = t[key_col].to_numpy(zero_copy_only=False)
+    codes, inv = np.unique(keyv.astype(object), return_inverse=True)
+    order = np.lexsort((ids, h, inv))
+    seg_starts = np.searchsorted(inv[order], np.arange(len(codes)))
+    rank = np.arange(len(order)) - np.repeat(seg_starts, np.diff(np.append(seg_starts, len(order))))
+    return t.take(pa.array(np.sort(order[rank < k])))
+
+
+def sample_per_key(
+    ds: rd.Dataset,
+    k: int,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 2,
+) -> rd.Dataset:
+    """Uniform-without-replacement sample of exactly min(k, |stratum|)
+    rows per key: the k smallest splitmix64(id) per key (a deterministic
+    reservoir). Two phases: a per-block partial top-k combiner (<= k
+    rows per (key, block) ever leave a block), then a per-key merge —
+    the shuffle moves O(keys · k · blocks), never the corpus."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        return _topk_by_hash(t, key_col, k, _row_hash(ids, seed), ids)
+
+    merge = partial
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def vocabulary(
+    ds: rd.Dataset,
+    top_n: int = 100,
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Global top-N whitespace tokens by frequency (ties broken by token
+    ascending). Per-block partial counts (np.unique — the combiner: a
+    block ships its distinct tokens, not its token stream) -> small
+    groupby sum -> global sort + limit. Returns Dataset(token, n)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = pd.Series(t[text_col].to_pandas()).fillna("")
+        flat = texts.str.findall(r"\S+").explode().dropna()
+        if not len(flat):
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        tok, cnt = np.unique(flat.to_numpy(), return_counts=True)
+        return pa.table({"token": pa.array(tok), "n": pa.array(cnt.astype(np.int64))})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("n")
+        .rename_columns({"sum(n)": "n"})
+    )
+    return counts.sort(["n", "token"], descending=[True, False]).limit(top_n)

@@ -1,0 +1,101 @@
+"""Deterministic sampling stages: hash split, stratified rates, per-key
+reservoir, vocabulary — partitioning-invariance is the core contract."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from pagerank_cuda_dynamic_ray.functions.hashing import splitmix64
+from pagerank_cuda_dynamic_ray.stages import sampling
+
+
+def _docs(n=3000, seed=4):
+    rng = np.random.RandomState(seed)
+    langs = np.array(["en", "de", "fr", "es"])[rng.randint(0, 4, n)]
+    words = np.array(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"])
+    texts = [" ".join(words[rng.randint(0, 6, rng.randint(1, 12))]) for _ in range(n)]
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": texts,
+        "lang": langs,
+    })
+
+
+def _h(ids, seed):
+    with np.errstate(over="ignore"):
+        return splitmix64(ids.astype(np.uint64) + np.uint64(seed) * (np.uint64(1) << np.uint64(60)))
+
+
+def test_hash_split_deterministic_and_proportional():
+    df = _docs()
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = sampling.hash_split(rd.from_pandas(df), w, seed=0).to_pandas()
+    assert len(out) == len(df)
+    frac = out["split"].value_counts(normalize=True)
+    for k, v in w.items():
+        assert abs(frac.get(k, 0.0) - v) < 0.03, (k, frac.get(k, 0.0))
+    # partitioning-invariant: same assignment at any block size
+    out9 = sampling.hash_split(rd.from_pandas(df).repartition(9), w, seed=0).to_pandas()
+    merged = out.merge(out9, on="doc_id", suffixes=("", "_9"))
+    assert (merged["split"] == merged["split_9"]).all()
+    # exact formula: split boundary = cumulative threshold on splitmix64
+    h = _h(df["doc_id"].to_numpy(), 0)
+    want = np.where(h < np.uint64(round(0.8 * 2**64)), "train",
+                    np.where(h < np.uint64(round(0.9 * 2**64)), "val", "test"))
+    got = out.sort_values("doc_id")["split"].to_numpy()
+    assert (got == want).all()
+
+
+def test_stratified_sample_rates_and_determinism():
+    df = _docs()
+    rates = {"en": 1.0, "de": 0.5, "fr": 0.0}
+    out = sampling.stratified_sample(
+        rd.from_pandas(df), rates, seed=1, default_rate=0.25
+    ).to_pandas()
+    by = out["lang"].value_counts()
+    n_by = df["lang"].value_counts()
+    assert by.get("en", 0) == n_by["en"]          # rate 1.0 keeps everything
+    assert by.get("fr", 0) == 0                   # rate 0.0 drops everything
+    assert abs(by.get("de", 0) / n_by["de"] - 0.5) < 0.08
+    assert abs(by.get("es", 0) / n_by["es"] - 0.25) < 0.08  # default rate
+    # exact membership: hash threshold per row
+    h = _h(df["doc_id"].to_numpy(), 1)
+    thr = {"en": 2**64 - 1, "de": round(0.5 * 2**64), "fr": 0, "es": round(0.25 * 2**64)}
+    want = {int(i) for i, lang, hv in zip(df["doc_id"], df["lang"], h)
+            if hv < np.uint64(thr[lang])}
+    assert set(out["doc_id"]) == want
+
+
+def test_sample_per_key_is_global_topk_and_partition_invariant():
+    df = _docs()
+    k = 25
+    for parts in (1, 7):
+        out = sampling.sample_per_key(
+            rd.from_pandas(df).repartition(parts), k, seed=2
+        ).to_pandas()
+        h = _h(df["doc_id"].to_numpy(), 2)
+        want_ids = []
+        for lang, grp in pd.DataFrame({"lang": df["lang"], "doc_id": df["doc_id"], "h": h}).groupby("lang"):
+            want_ids += grp.sort_values(["h", "doc_id"]).head(k)["doc_id"].tolist()
+        assert sorted(out["doc_id"]) == sorted(want_ids), parts
+        assert (out["lang"].value_counts() == k).all()
+
+
+def test_sample_per_key_small_stratum_returns_all():
+    df = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "lang": ["en"] * 8 + ["de"] * 2,
+    })
+    out = sampling.sample_per_key(rd.from_pandas(df), 5, seed=2).to_pandas()
+    assert out["lang"].value_counts().to_dict() == {"en": 5, "de": 2}
+
+
+def test_vocabulary_counts_and_ties():
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["a b b c", "b c   c", None, "d a"],
+    })
+    out = sampling.vocabulary(rd.from_pandas(df).repartition(3), top_n=3).to_pandas()
+    # counts: b=3, c=3, a=2, d=1; ties by token asc -> b before c
+    assert list(out["token"]) == ["b", "c", "a"]
+    assert list(out["n"]) == [3, 3, 2]
