@@ -743,6 +743,17 @@ def _q_vocabulary(sf_dir: str):
     return SP.vocabulary(docs, top_n=VOCAB_TOP)
 
 
+TFIDF_K = 5
+
+
+def _q_tfidf_top_terms(sf_dir: str):
+    """Top-5 tf·idf terms per document: explode -> df combiner groupby
+    -> hash join on token -> per-doc top-k; scores 1e6-quantized so the
+    selection and ordering are integer-exact vs the SQL oracle."""
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return SP.tfidf_top_terms(docs, k=TFIDF_K)
+
+
 def _q_minhash_dedup(sf_dir: str):
     return D.minhash_dedup(_tbl(sf_dir, "documents", ["doc_id", "text"]), threshold=0.7)
 
@@ -891,6 +902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "sample_per_key": _q_sample_per_key,
         "vocabulary": _q_vocabulary,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_dedup": _q_simhash_dedup,
@@ -1763,6 +1775,18 @@ FROM terms""",
 SELECT t AS token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents)
 GROUP BY t ORDER BY n DESC, t LIMIT {VOCAB_TOP}""",
+        "tfidf_top_terms": f"""
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token),
+dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT doc_id, token,
+       CAST(round(tf * ln((SELECT n FROM nn) / df) * 1e6) AS BIGINT) AS tfidf_e6
+FROM tf JOIN dft USING (token)
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id
+  ORDER BY CAST(round(tf * ln((SELECT n FROM nn) / df) * 1e6) AS BIGINT) DESC, token
+) <= {TFIDF_K}""",
         "simhash_dedup": _sql_simhash_dedup(),
         "multimodal_decode": _sql_multimodal_decode(),
         "frame_sample": _sql_frame_sample(),

@@ -164,3 +164,84 @@ def vocabulary(
         .rename_columns({"sum(n)": "n"})
     )
     return counts.sort(["n", "token"], descending=[True, False]).limit(top_n)
+
+
+def tfidf_top_terms(
+    ds: rd.Dataset,
+    k: int = 5,
+    n_docs: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Top-k whitespace terms per document by tf·idf, idf = ln(N/df).
+
+    Shape: explode to (doc, token, tf) -> per-block df partials + small
+    groupby (the document-frequency side — ships distinct tokens, not
+    the token stream) -> distributed hash join back on token -> per-doc
+    top-k (groupby doc_id, one lexsort per group batch). The exploded
+    stream is recomputed for the join rather than cached: at corpus
+    scale a cheap second tokenize pass beats pinning the exploded
+    corpus in the object store.
+
+    Scores are quantized to round(tf·ln(N/df)·1e6) int64 so results are
+    exactly comparable (and hash-verifiable) across engines; ties break
+    by token ascending. Returns Dataset(doc_id, token, tfidf_e6)."""
+    import pandas as pd
+
+    if n_docs is None:
+        n_docs = ds.count()
+    n_f = float(n_docs)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        texts = pd.Series(t[text_col].to_pandas()).fillna("")
+        toks = texts.str.findall(r"\S+")
+        lens = toks.str.len().to_numpy().astype(np.int64)
+        if not lens.sum():
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "token": pa.array([], type=pa.string()),
+                             "tf": pa.array([], type=pa.int64())})
+        grp = (
+            pd.DataFrame({id_col: np.repeat(ids, lens),
+                          "token": toks.explode().dropna().to_numpy()})
+            .groupby([id_col, "token"], sort=True).size().reset_index(name="tf")
+        )
+        return pa.table({id_col: pa.array(grp[id_col].to_numpy()),
+                         "token": pa.array(grp["token"].to_numpy(dtype=object)),
+                         "tf": pa.array(grp["tf"].to_numpy(dtype=np.int64))})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    # document frequency: each (doc, token) row is globally unique (a doc
+    # lives in exactly one batch), so df = row count per token
+    def df_partial(t: pa.Table) -> pa.Table:
+        tok, cnt = np.unique(t["token"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"token": pa.array(tok, type=pa.string()),
+                         "df": pa.array(cnt.astype(np.int64))})
+
+    dft = (
+        exploded.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .sum("df")
+        .rename_columns({"sum(df)": "df"})
+    )
+
+    joined = exploded.join(
+        dft, "inner", num_partitions, on=("token",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy().astype(np.float64)
+        df = t["df"].to_numpy().astype(np.float64)
+        score = np.round(tf * np.log(n_f / df) * 1e6).astype(np.int64)
+        toks = t["token"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((toks, -score))[:k]
+        return pa.table({
+            id_col: t[id_col].take(pa.array(order)),
+            "token": t["token"].take(pa.array(order)),
+            "tfidf_e6": pa.array(score[order]),
+        })
+
+    return joined.groupby(id_col).map_groups(topk, batch_format="pyarrow")

@@ -99,3 +99,46 @@ def test_vocabulary_counts_and_ties():
     # counts: b=3, c=3, a=2, d=1; ties by token asc -> b before c
     assert list(out["token"]) == ["b", "c", "a"]
     assert list(out["n"]) == [3, 3, 2]
+
+
+def test_tfidf_top_terms_matches_pandas_oracle():
+    df = _docs(400, seed=11)
+    for parts in (1, 5):
+        out = sampling.tfidf_top_terms(
+            rd.from_pandas(df).repartition(parts), k=3
+        ).to_pandas().sort_values(["doc_id", "tfidf_e6", "token"],
+                                  ascending=[True, False, True]).reset_index(drop=True)
+        # oracle: exact same quantized formula in pandas
+        rows = []
+        n = len(df)
+        tok = df.set_index("doc_id")["text"].str.findall(r"\S+")
+        tf = (
+            pd.DataFrame({"doc_id": np.repeat(tok.index, tok.str.len()),
+                          "token": tok.explode().dropna().to_numpy()})
+            .groupby(["doc_id", "token"]).size().reset_index(name="tf")
+        )
+        dft = tf.groupby("token").size().rename("df").reset_index()
+        m = tf.merge(dft, on="token")
+        m["tfidf_e6"] = np.round(
+            m["tf"].to_numpy() * np.log(n / m["df"].to_numpy(dtype=float)) * 1e6
+        ).astype(np.int64)
+        want = (
+            m.sort_values(["doc_id", "tfidf_e6", "token"], ascending=[True, False, True])
+            .groupby("doc_id").head(3).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            out[["doc_id", "token", "tfidf_e6"]],
+            want[["doc_id", "token", "tfidf_e6"]].reset_index(drop=True),
+        )
+
+
+def test_tfidf_handles_empty_and_null_text():
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["a a b", "", None, "b c"],
+    })
+    out = sampling.tfidf_top_terms(rd.from_pandas(df), k=2).to_pandas()
+    assert set(out["doc_id"]) == {0, 3}  # token-free docs emit nothing
+    d0 = out[out["doc_id"] == 0].sort_values("tfidf_e6", ascending=False)
+    # 'a' (tf=2, df=1) outranks 'b' (tf=1, df=2)
+    assert list(d0["token"]) == ["a", "b"]
