@@ -36,6 +36,7 @@ from pagerank_cuda_dynamic_ray.stages import dedup as D
 from pagerank_cuda_dynamic_ray.stages import multimodal as MM
 from pagerank_cuda_dynamic_ray.stages import sampling as SP
 from pagerank_cuda_dynamic_ray.stages import similarity as S
+from pagerank_cuda_dynamic_ray.stages import sketch as SK
 from pagerank_cuda_dynamic_ray.stages import temporal as TP
 from pagerank_cuda_dynamic_ray.stages import text_stage as TS
 
@@ -744,6 +745,29 @@ def _q_vocabulary(sf_dir: str):
 
 
 TFIDF_K = 5
+QUANTILES = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9, "p99": 0.99}
+
+
+def _q_hll_distinct(sf_dir: str):
+    """Deterministic HyperLogLog (p=12, splitmix64 stream) distinct
+    counts for events.event_id and events.user_id — the estimate AND
+    two integer register digests are hash-verified against a SQL
+    replay of the identical sketch (not against exact counts)."""
+    ev = _tbl(sf_dir, "events", columns=["event_id", "user_id"])
+    rows = []
+    for col, seed in (("event_id", 0), ("user_id", 1)):
+        rows.append({"col": col, **SK.hll_distinct(ev, col, p=12, seed=seed)})
+    return pa.table({
+        "col": pa.array([r["col"] for r in rows]),
+        "distinct_est": pa.array([r["distinct_est"] for r in rows], type=pa.int64()),
+        "n_zero_regs": pa.array([r["n_zero_regs"] for r in rows], type=pa.int64()),
+        "reg_sum_rho": pa.array([r["reg_sum_rho"] for r in rows], type=pa.int64()),
+    })
+
+
+def _q_doc_len_quantiles(sf_dir: str):
+    docs = _tbl(sf_dir, "documents", columns=["n_chars"])
+    return SK.exact_quantiles_hist(docs, "n_chars", QUANTILES)
 
 
 def _q_tfidf_top_terms(sf_dir: str):
@@ -903,6 +927,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_key": _q_sample_per_key,
         "vocabulary": _q_vocabulary,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "hll_distinct": _q_hll_distinct,
+        "doc_len_quantiles": _q_doc_len_quantiles,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_dedup": _q_simhash_dedup,
@@ -1140,6 +1166,56 @@ def _sql_sample_per_key() -> str:
         f"SELECT doc_id, lang FROM {_sql_doc_hash(2, 'doc_id, lang')}\n"
         f"QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= {PER_KEY_K}"
     )
+
+
+def _sql_hll_one(col: str, seed: int) -> str:
+    """One column's HLL sketch replayed in SQL: identical splitmix
+    stream, bucket/rho split (rho via length(bin(rem)) = bit_length),
+    exact HUGEINT register sum, and the same float estimate expression
+    (left-associated like the engine's alpha * K / S)."""
+    off = (seed << 60) % (1 << 64)
+    hsub = _sm64(
+        f"(SELECT DISTINCT {col} AS v FROM events)",
+        f"(CAST(v AS HUGEINT) + {off}) % {_T64}",
+        "h",
+    )
+    mask = (1 << 52) - 1
+    k77 = float(2**77)  # m^2 * 2^(64-p+1) — a power of two, exact
+    return f"""
+(SELECT '{col}' AS col,
+        CAST(round(CASE WHEN e <= 10240.0 AND vz > 0
+                        THEN 4096.0 * ln(4096.0 / vz) ELSE e END) AS BIGINT) AS distinct_est,
+        vz AS n_zero_regs, rs AS reg_sum_rho
+ FROM (SELECT vz, rs, 0.7213/(1.0 + 1.079/4096.0) * {k77!r} / CAST(s AS DOUBLE) AS e
+       FROM (SELECT CAST(4096 - count(*) AS BIGINT) AS vz,
+                    CAST(coalesce(sum(rho), 0) AS BIGINT) AS rs,
+                    CAST(4096 - count(*) AS HUGEINT) * 9007199254740992
+                      + coalesce(SUM(CAST((CAST(1 AS BIGINT) << (53 - rho)) AS HUGEINT)), 0) AS s
+             FROM (SELECT bucket, max(rho) AS rho
+                   FROM (SELECT h >> 52 AS bucket,
+                                CASE WHEN (h & CAST({mask} AS UBIGINT)) = 0 THEN 53
+                                     ELSE 53 - length(bin(CAST((h & CAST({mask} AS UBIGINT)) AS BIGINT)))
+                                END AS rho
+                         FROM {hsub})
+                   GROUP BY bucket))))"""
+
+
+def _sql_hll_distinct() -> str:
+    return (
+        _sql_hll_one("event_id", 0)
+        + "\nUNION ALL\n"
+        + _sql_hll_one("user_id", 1)
+    )
+
+
+def _sql_doc_len_quantiles() -> str:
+    vals = ", ".join(f"('{k}', {v!r})" for k, v in QUANTILES.items())
+    return f"""
+WITH s AS (SELECT n_chars AS v, row_number() OVER (ORDER BY n_chars) - 1 AS rk FROM documents),
+nn AS (SELECT count(*) AS n FROM documents)
+SELECT t.q, CAST(s.v AS BIGINT) AS value
+FROM (VALUES {vals}) t(q, f)
+JOIN s ON s.rk = CAST(floor(((SELECT n FROM nn) - 1) * t.f) AS BIGINT)"""
 
 
 def _sql_simhash_dedup() -> str:
@@ -1769,6 +1845,8 @@ FROM terms""",
         "ngram_jaccard": _sql_ngram_jaccard(),
         "doc_fingerprint": _sql_fingerprint(),
         "hash_split": _sql_hash_split(),
+        "hll_distinct": _sql_hll_distinct(),
+        "doc_len_quantiles": _sql_doc_len_quantiles(),
         "stratified_sample": _sql_stratified_sample(),
         "sample_per_key": _sql_sample_per_key(),
         "vocabulary": f"""

@@ -1,0 +1,136 @@
+"""Distributed sketches over Dataset columns.
+
+Unlike library HLLs these are bit-deterministic BY CONSTRUCTION — the
+hash is the engine's splitmix64 stream, the register estimate is
+computed from an exact integer register sum, and every step is simple
+enough to replay in SQL — so a DuckDB oracle can verify the sketch
+hash-exactly (estimate AND register digests), not just approximately.
+
+Scale shape: one streaming pass; each block ships at most m register
+rows (bucket, rho) — the combiner — into a tiny m-row groupby; the
+estimate folds <= m rows on the driver. No full-column shuffle ever.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.hashing import splitmix64
+
+_SEED_STRIDE = np.uint64(1) << np.uint64(60)
+
+
+def _hll_rho(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket, rho): bucket = top p bits, rho = 1 + leading zeros of
+    the remaining (64-p)-bit word (= 64-p+1 when the word is 0).
+    bit_length via np.frexp — exact for ints < 2^53, hence p >= 11."""
+    w = 64 - p
+    assert w <= 52, "remainder must fit float64's exact-integer range"
+    bucket = (h >> np.uint64(w)).astype(np.int64)
+    rem = h & np.uint64((1 << w) - 1)
+    _, exp = np.frexp(rem.astype(np.float64))
+    rho = np.where(rem == 0, w + 1, w - exp + 1).astype(np.int64)
+    return bucket, rho
+
+
+def hll_registers(
+    ds: rd.Dataset, col: str, p: int = 12, seed: int = 0
+) -> rd.Dataset:
+    """Distributed HLL register build over an integer column: per-block
+    np.maximum.at into m registers, emit the hit ones, merge with a
+    <= m-row groupby max. Returns Dataset(bucket, rho)."""
+    m = 1 << p
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy()
+        with np.errstate(over="ignore"):
+            h = splitmix64(vals.astype(np.uint64) + np.uint64(seed) * _SEED_STRIDE)
+        bucket, rho = _hll_rho(h, p)
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, bucket, rho)
+        hit = np.flatnonzero(regs)
+        return pa.table({"bucket": pa.array(hit), "rho": pa.array(regs[hit])})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .max("rho")
+        .rename_columns({"max(rho)": "rho"})
+    )
+
+
+def hll_estimate(rho_by_bucket: np.ndarray, p: int = 12) -> dict:
+    """Estimate from merged registers (rho values of HIT buckets only).
+
+    The register sum is exact-integer (S = V·2^w' + Σ 2^(w'-rho), with
+    w' = 64-p+1 so every term is a positive int), then one float
+    division — so two engines with equal registers produce the SAME
+    double. Small-range linear counting when E <= 2.5m and V > 0;
+    the 64-bit large-range correction is unnecessary and omitted."""
+    m = 1 << p
+    wmax = 64 - p + 1
+    rho = np.asarray(rho_by_bucket, dtype=np.int64)
+    v_zero = m - len(rho)
+    # Python ints: with near-full registers the term sum approaches
+    # m·2^(wmax-1)/3 ≈ 2^63.4 and would overflow int64
+    s_int = v_zero * (1 << wmax) + sum(1 << int(x) for x in (wmax - rho))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * float(m * m * (1 << wmax)) / float(s_int)
+    if e <= 2.5 * m and v_zero > 0:
+        e = m * math.log(m / v_zero)
+    return {
+        "distinct_est": int(round(e)),
+        "n_zero_regs": int(v_zero),
+        "reg_sum_rho": int(rho.sum()),
+    }
+
+
+def hll_distinct(ds: rd.Dataset, col: str, p: int = 12, seed: int = 0) -> dict:
+    """End-to-end distributed distinct-count sketch for one column."""
+    regs = hll_registers(ds, col, p, seed).to_pandas()
+    # an all-empty input loses the aggregate schema entirely
+    rho = regs["rho"].to_numpy() if "rho" in regs.columns else np.empty(0, np.int64)
+    return hll_estimate(rho, p)
+
+
+def exact_quantiles_hist(
+    ds: rd.Dataset, col: str, qs: dict[str, float]
+) -> rd.Dataset:
+    """Exact quantiles of a bounded-cardinality integer column via a
+    distributed histogram: per-block (value, count) partials -> groupby
+    sum (rows ∝ distinct values, not rows) -> the quantile read-off
+    folds the tiny histogram on the driver. The quantile convention is
+    the zero-indexed order statistic floor((n-1)·q) — SQL-replayable
+    with one row_number. Returns Dataset(q, value) in qs-label order.
+
+    Assumes |distinct(col)| is small enough for one worker (true for
+    char/token-length style columns at any corpus size); for unbounded
+    doubles use a t-digest-style bucketer instead."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals, cnt = np.unique(t[col].to_numpy(), return_counts=True)
+        return pa.table({"value": pa.array(vals.astype(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("value")
+        .sum("cnt")
+        .rename_columns({"sum(cnt)": "cnt"})
+        .to_pandas()
+        .sort_values("value")
+    )
+    n = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum().to_numpy()
+    values = hist["value"].to_numpy()
+    out_q, out_v = [], []
+    for label, q in qs.items():
+        rank = int(np.floor((n - 1) * float(q)))
+        out_q.append(label)
+        out_v.append(int(values[np.searchsorted(cum, rank + 1)]))
+    return rd.from_arrow(pa.table({"q": pa.array(out_q, type=pa.string()),
+                                   "value": pa.array(out_v, type=pa.int64())}))

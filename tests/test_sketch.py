@@ -1,0 +1,61 @@
+"""HLL distinct sketch + exact histogram quantiles."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from pagerank_cuda_dynamic_ray.functions.hashing import splitmix64
+from pagerank_cuda_dynamic_ray.stages import sketch
+
+
+def test_hll_rho_matches_python_bit_length():
+    rng = np.random.RandomState(3)
+    h = rng.randint(0, 2**63, 5000).astype(np.uint64) * np.uint64(2) + np.uint64(1)
+    h = splitmix64(h)
+    bucket, rho = sketch._hll_rho(h, 12)
+    for i in range(0, 5000, 37):
+        hv = int(h[i])
+        assert bucket[i] == hv >> 52
+        rem = hv & ((1 << 52) - 1)
+        want = 53 if rem == 0 else 52 - rem.bit_length() + 1
+        assert rho[i] == want, (hv, rho[i], want)
+
+
+def test_hll_accuracy_and_partition_invariance():
+    for true_n, seed in ((150, 0), (10_000, 1)):
+        ids = np.arange(true_n, dtype=np.int64)
+        vals = np.concatenate([ids, ids[: true_n // 2]])  # duplicates
+        df = pd.DataFrame({"v": vals})
+        got = {}
+        for parts in (1, 8):
+            ds = rd.from_pandas(df).repartition(parts)
+            got[parts] = sketch.hll_distinct(ds, "v", p=12, seed=seed)
+        # registers are a pure fold -> partitioning cannot change anything
+        assert got[1] == got[8]
+        est = got[1]["distinct_est"]
+        # m=4096 linear-counting/HLL error at these cardinalities is ~1-2%
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+
+
+def test_hll_empty_and_single():
+    assert sketch.hll_distinct(
+        rd.from_pandas(pd.DataFrame({"v": np.array([], dtype=np.int64)})), "v"
+    )["distinct_est"] == 0
+    one = sketch.hll_distinct(
+        rd.from_pandas(pd.DataFrame({"v": np.array([42, 42, 42], dtype=np.int64)})), "v"
+    )
+    assert one["distinct_est"] == 1 and one["n_zero_regs"] == 4095
+
+
+def test_exact_quantiles_hist():
+    rng = np.random.RandomState(9)
+    vals = rng.randint(0, 600, 4000).astype(np.int64)
+    qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9, "p99": 0.99}
+    for parts in (1, 6):
+        out = sketch.exact_quantiles_hist(
+            rd.from_pandas(pd.DataFrame({"x": vals})).repartition(parts), "x", qs
+        ).to_pandas()
+        s = np.sort(vals)
+        for label, q in qs.items():
+            want = int(s[int(np.floor((len(s) - 1) * q))])
+            assert int(out.loc[out["q"] == label, "value"].iloc[0]) == want, label
