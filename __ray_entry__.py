@@ -420,6 +420,29 @@ def _q_core_numbers(sf_dir: str):
     return A.core_numbers(ctx).select_columns(["conv_id", "core"])
 
 
+WALK_LEN = 8
+
+
+def _q_random_walks(sf_dir: str):
+    """One deterministic walk per vertex, 8 steps over the out-CSR;
+    every (walk, step, position) row is a pure function of the hash
+    protocol, so the SQL oracle replays identical paths through a
+    rank-ordered adjacency."""
+    ctx = _graph(sf_dir)
+    ds = A.random_walks(ctx, length=WALK_LEN, seed=0)
+    dict_ref = ray.put(ctx.dictionary)
+
+    def f(t: pa.Table) -> pa.Table:
+        d = ray.get(dict_ref)
+        return pa.table({
+            "walk": pa.array(d[t["walk"].to_numpy()]),
+            "step": t["step"],
+            "conv_id": pa.array(d[t["vid"].to_numpy()]),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _q_cc_incremental(sf_dir: str):
     """Incremental CC hash-verified: cold CC on the base 80% of the
     ordered log, then each insertion batch applied and the components
@@ -899,6 +922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_dynamic_ranks": _q_pagerank_dynamic_ranks,
         "connected_components": _q_connected_components,
         "core_numbers": _q_core_numbers,
+        "random_walks": _q_random_walks,
         "cc_incremental": _q_cc_incremental,
         "label_propagation": _q_label_propagation,
         "bfs_distances": _q_bfs_distances,
@@ -1166,6 +1190,33 @@ def _sql_sample_per_key() -> str:
         f"SELECT doc_id, lang FROM {_sql_doc_hash(2, 'doc_id, lang')}\n"
         f"QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= {PER_KEY_K}"
     )
+
+
+def _sql_random_walks(seed: int = 0) -> str:
+    """random_walks replayed in SQL: r = mix2(mix2(walk, v), off+step),
+    next = rank-ordered adjacency row at r % deg."""
+    off = (seed << 60) % (1 << 64)
+    sub = f"(SELECT step, walk, v FROM w WHERE step < {WALK_LEN})"
+    sub = _mix2_sql(sub, "CAST(walk AS UBIGINT)", "v", "__r1")
+    sub = _mix2_sql(sub, "__r1", f"(CAST(step AS HUGEINT) + {off}) % {_T64}", "__r2")
+    return _GRAPH_CTE + f""",
+vidm AS (SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS vid FROM ids),
+evid AS (SELECT s.vid AS src, d.vid AS dst
+         FROM uedges e JOIN vidm s ON s.conv_id = e.src JOIN vidm d ON d.conv_id = e.dst),
+adj AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+               count(*) OVER (PARTITION BY src) AS deg FROM evid),
+wk AS (
+  WITH RECURSIVE w(step, walk, v) AS (
+    SELECT 0, vid, vid FROM vidm
+    UNION ALL
+    SELECT w2.step + 1, w2.walk, a.dst
+    FROM {sub} w2
+    JOIN adj a ON a.src = w2.v
+              AND a.idx = CAST(w2.__r2 % CAST(a.deg AS UBIGINT) AS BIGINT)
+  ) SELECT step, walk, v FROM w
+)
+SELECT wm.conv_id AS walk, wk.step, vm.conv_id AS conv_id
+FROM wk JOIN vidm wm ON wm.vid = wk.walk JOIN vidm vm ON vm.vid = wk.v"""
 
 
 def _sql_hll_one(col: str, seed: int) -> str:
@@ -1801,6 +1852,11 @@ corev AS (SELECT l.v, greatest(s.k, s.mind) AS core
           FROM vlast l JOIN istat s ON s.i = l.li)
 SELECT i.conv_id, CAST(coalesce(c.core, 0) AS BIGINT) AS core
 FROM ids i LEFT JOIN corev c ON c.v = i.conv_id""",
+        # the walk protocol replayed exactly: vid = lexicographic rank,
+        # adjacency rank-ordered by dst vid (the engine's CSR stores
+        # deduped dst-ascending neighbors), step choice = the same
+        # nested mix2 chain, next = the adj row at idx = r % deg
+        "random_walks": _sql_random_walks(),
         # warm restarts must land on the same full-graph components
         "cc_incremental": _GRAPH_CTE2 + f""",
 ccr AS (

@@ -433,6 +433,41 @@ def core_numbers(ctx: GraphContext) -> rd.Dataset:
     return _with_conv(ctx, tables)
 
 
+def random_walks(ctx: GraphContext, length: int = 8, seed: int = 0) -> rd.Dataset:
+    """Deterministic random walks over the directed out-CSR, one walk
+    per vertex: the step choice idx = mix2(mix2(walk, cur), seed·2^60
+    + t) % outdeg(cur) is a pure function of (walk, cur, t), so paths
+    are independent of partitioning/cluster size and exactly
+    replayable (incl. by a SQL oracle over a rank-ordered adjacency:
+    out-neighbors are stored dst-ascending and deduped, so idx indexes
+    the same neighbor everywhere). node2vec-style corpus generation
+    for embedding pipelines.
+
+    Walk state lives on the owner shard of its current vertex and is
+    re-routed per step (the frontier-exchange shape); each shard logs
+    positions locally and the path log leaves as one Dataset — the
+    driver never holds per-walk state. Walks at out-degree-0 vertices
+    terminate (after finalize's universal self-loops there are none).
+    Returns Dataset(walk, step, vid): (start vid, 0..length, position).
+    """
+    P, shards = ctx.P, ctx.shards
+    off = (int(seed) << 60) % (1 << 64)
+    ray.get([s.walks_init.remote() for s in shards])
+    for step in range(1, int(length) + 1):
+        refs = [
+            shards[p].walk_round.options(num_returns=P + 1).remote(off + step - 1)
+            for p in range(P)
+        ]
+        alive = ray.get([
+            shards[p].walk_recv.remote(step, *[refs[q][1 + p] for q in range(P)])
+            for p in range(P)
+        ])
+        if not sum(alive):
+            break
+    tables = ray.get([s.walk_log_table.remote() for s in shards])
+    return rd.from_arrow(tables)
+
+
 def modularity(ctx: GraphContext, labels: rd.Dataset | None = None) -> float:
     """Modularity Q of the current shard labels (run connected_components
     or label_propagation first; or pass a (vid,label) Dataset to install).

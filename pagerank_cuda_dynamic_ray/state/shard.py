@@ -1319,6 +1319,72 @@ class GraphShard:
     def core_table(self) -> pa.Table:
         return pa.table({"vid": pa.array(self.owned_vids()), "core": pa.array(self._core)})
 
+    # --- deterministic random walks over the out-CSR (walk state is
+    # shard-resident, routed to the owner of its current vertex each
+    # step; the step choice idx = mix2(mix2(walk, cur), seed·2^60+step)
+    # % outdeg is a pure function of (walk, cur, step), so any engine —
+    # including a SQL oracle — replays identical paths) ---
+
+    def walks_init(self) -> None:
+        """One walk per owned vertex: walk_id = start vid, logged at
+        step 0. Walk residency starts at the owner of the start."""
+        vids = self.owned_vids()
+        self._wk_walk = vids.copy()
+        self._wk_cur = vids.copy()
+        self._wk_log = [pa.table({
+            "walk": pa.array(vids), "step": pa.array(np.zeros(len(vids), np.int64)),
+            "vid": pa.array(vids),
+        })]
+
+    def walk_round(self, step_off: int):
+        """Advance resident walks one step and emit (walk, next) per new
+        owner. Walks at out-degree-0 vertices terminate (cannot happen
+        after finalize's universal self-loops, kept for generality)."""
+        from ..functions.hashing import mix2
+
+        out: list[np.ndarray] = [np.empty((2, 0), dtype=np.int64) for _ in range(self.P)]
+        w, cur = self._wk_walk, self._wk_cur
+        self._wk_walk = self._wk_cur = None
+        if w is not None and w.size:
+            local = cur // self.P
+            deg = (self.out_offsets[local + 1] - self.out_offsets[local])
+            alive = deg > 0
+            w, cur, local, deg = w[alive], cur[alive], local[alive], deg[alive]
+            if w.size:
+                r = mix2(mix2(w.astype(np.uint64), cur.astype(np.uint64)),
+                         np.uint64(step_off))
+                idx = (r % deg.astype(np.uint64)).astype(np.int64)
+                nxt = self.out_dst[self.out_offsets[local] + idx]
+                order, cuts = K.owner_split(nxt, self.P)
+                wn, nn = w[order], nxt[order]
+                out = [np.stack([wn[cuts[q]:cuts[q + 1]], nn[cuts[q]:cuts[q + 1]]])
+                       for q in range(self.P)]
+        return (sum(o.shape[1] for o in out), *out)
+
+    def walk_recv(self, step: int, *pair_arrays: np.ndarray) -> int:
+        """Adopt incoming walks as resident and log their new position."""
+        ws = [p[0] for p in pair_arrays if p is not None and p.shape[1]]
+        if ws:
+            self._wk_walk = np.concatenate(ws)
+            self._wk_cur = np.concatenate(
+                [p[1] for p in pair_arrays if p is not None and p.shape[1]])
+        else:
+            self._wk_walk = np.empty(0, dtype=np.int64)
+            self._wk_cur = np.empty(0, dtype=np.int64)
+        if self._wk_walk.size:
+            self._wk_log.append(pa.table({
+                "walk": pa.array(self._wk_walk),
+                "step": pa.array(np.full(len(self._wk_walk), step, np.int64)),
+                "vid": pa.array(self._wk_cur),
+            }))
+        return int(self._wk_walk.size)
+
+    def walk_log_table(self) -> pa.Table:
+        t = pa.concat_tables(self._wk_log)
+        self._wk_log = []
+        self._wk_walk = self._wk_cur = None
+        return t
+
     # --- modularity (properties.hxx:123-256 grouped sums, distributed) ---
 
     def mod_needed_neighbors(self):

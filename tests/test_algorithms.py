@@ -296,3 +296,34 @@ def test_core_numbers_isolated_and_ring():
     np.testing.assert_array_equal(got, core_oracle(src, dst, n))
     assert list(got[13:]) == [0, 0, 0] and got[12] == 1 and got[5] == 2
     ctx.shutdown()
+
+
+@pytest.mark.parametrize("num_parts", [1, 3])
+def test_random_walks_deterministic(num_parts):
+    """Distributed walks vs a sequential replay of the same hash-choice
+    protocol — paths must be identical at any partitioning."""
+    from pagerank_cuda_dynamic_ray.functions.hashing import mix2
+
+    n = 40
+    src, dst = _graph(13, n, 120)
+    ctx = GraphContext(n, num_parts)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    length, seed = 6, 3
+    out = analytics.random_walks(ctx, length=length, seed=seed).to_pandas()
+    # sequential oracle: engine adjacency = sorted unique out-dsts incl
+    # the universal self-loop added by finalize
+    adj = [np.unique(np.concatenate([dst[src == v], [v]])) for v in range(n)]
+    off = (seed << 60) % (1 << 64)
+    want = {}
+    for w in range(n):
+        cur = w
+        want[(w, 0)] = cur
+        for t in range(length):
+            r = mix2(mix2(np.array([w], np.uint64), np.array([cur], np.uint64)),
+                     np.uint64(off + t))[0]
+            cur = int(adj[cur][int(r % np.uint64(len(adj[cur])))])
+            want[(w, t + 1)] = cur
+    got = {(int(r.walk), int(r.step)): int(r.vid) for r in out.itertuples()}
+    assert got == want
+    ctx.shutdown()
