@@ -80,7 +80,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     from pagerank_cuda_dynamic_ray.pipelines import analytics as A
     from pagerank_cuda_dynamic_ray.sources import transcripts as T
     from pagerank_cuda_dynamic_ray.stages import dedup as D
+    from pagerank_cuda_dynamic_ray.stages import sampling as SP
     from pagerank_cuda_dynamic_ray.stages import similarity as S
+    from pagerank_cuda_dynamic_ray.stages import sketch as SK
     from pagerank_cuda_dynamic_ray.stages import text_stage as TS
 
     q: dict[str, float] = {}
@@ -143,6 +145,15 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     tri, _ = A.triangle_count(ctx)
     q["triangle_count"] = time.perf_counter() - t0
     extra["triangles"] = tri
+    t0 = time.perf_counter()
+    ctx.hits(iterations=20)
+    q["hits"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    A.core_numbers(ctx).materialize()
+    q["core_numbers"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    A.random_walks(ctx, length=8).materialize()
+    q["random_walks"] = time.perf_counter() - t0
     ctx.shutdown()
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
@@ -155,6 +166,23 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     TS.analyze_documents(docs, batch_size=512).materialize()
     q["text_analysis"] = time.perf_counter() - t0
+
+    # deterministic sampling + sketch family over the full documents table
+    docs_full = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    t0 = time.perf_counter()
+    SP.hash_split(docs_full, {"train": 0.8, "val": 0.1, "test": 0.1}).materialize()
+    SP.sample_per_key(docs_full, 50).materialize()
+    SP.vocabulary(docs_full, top_n=100).materialize()
+    q["sampling"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    SP.tfidf_top_terms(docs_full, k=5).materialize()
+    q["tfidf"] = time.perf_counter() - t0
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id"])
+    t0 = time.perf_counter()
+    SK.hll_distinct(ev, "event_id")
+    SK.exact_quantiles_hist(docs_full, "n_chars",
+                            {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9, "p99": 0.99})
+    q["sketches"] = time.perf_counter() - t0
 
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
     queries = emb.to_pandas().sort_values("vec_id").head(16).reset_index(drop=True)
