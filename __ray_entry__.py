@@ -421,6 +421,18 @@ def _q_core_numbers(sf_dir: str):
 
 
 WALK_LEN = 8
+HARM_SEEDS = 8
+HARM_MAXD = 12
+HARM_LCM = 27720  # lcm(1..12)
+
+
+def _q_harmonic_centrality(sf_dir: str):
+    """Truncated harmonic centrality from 8 hash-chosen seeds; scores
+    are exact integers Σ floor(27720/d), so the multi-source BFS
+    oracle matches bit-for-bit with no float summation."""
+    ctx = _graph(sf_dir)
+    ds = A.harmonic_centrality(ctx, num_seeds=HARM_SEEDS, max_depth=HARM_MAXD, seed=0)
+    return ds.select_columns(["conv_id", "harmonic"])
 
 
 def _q_random_walks(sf_dir: str):
@@ -923,6 +935,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": _q_connected_components,
         "core_numbers": _q_core_numbers,
         "random_walks": _q_random_walks,
+        "harmonic_centrality": _q_harmonic_centrality,
         "cc_incremental": _q_cc_incremental,
         "label_propagation": _q_label_propagation,
         "bfs_distances": _q_bfs_distances,
@@ -1190,6 +1203,31 @@ def _sql_sample_per_key() -> str:
         f"SELECT doc_id, lang FROM {_sql_doc_hash(2, 'doc_id, lang')}\n"
         f"QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) <= {PER_KEY_K}"
     )
+
+
+def _sql_harmonic_centrality(seed: int = 0) -> str:
+    """Seed panel = the HARM_SEEDS smallest splitmix64(vid + off) (ties
+    by vid) over the lexicographic vid ranks; per-seed BFS as a
+    depth-capped recursive walk; harmonic = Σ 27720 // min-distance."""
+    off = (seed << 60) % (1 << 64)
+    ranked = _sm64(
+        "(SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS vid FROM ids)",
+        f"(CAST(vid AS HUGEINT) + {off}) % {_T64}",
+        "h",
+    )
+    return _GRAPH_CTE2 + f""",
+seeds AS (SELECT conv_id FROM {ranked} ORDER BY h, vid LIMIT {HARM_SEEDS}),
+hw AS (
+  WITH RECURSIVE w(s, v, d) AS (
+    SELECT conv_id, conv_id, 0 FROM seeds
+    UNION
+    SELECT w.s, e.b, w.d + 1 FROM w JOIN nbr e ON e.a = w.v WHERE w.d < {HARM_MAXD}
+  ) SELECT s, v, min(d) AS d FROM w GROUP BY s, v
+),
+hsum AS (SELECT v, CAST(sum({HARM_LCM} // d) AS BIGINT) AS harmonic
+         FROM hw WHERE d > 0 GROUP BY v)
+SELECT i.conv_id, coalesce(h.harmonic, 0) AS harmonic
+FROM ids i LEFT JOIN hsum h ON h.v = i.conv_id"""
 
 
 def _sql_random_walks(seed: int = 0) -> str:
@@ -1857,6 +1895,7 @@ FROM ids i LEFT JOIN corev c ON c.v = i.conv_id""",
         # deduped dst-ascending neighbors), step choice = the same
         # nested mix2 chain, next = the adj row at idx = r % deg
         "random_walks": _sql_random_walks(),
+        "harmonic_centrality": _sql_harmonic_centrality(),
         # warm restarts must land on the same full-graph components
         "cc_incremental": _GRAPH_CTE2 + f""",
 ccr AS (

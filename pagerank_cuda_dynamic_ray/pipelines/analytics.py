@@ -433,6 +433,57 @@ def core_numbers(ctx: GraphContext) -> rd.Dataset:
     return _with_conv(ctx, tables)
 
 
+HARM_LCM_12 = 27720  # lcm(1..12): 1/d sums become exact integers
+
+
+def harmonic_centrality(
+    ctx: GraphContext,
+    num_seeds: int = 8,
+    max_depth: int = 12,
+    seed: int = 0,
+) -> rd.Dataset:
+    """Truncated harmonic centrality from a deterministic seed panel:
+    H(v) = Σ_s floor(LCM/d_s(v)) over hash-chosen seeds s with
+    0 < d_s(v) <= max_depth on the undirected view — the sampled-BFS
+    estimator (Eppstein-Wang style), made exactly reproducible: seeds
+    are the num_seeds smallest splitmix64(vid + seed·2^60) (ties by
+    vid) and scores are integer LCM-scaled reciprocals, so no float
+    summation order exists to disagree about. One level-synchronous
+    BFS per seed over the existing frontier machinery; the accumulator
+    lives on the shards. Returns Dataset(vid, harmonic[, conv_id])."""
+    import numpy as np
+
+    from ..functions.hashing import splitmix64
+
+    _ensure_symmetric(ctx)
+    P, shards = ctx.P, ctx.shards
+    off = (int(seed) << 60) % (1 << 64)
+
+    with np.errstate(over="ignore"):
+        h = splitmix64(np.arange(ctx.N, dtype=np.uint64) + np.uint64(off))
+    order = np.lexsort((np.arange(ctx.N), h))
+    seeds = order[: int(num_seeds)].astype(np.int64)
+    if max_depth > 12:
+        raise ValueError("max_depth > 12 breaks the exact lcm(1..12) scaling")
+    ray.get([s.harm_init.remote() for s in shards])
+    for sv in seeds:
+        frontier = ray.get([s.bfs_init.remote(int(sv)) for s in shards])
+        level = 0
+        while any(f.size for f in frontier) and level < max_depth:
+            level += 1
+            refs = [
+                shards[p].expand_sym_neighbors.options(num_returns=P + 1).remote(frontier[p])
+                for p in range(P)
+            ]
+            frontier = ray.get([
+                shards[p].bfs_apply.remote(level, *[refs[q][1 + p] for q in range(P)])
+                for p in range(P)
+            ])
+        ray.get([s.harm_accum.remote(HARM_LCM_12, max_depth) for s in shards])
+    tables = ray.get([s.harm_table.remote() for s in shards])
+    return _with_conv(ctx, tables)
+
+
 def random_walks(ctx: GraphContext, length: int = 8, seed: int = 0) -> rd.Dataset:
     """Deterministic random walks over the directed out-CSR, one walk
     per vertex: the step choice idx = mix2(mix2(walk, cur), seed·2^60

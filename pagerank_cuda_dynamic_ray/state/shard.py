@@ -1255,6 +1255,20 @@ class GraphShard:
     def dist_table(self) -> pa.Table:
         return pa.table({"vid": pa.array(self.owned_vids()), "distance": pa.array(self.dist)})
 
+    # --- truncated harmonic centrality accumulator (multi-source BFS
+    # reuses bfs_init/expand/apply; scores are exact integers
+    # Σ floor(LCM/d) so no float summation order can differ) ---
+
+    def harm_init(self) -> None:
+        self._harm = np.zeros(self.n_local, dtype=np.int64)
+
+    def harm_accum(self, lcm: int, max_depth: int) -> None:
+        m = (self.dist > 0) & (self.dist <= max_depth)
+        self._harm[m] += lcm // self.dist[m]
+
+    def harm_table(self) -> pa.Table:
+        return pa.table({"vid": pa.array(self.owned_vids()), "harmonic": pa.array(self._harm)})
+
     # --- k-core decomposition (parallel peel over the symmetric CSR;
     # same frontier-exchange shape as BFS but decrements carry
     # multiplicity: each removed vertex costs every alive neighbor one

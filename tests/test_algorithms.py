@@ -327,3 +327,45 @@ def test_random_walks_deterministic(num_parts):
     got = {(int(r.walk), int(r.step)): int(r.vid) for r in out.itertuples()}
     assert got == want
     ctx.shutdown()
+
+
+@pytest.mark.parametrize("num_parts", [1, 3])
+def test_harmonic_centrality(num_parts):
+    """Exact-integer truncated harmonic vs a brute-force BFS oracle."""
+    from pagerank_cuda_dynamic_ray.functions.hashing import splitmix64
+
+    n = 50
+    src, dst = _graph(17, n, 110)
+    ctx = GraphContext(n, num_parts)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    got = analytics.harmonic_centrality(ctx, num_seeds=6, max_depth=12, seed=2)
+    got = got.to_pandas().sort_values("vid")["harmonic"].to_numpy()
+    # oracle
+    adj = [set() for _ in range(n)]
+    for u, v in zip(src, dst):
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    off = (2 << 60) % (1 << 64)
+    h = splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(off))
+    seeds = np.lexsort((np.arange(n), h))[:6]
+    want = np.zeros(n, dtype=np.int64)
+    for s in seeds:
+        dist = {int(s): 0}
+        frontier = [int(s)]
+        d = 0
+        while frontier and d < 12:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        for v, dv in dist.items():
+            if dv > 0:
+                want[v] += 27720 // dv
+    np.testing.assert_array_equal(got, want)
+    ctx.shutdown()
