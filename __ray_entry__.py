@@ -420,6 +420,30 @@ def _q_core_numbers(sf_dir: str):
     return A.core_numbers(ctx).select_columns(["conv_id", "core"])
 
 
+JAC_MIN_COMMON = 2
+JAC_TOP = 100
+
+
+def _q_neighborhood_jaccard(sf_dir: str):
+    """Top-100 link-prediction pairs by neighborhood Jaccard; scores
+    are exact integers (c·10^6)//(da+db-c) so ordering and the top cut
+    cannot drift between engines (vid order == conv_id lex order, so
+    the SQL tie-breaks agree)."""
+    ctx = _graph(sf_dir)
+    ds = A.neighborhood_jaccard(ctx, min_common=JAC_MIN_COMMON, top=JAC_TOP)
+    dict_ref = ray.put(ctx.dictionary)
+
+    def f(t: pa.Table) -> pa.Table:
+        d = ray.get(dict_ref)
+        return pa.table({
+            "a": pa.array(d[t["a"].to_numpy()]),
+            "b": pa.array(d[t["b"].to_numpy()]),
+            "common": t["common"], "jaccard_e6": t["jaccard_e6"],
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 WALK_LEN = 8
 HARM_SEEDS = 8
 HARM_MAXD = 12
@@ -936,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "core_numbers": _q_core_numbers,
         "random_walks": _q_random_walks,
         "harmonic_centrality": _q_harmonic_centrality,
+        "neighborhood_jaccard": _q_neighborhood_jaccard,
         "cc_incremental": _q_cc_incremental,
         "label_propagation": _q_label_propagation,
         "bfs_distances": _q_bfs_distances,
@@ -1896,6 +1921,18 @@ FROM ids i LEFT JOIN corev c ON c.v = i.conv_id""",
         # nested mix2 chain, next = the adj row at idx = r % deg
         "random_walks": _sql_random_walks(),
         "harmonic_centrality": _sql_harmonic_centrality(),
+        # wedges via nbr self-join; scores exact-integer (c*1e6)//(da+db-c);
+        # conv_id lex order == vid order, so tie-breaks match the engine
+        "neighborhood_jaccard": _GRAPH_CTE2 + f"""
+,wed AS (SELECT n1.b AS lo, n2.b AS hi FROM nbr n1 JOIN nbr n2
+         ON n1.a = n2.a AND n1.b < n2.b),
+cnt AS (SELECT lo, hi, CAST(count(*) AS BIGINT) AS common FROM wed GROUP BY lo, hi),
+degs AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg FROM nbr GROUP BY a)
+SELECT c.lo AS a, c.hi AS b, c.common,
+       (c.common * 1000000) // (d1.deg + d2.deg - c.common) AS jaccard_e6
+FROM cnt c JOIN degs d1 ON d1.v = c.lo JOIN degs d2 ON d2.v = c.hi
+WHERE c.common >= {JAC_MIN_COMMON}
+ORDER BY jaccard_e6 DESC, a, b LIMIT {JAC_TOP}""",
         # warm restarts must land on the same full-graph components
         "cc_incremental": _GRAPH_CTE2 + f""",
 ccr AS (

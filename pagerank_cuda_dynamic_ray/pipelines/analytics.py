@@ -433,6 +433,59 @@ def core_numbers(ctx: GraphContext) -> rd.Dataset:
     return _with_conv(ctx, tables)
 
 
+def neighborhood_jaccard(
+    ctx: GraphContext,
+    min_common: int = 2,
+    top: int = 100,
+    max_pairs: int = 4_000_000,
+) -> rd.Dataset:
+    """Link-prediction scores: top pairs by neighborhood Jaccard
+    |N(a)∩N(b)| / |N(a)∪N(b)| over the undirected view. Common-neighbor
+    counts come from chunked per-apex wedge emission (partial-combined
+    per shard chunk) into a (lo, hi) groupby — the shuffle carries
+    combiner-reduced wedge pairs, never raw wedges; degrees ride a
+    broadcast lookup. Scores are exact integers (c·10^6) // (da+db-c),
+    so ordering and the top cut are integer-deterministic. Returns
+    Dataset(a, b, common, jaccard_e6) sorted by (score desc, a, b).
+
+    Combine path: wedge partials route by owner(lo) and fold into a
+    shard-resident sorted merge (a Ray Data groupby over millions of
+    2-row pair groups measured 20+ s of fixed shuffle overhead at
+    sf0.01 and was replaced, same call as minhash_dedup's); degrees of
+    remote hi endpoints arrive via one needed-neighbor exchange; each
+    shard emits only its local top rows and the driver merges P·top."""
+    import numpy as np
+    import pyarrow as pa
+
+    _ensure_symmetric(ctx)
+    P, shards = ctx.P, ctx.shards
+    nch = max(ray.get([s.jac_plan_chunks.remote(max_pairs) for s in shards]))
+    ray.get([s.jac_reset.remote() for s in shards])
+    for k in range(nch):
+        refs = [
+            shards[p].jac_pairs_chunk_routed.options(num_returns=P + 1).remote(k)
+            for p in range(P)
+        ]
+        ray.get([
+            shards[p].jac_accept.remote(*[refs[q][1 + p] for q in range(P)])
+            for p in range(P)
+        ])
+    need_refs = [s.jac_hi_needs.options(num_returns=P + 1).remote() for s in shards]
+    deg_refs = [
+        [shards[q].degs_for.remote(need_refs[p][1 + q]) for q in range(P)]
+        for p in range(P)
+    ]
+    tops = ray.get([
+        shards[p].jac_topk.remote(min_common, top, *deg_refs[p]) for p in range(P)
+    ])
+    merged = pa.concat_tables(tops)
+    score = merged["jaccard_e6"].to_numpy()
+    sel = np.lexsort((merged["b"].to_numpy(), merged["a"].to_numpy(), -score))[:top]
+    return rd.from_arrow(merged.take(pa.array(np.sort(sel))).sort_by(
+        [("jaccard_e6", "descending"), ("a", "ascending"), ("b", "ascending")]
+    ))
+
+
 HARM_LCM_12 = 27720  # lcm(1..12): 1/d sums become exact integers
 
 

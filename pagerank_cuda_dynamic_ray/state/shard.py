@@ -1539,6 +1539,115 @@ class GraphShard:
         ]
         return (sum(o.shape[1] for o in out), *out)
 
+    # --- neighborhood-Jaccard wedges (link prediction): all unordered
+    # neighbor pairs per apex over the FULL symmetric adjacency (no
+    # orientation — both endpoints need credit), chunked like the
+    # triangle path to bound peak memory, partial-combined per chunk ---
+
+    def jac_plan_chunks(self, max_pairs: int = 4_000_000) -> int:
+        lens = np.diff(self.sym_offsets)
+        w = (lens * (lens - 1)) // 2
+        cum = np.cumsum(w) if len(w) else np.zeros(0, dtype=np.int64)
+        total = int(cum[-1]) if len(cum) else 0
+        if total == 0:
+            self._jac_chunk_rows = np.array([0, self.n_local], dtype=np.int64)
+            return 1
+        nch = int(total // max_pairs) + 1
+        cutrows = np.searchsorted(cum, np.arange(1, nch) * max_pairs) + 1
+        self._jac_chunk_rows = np.unique(np.concatenate([[0], cutrows, [self.n_local]]))
+        return len(self._jac_chunk_rows) - 1
+
+    def jac_pairs_chunk(self, k: int) -> pa.Table:
+        """(lo, hi, c) partial common-neighbor counts for chunk k: the
+        sym adjacency is vid-ascending, so (i<j) pairs are (lo<hi)
+        already; duplicates within the chunk combine via one packed-key
+        unique before leaving the shard."""
+        empty = pa.table({"lo": pa.array([], type=pa.int64()),
+                          "hi": pa.array([], type=pa.int64()),
+                          "c": pa.array([], type=pa.int64())})
+        if k >= len(self._jac_chunk_rows) - 1:
+            return empty
+        rlo, rhi = int(self._jac_chunk_rows[k]), int(self._jac_chunk_rows[k + 1])
+        lens = np.diff(self.sym_offsets)[rlo:rhi]
+        if len(lens) == 0 or lens.max(initial=0) < 2:
+            return empty
+        jl = np.maximum(lens - 1, 0)
+        row_j = np.repeat(np.arange(rlo, rhi, dtype=np.int64), jl)
+        j = K.ranges_from_lengths(jl) + 1
+        lo_i = K.ranges_from_lengths(j)
+        row_ij = np.repeat(row_j, j)
+        j_ij = np.repeat(j, j)
+        base = self.sym_offsets[row_ij]
+        lo = self.sym_adj[base + lo_i]
+        hi = self.sym_adj[base + j_ij]
+        key, c = np.unique(lo * np.int64(self.N) + hi, return_counts=True)
+        return pa.table({"lo": pa.array(key // self.N), "hi": pa.array(key % self.N),
+                         "c": pa.array(c.astype(np.int64))})
+
+    def jac_pairs_chunk_routed(self, k: int):
+        """jac_pairs_chunk split by owner(lo): (total, (2,m) [key, c]
+        per owner) with key = lo·N + hi packed (keys are unique within
+        the chunk, so the receiving combine is a pure sorted merge)."""
+        out: list[np.ndarray] = [np.empty((2, 0), dtype=np.int64) for _ in range(self.P)]
+        t = self.jac_pairs_chunk(k)
+        if t.num_rows:
+            lo = t["lo"].to_numpy()
+            key = lo * np.int64(self.N) + t["hi"].to_numpy()
+            c = t["c"].to_numpy()
+            order, cuts = K.owner_split(lo, self.P)
+            key, c = key[order], c[order]
+            out = [np.stack([key[cuts[q]:cuts[q + 1]], c[cuts[q]:cuts[q + 1]]])
+                   for q in range(self.P)]
+        return (sum(o.shape[1] for o in out), *out)
+
+    def jac_reset(self) -> None:
+        self._jac_keys = np.empty(0, dtype=np.int64)
+        self._jac_counts = np.empty(0, dtype=np.int64)
+
+    def jac_accept(self, *pair_arrays: np.ndarray) -> None:
+        """Merge incoming (key, c) partials into the running combine —
+        one np.unique(inverse) fold per round, no per-pair Python."""
+        ks = [self._jac_keys] + [p[0] for p in pair_arrays if p is not None and p.shape[1]]
+        cs = [self._jac_counts] + [p[1] for p in pair_arrays if p is not None and p.shape[1]]
+        key = np.concatenate(ks)
+        if not key.size:
+            return
+        c = np.concatenate(cs)
+        uniq, inv = np.unique(key, return_inverse=True)
+        self._jac_keys = uniq
+        self._jac_counts = np.bincount(inv, weights=c).astype(np.int64)
+
+    def jac_hi_needs(self):
+        """Unique hi endpoints per owner (to fetch their degrees)."""
+        hi = self._jac_keys % self.N
+        uniq = np.unique(hi)
+        order, cuts = K.owner_split(uniq, self.P)
+        srt = uniq[order]
+        self._jac_hi_uniq = uniq
+        return (len(uniq), *[srt[cuts[q]:cuts[q + 1]] // self.P for q in range(self.P)])
+
+    def degs_for(self, locals_: np.ndarray) -> np.ndarray:
+        return np.diff(self.sym_offsets)[locals_]
+
+    def jac_topk(self, min_common: int, top: int, *deg_slices: np.ndarray) -> pa.Table:
+        """Score owned pairs and return the shard's local top rows —
+        the driver merges P·top rows, never the pair set."""
+        lo = self._jac_keys // self.N
+        hi = self._jac_keys % self.N
+        c = self._jac_counts
+        keep = c >= min_common
+        lo, hi, c = lo[keep], hi[keep], c[keep]
+        deg_lo = np.diff(self.sym_offsets)[lo // self.P]
+        uniq = self._jac_hi_uniq
+        order, _ = K.owner_split(uniq, self.P)
+        aligned = np.empty(len(uniq), dtype=np.int64)
+        aligned[order] = np.concatenate([np.asarray(s) for s in deg_slices]) if len(uniq) else np.empty(0, np.int64)
+        deg_hi = aligned[np.searchsorted(uniq, hi)]
+        score = c * np.int64(1_000_000) // (deg_lo + deg_hi - c)
+        sel = np.lexsort((hi, lo, -score))[:top]
+        return pa.table({"a": pa.array(lo[sel]), "b": pa.array(hi[sel]),
+                         "common": pa.array(c[sel]), "jaccard_e6": pa.array(score[sel])})
+
     def tri_answer(self, *query_arrays: np.ndarray):
         """Answer wedge queries: edge lo->hi present in the oriented CSR?
         Credits the lo corner into local state; returns

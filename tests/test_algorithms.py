@@ -369,3 +369,30 @@ def test_harmonic_centrality(num_parts):
                 want[v] += 27720 // dv
     np.testing.assert_array_equal(got, want)
     ctx.shutdown()
+
+
+@pytest.mark.parametrize("num_parts", [1, 3])
+def test_neighborhood_jaccard(num_parts):
+    """Top link-prediction pairs vs brute force; integer scores."""
+    n = 40
+    src, dst = _graph(23, n, 130)
+    ctx = GraphContext(n, num_parts)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    out = analytics.neighborhood_jaccard(ctx, min_common=2, top=30).to_pandas()
+    adj = [set() for _ in range(n)]
+    for u, v in zip(src, dst):
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    rows = []
+    for a in range(n):
+        for b in range(a + 1, n):
+            c = len(adj[a] & adj[b])
+            if c >= 2:
+                rows.append((c * 1_000_000 // (len(adj[a]) + len(adj[b]) - c), a, b, c))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    want = rows[:30]
+    got = [(int(r.jaccard_e6), int(r.a), int(r.b), int(r.common)) for r in out.itertuples()]
+    assert got == want
+    ctx.shutdown()
