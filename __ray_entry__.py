@@ -829,6 +829,49 @@ def _q_doc_len_quantiles(sf_dir: str):
     return SK.exact_quantiles_hist(docs, "n_chars", QUANTILES)
 
 
+CM_DEPTH, CM_WIDTH, CM_SEED = 4, 1024, 3
+BLOOM_BITS, BLOOM_K, BLOOM_SEED = 1 << 16, 4, 7
+
+
+def _q_countmin_user_counts(sf_dir: str):
+    """Count-Min per-user event-count estimates (min over 4 rows of
+    1024 counters) for every distinct user — integers, exactly
+    replayable in SQL from the identical register layout."""
+    ev = _tbl(sf_dir, "events", columns=["user_id"])
+    regs = SK.countmin_registers(ev, "user_id", CM_DEPTH, CM_WIDTH, CM_SEED)
+    users = np.sort(ev.to_pandas()["user_id"].unique())
+    est = SK.countmin_query(regs, users, CM_SEED)
+    return pa.table({"user_id": pa.array(users.astype(np.int64)),
+                     "cm_count": pa.array(est)})
+
+
+def _q_bloom_semi(sf_dir: str):
+    """Bloom semi-join pruning: a filter built over BUILDING-segment
+    customer keys prunes the orders stream before a join. Output pins
+    the whole bitmap: total probes, bloom-kept rows (includes false
+    positives) and the exact semi-join count."""
+    cust = _tbl(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).filter(
+        lambda r: r["c_mktsegment"] == "BUILDING"
+    )
+    orders = _tbl(sf_dir, "orders", columns=["o_custkey"])
+    bm = SK.bloom_build(cust, "c_custkey", BLOOM_BITS, BLOOM_K, BLOOM_SEED)
+    kept = SK.bloom_probe(orders, "o_custkey", bm, BLOOM_BITS, BLOOM_K, BLOOM_SEED)
+    keys = np.sort(cust.to_pandas()["c_custkey"].unique())
+    key_ref = ray.put(keys)
+
+    def exact(t: pa.Table) -> pa.Table:
+        k = ray.get(key_ref)
+        n = int(np.isin(t["o_custkey"].to_numpy(), k).sum())
+        return pa.table({"n": pa.array([n], type=pa.int64())})
+
+    n_exact = int(orders.map_batches(exact, batch_format="pyarrow").to_pandas()["n"].sum())
+    return pa.table({
+        "n_input": pa.array([orders.count()], type=pa.int64()),
+        "n_kept": pa.array([kept.count()], type=pa.int64()),
+        "n_exact": pa.array([n_exact], type=pa.int64()),
+    })
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     """Top-5 tf·idf terms per document: explode -> df combiner groupby
     -> hash join on token -> per-doc top-k; scores 1e6-quantized so the
@@ -991,6 +1034,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "hll_distinct": _q_hll_distinct,
         "doc_len_quantiles": _q_doc_len_quantiles,
+        "countmin_user_counts": _q_countmin_user_counts,
+        "bloom_semi": _q_bloom_semi,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
         "simhash_dedup": _q_simhash_dedup,
@@ -1320,6 +1365,73 @@ def _sql_hll_distinct() -> str:
         + "\nUNION ALL\n"
         + _sql_hll_one("user_id", 1)
     )
+
+
+def _sql_countmin() -> str:
+    """The Count-Min sketch replayed: per hash row r, counters =
+    grouped counts over bucket = splitmix64(v + (seed·depth+r)·2^60) %
+    width; estimate = least() across rows."""
+    parts, joins = [], []
+    for r in range(CM_DEPTH):
+        off = ((CM_SEED * CM_DEPTH + r) << 60) % (1 << 64)
+        rows = _sm64("(SELECT user_id AS v FROM events)",
+                     f"(CAST(v AS HUGEINT) + {off}) % {_T64}", "h")
+        parts.append(
+            f"cm{r} AS (SELECT CAST(h % {CM_WIDTH} AS BIGINT) AS bkt,"
+            f" CAST(count(*) AS BIGINT) AS n FROM {rows} GROUP BY 1)"
+        )
+        du = _sm64("(SELECT DISTINCT user_id AS v FROM events)",
+                   f"(CAST(v AS HUGEINT) + {off}) % {_T64}", "h")
+        parts.append(
+            f"q{r} AS (SELECT v, CAST(h % {CM_WIDTH} AS BIGINT) AS bkt FROM {du})"
+        )
+        joins.append(f"JOIN q{r} ON q{r}.v = du.v JOIN cm{r} ON cm{r}.bkt = q{r}.bkt")
+    least = ", ".join(f"cm{r}.n" for r in range(CM_DEPTH))
+    return (
+        "WITH " + ",\n".join(parts)
+        + ", du AS (SELECT DISTINCT user_id AS v FROM events)\n"
+        + f"SELECT du.v AS user_id, least({least}) AS cm_count FROM du\n"
+        + "\n".join(joins)
+    )
+
+
+def _sql_bloom_semi() -> str:
+    """Bloom bitmap + probe replayed: bits = distinct hash positions of
+    the key side; a probe row is kept iff all K of its positions are
+    set; exact = the true semi-join count."""
+    key_sub = "(SELECT c_custkey AS v FROM customer WHERE c_mktsegment = 'BUILDING')"
+    probe_sub = "(SELECT o_custkey AS v FROM orders)"
+    bit_parts, probe_parts, conds = [], [], []
+    for j in range(BLOOM_K):
+        off = ((BLOOM_SEED * BLOOM_K + j) << 60) % (1 << 64)
+        bit_parts.append(
+            f"SELECT DISTINCT CAST(h % {BLOOM_BITS} AS BIGINT) AS bit FROM "
+            + _sm64(key_sub, f"(CAST(v AS HUGEINT) + {off}) % {_T64}", "h")
+        )
+        probe_parts.append(
+            f"p{j} AS (SELECT rid, CAST(h % {BLOOM_BITS} AS BIGINT) AS bit FROM "
+            + _sm64(
+                "(SELECT row_number() OVER () AS rid, v FROM " + probe_sub + " t)",
+                f"(CAST(v AS HUGEINT) + {off}) % {_T64}", "h",
+            )
+            + ")"
+        )
+        conds.append(
+            f"JOIN p{j} ON p{j}.rid = p0.rid JOIN bits b{j} ON b{j}.bit = p{j}.bit"
+            if j else ""
+        )
+    bits = " UNION ".join(bit_parts)
+    kept_joins = "\n".join(c for c in conds if c)
+    return f"""
+WITH bits AS ({bits}),
+{', '.join(probe_parts)},
+kept AS (SELECT count(*) AS n FROM p0 JOIN bits b0 ON b0.bit = p0.bit
+{kept_joins})
+SELECT (SELECT count(*) FROM orders) AS n_input,
+       (SELECT n FROM kept) AS n_kept,
+       (SELECT count(*) FROM orders o
+        WHERE o.o_custkey IN (SELECT c_custkey FROM customer
+                              WHERE c_mktsegment = 'BUILDING')) AS n_exact"""
 
 
 def _sql_doc_len_quantiles() -> str:
@@ -1979,6 +2091,8 @@ FROM terms""",
         "hash_split": _sql_hash_split(),
         "hll_distinct": _sql_hll_distinct(),
         "doc_len_quantiles": _sql_doc_len_quantiles(),
+        "countmin_user_counts": _sql_countmin(),
+        "bloom_semi": _sql_bloom_semi(),
         "stratified_sample": _sql_stratified_sample(),
         "sample_per_key": _sql_sample_per_key(),
         "vocabulary": f"""

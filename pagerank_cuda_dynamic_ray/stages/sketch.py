@@ -97,6 +97,124 @@ def hll_distinct(ds: rd.Dataset, col: str, p: int = 12, seed: int = 0) -> dict:
     return hll_estimate(rho, p)
 
 
+def countmin_registers(
+    ds: rd.Dataset,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 0,
+    weight_col: str | None = None,
+) -> np.ndarray:
+    """Count-Min sketch of an integer column: depth x width counters,
+    row r bucket = splitmix64(value + (seed·depth + r)·2^60) % width.
+    Per-block partial sketches (a (depth·width)-cell bincount) sum into
+    the final array on the driver — each block ships depth·width int64s
+    regardless of row count. Returns the (depth, width) counter array."""
+    cells = depth * width
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy().astype(np.uint64)
+        w = (t[weight_col].to_numpy().astype(np.int64)
+             if weight_col else np.ones(len(vals), dtype=np.int64))
+        flat = np.zeros(cells, dtype=np.int64)
+        for r in range(depth):
+            with np.errstate(over="ignore"):
+                h = splitmix64(vals + np.uint64(seed * depth + r) * _SEED_STRIDE)
+            b = (h % np.uint64(width)).astype(np.int64)
+            flat[r * width:(r + 1) * width] = np.bincount(b, weights=w, minlength=width)
+        idx = np.flatnonzero(flat)
+        return pa.table({"cell": pa.array(idx), "n": pa.array(flat[idx])})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .sum("n")
+        .rename_columns({"sum(n)": "n"})
+        .to_pandas()
+    )
+    out = np.zeros(cells, dtype=np.int64)
+    if "cell" in merged.columns and len(merged):
+        out[merged["cell"].to_numpy()] = merged["n"].to_numpy()
+    return out.reshape(depth, width)
+
+
+def countmin_query(
+    regs: np.ndarray, values: np.ndarray, seed: int = 0
+) -> np.ndarray:
+    """Point estimates: min over rows of the value's counter (classic
+    CM upper bound — exact when no collision in some row)."""
+    depth, width = regs.shape
+    est = np.full(len(values), np.iinfo(np.int64).max, dtype=np.int64)
+    vals = np.asarray(values).astype(np.uint64)
+    for r in range(depth):
+        with np.errstate(over="ignore"):
+            h = splitmix64(vals + np.uint64(seed * depth + r) * _SEED_STRIDE)
+        est = np.minimum(est, regs[r, (h % np.uint64(width)).astype(np.int64)])
+    return est
+
+
+def bloom_build(
+    ds: rd.Dataset,
+    col: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 4,
+    seed: int = 0,
+) -> np.ndarray:
+    """Bloom filter over an integer key column: bit j set iff some row's
+    splitmix64(value + (seed·K + j)·2^60) % num_bits hits it. Per-block
+    partial bitmaps OR together (boolean max via the same cell-groupby
+    combine as Count-Min). Returns a packed uint8 bitmap."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy().astype(np.uint64)
+        bits = np.zeros(num_bits, dtype=bool)
+        for j in range(num_hashes):
+            with np.errstate(over="ignore"):
+                h = splitmix64(vals + np.uint64(seed * num_hashes + j) * _SEED_STRIDE)
+            bits[(h % np.uint64(num_bits)).astype(np.int64)] = True
+        idx = np.flatnonzero(bits)
+        return pa.table({"bit": pa.array(idx)})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bit")
+        .count()
+        .to_pandas()
+    )
+    bits = np.zeros(num_bits, dtype=bool)
+    if "bit" in merged.columns and len(merged):
+        bits[merged["bit"].to_numpy()] = True
+    return np.packbits(bits)
+
+
+def bloom_probe(
+    ds: rd.Dataset,
+    col: str,
+    bitmap: np.ndarray,
+    num_bits: int,
+    num_hashes: int = 4,
+    seed: int = 0,
+) -> rd.Dataset:
+    """Filter rows whose key is (probably) in the filter — the classic
+    pre-join pruning stage: the bitmap ships ONCE via the object store
+    and every block probes it vectorized. No false negatives."""
+    import ray
+
+    bm_ref = ray.put(bitmap)
+
+    def probe(t: pa.Table) -> pa.Table:
+        bits = np.unpackbits(ray.get(bm_ref)).view(bool)
+        vals = t[col].to_numpy().astype(np.uint64)
+        ok = np.ones(len(vals), dtype=bool)
+        for j in range(num_hashes):
+            with np.errstate(over="ignore"):
+                h = splitmix64(vals + np.uint64(seed * num_hashes + j) * _SEED_STRIDE)
+            ok &= bits[(h % np.uint64(num_bits)).astype(np.int64)]
+        return t.filter(pa.array(ok))
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
 def exact_quantiles_hist(
     ds: rd.Dataset, col: str, qs: dict[str, float]
 ) -> rd.Dataset:

@@ -59,3 +59,37 @@ def test_exact_quantiles_hist():
         for label, q in qs.items():
             want = int(s[int(np.floor((len(s) - 1) * q))])
             assert int(out.loc[out["q"] == label, "value"].iloc[0]) == want, label
+
+
+def test_countmin_upper_bound_and_exactness():
+    rng = np.random.RandomState(12)
+    vals = rng.zipf(1.5, 20000)
+    vals = vals[vals < 500].astype(np.int64)
+    df = pd.DataFrame({"v": vals})
+    for parts in (1, 6):
+        regs = sketch.countmin_registers(
+            rd.from_pandas(df).repartition(parts), "v", depth=4, width=1024, seed=3
+        )
+        uniq, true = np.unique(vals, return_counts=True)
+        est = sketch.countmin_query(regs, uniq, seed=3)
+        assert (est >= true).all()                     # CM never undercounts
+        assert regs.sum() == 4 * len(vals)             # mass conservation per row
+        # few distinct keys vs width -> most estimates exact
+        assert (est == true).mean() > 0.95
+        # partition invariance
+        regs2 = sketch.countmin_registers(rd.from_pandas(df), "v", depth=4, width=1024, seed=3)
+        np.testing.assert_array_equal(regs, regs2)
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    keys = pd.DataFrame({"k": np.arange(0, 3000, 3, dtype=np.int64)})   # 1000 members
+    probe_df = pd.DataFrame({"k": np.arange(5000, dtype=np.int64)})
+    bm = sketch.bloom_build(rd.from_pandas(keys).repartition(4), "k",
+                            num_bits=1 << 16, num_hashes=4, seed=5)
+    kept = sketch.bloom_probe(rd.from_pandas(probe_df).repartition(3), "k",
+                              bm, 1 << 16, num_hashes=4, seed=5).to_pandas()
+    member = set(keys["k"])
+    kept_set = set(kept["k"])
+    assert member <= kept_set                          # no false negatives
+    fp = len(kept_set - member) / (len(probe_df) - len(member))
+    assert fp < 0.02, fp                               # m/n=65 bits/key, k=4
