@@ -506,16 +506,19 @@ def harmonic_centrality(
     lives on the shards. Returns Dataset(vid, harmonic[, conv_id])."""
     import numpy as np
 
-    from ..functions.hashing import splitmix64
-
     _ensure_symmetric(ctx)
     P, shards = ctx.P, ctx.shards
     off = (int(seed) << 60) % (1 << 64)
 
-    with np.errstate(over="ignore"):
-        h = splitmix64(np.arange(ctx.N, dtype=np.uint64) + np.uint64(off))
-    order = np.lexsort((np.arange(ctx.N), h))
-    seeds = order[: int(num_seeds)].astype(np.int64)
+    # distributed seed election: each shard nominates its num_seeds best
+    # (hash, vid) owned candidates; the driver merges P·num_seeds rows,
+    # never an N-sized array
+    cands = ray.get([
+        s.harm_seed_candidates.remote(int(num_seeds), off) for s in shards
+    ])
+    h = np.concatenate([c[0] for c in cands])
+    vids = np.concatenate([c[1] for c in cands])
+    seeds = vids[np.lexsort((vids, h))[: int(num_seeds)]]
     if max_depth > 12:
         raise ValueError("max_depth > 12 breaks the exact lcm(1..12) scaling")
     ray.get([s.harm_init.remote() for s in shards])

@@ -1262,6 +1262,20 @@ class GraphShard:
     def harm_init(self) -> None:
         self._harm = np.zeros(self.n_local, dtype=np.int64)
 
+    def harm_seed_candidates(self, k: int, off: int) -> np.ndarray:
+        """This shard's k best seed candidates: owned vids with the
+        smallest (splitmix64(vid + off), vid). The driver merges P·k
+        candidates — never an N-sized array."""
+        from ..functions.hashing import splitmix64
+
+        vids = self.owned_vids()
+        with np.errstate(over="ignore"):
+            h = splitmix64(vids.astype(np.uint64) + np.uint64(off))
+        sel = np.lexsort((vids, h))[:k]
+        # h stays uint64 (an int64 cast would wrap the top half negative
+        # and corrupt the driver-side merge order)
+        return h[sel], vids[sel]
+
     def harm_accum(self, lcm: int, max_depth: int) -> None:
         m = (self.dist > 0) & (self.dist <= max_depth)
         self._harm[m] += lcm // self.dist[m]
