@@ -696,6 +696,15 @@ def _q_windowed_events(sf_dir: str):
     return TP.windowed_aggregate(ds, ts="ts", key="event_type", value="value")
 
 
+def _q_hopping_events(sf_dir: str):
+    """Hopping (sliding) 1-day windows advancing every 6 h per event
+    type: each event lands in 4 overlapping windows, replicated inside
+    the per-batch combiner so the shuffle stays per-(window, key)."""
+    ds = _tbl(sf_dir, "events", ["ts", "event_type", "value"])
+    return TP.windowed_aggregate(ds, ts="ts", key="event_type", value="value",
+                                 hop_us=6 * 3_600_000_000)
+
+
 def _event_sides(sf_dir: str):
     ds = _tbl(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
     return (ds.filter(expr="event_type == 'purchase'"),
@@ -1018,6 +1027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         # event-time family (custom operators Ray Data lacks natively)
         "windowed_events": _q_windowed_events,
+        "hopping_events": _q_hopping_events,
         "asof_purchase_click": _q_asof_purchase_click,
         "attribution_window": _q_attribution_window,
         "sessions": _q_sessions,
@@ -2152,6 +2162,13 @@ SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS window_sta
        event_type, count(*)::BIGINT AS n_events,
        min(value) AS min_value, max(value) AS max_value
 FROM events GROUP BY 1, 2""",
+        "hopping_events": """
+SELECT make_timestamp(((epoch_us(ts) // 21600000000) - r.i) * 21600000000)
+         AS window_start,
+       event_type, count(*)::BIGINT AS n_events,
+       min(value) AS min_value, max(value) AS max_value
+FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) r
+GROUP BY 1, 2""",
         "asof_purchase_click": """
 WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
      c AS (SELECT * FROM events WHERE event_type = 'click')

@@ -55,8 +55,17 @@ def _ts_us(col) -> pa.Array | pa.ChunkedArray:
 
 
 def windowed_aggregate(events: rd.Dataset, ts: str = "ts", key: str = "event_type",
-                       value: str = "value", width_us: int = _US_DAY) -> rd.Dataset:
-    """Tumbling event-time windows: per (window, key) count / min / max.
+                       value: str = "value", width_us: int = _US_DAY,
+                       hop_us: int | None = None) -> rd.Dataset:
+    """Tumbling or hopping (sliding) event-time windows: per
+    (window, key) count / min / max.
+
+    ``hop_us=None`` (or ``hop_us == width_us``) gives tumbling windows.
+    With ``hop_us < width_us`` every event lands in exactly
+    ``width_us // hop_us`` overlapping hop-aligned windows (the
+    replication happens INSIDE the per-batch combiner, before the
+    shuffle — the exchange still moves one row per (window, key) per
+    block, never per event).
 
     The wide step is pushed partial: each batch pre-aggregates its own
     (window, key) groups inside ``map_batches`` (the combiner), so the
@@ -67,9 +76,25 @@ def windowed_aggregate(events: rd.Dataset, ts: str = "ts", key: str = "event_typ
     Output: (window_start: timestamp[us], <key>, n_events: int64,
     min_value, max_value: float64).
     """
+    hop = width_us if hop_us is None else int(hop_us)
+    if hop <= 0 or width_us % hop != 0:
+        raise ValueError(
+            f"hop_us must divide width_us exactly (got width={width_us}, hop={hop})")
+    k = width_us // hop
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        win = (df[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
-               // width_us) * width_us
+        t = df[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        base = (t // hop) * hop
+        if k > 1:
+            # replicate each event into its k overlapping windows —
+            # flat numpy layout, no per-row Python
+            win = (base[:, None]
+                   - (np.arange(k, dtype=np.int64) * hop)[None, :]).ravel()
+            idx = np.repeat(np.arange(len(df)), k)
+            df = pd.DataFrame({key: df[key].to_numpy()[idx],
+                               value: df[value].to_numpy()[idx]})
+        else:
+            win = base
         g = (
             df.assign(__win=win)
             .groupby(["__win", key], sort=False)[value]

@@ -67,6 +67,38 @@ def test_windowed_aggregate(ev, con, parts):
 
 
 @pytest.mark.parametrize("parts", [1, 5])
+def test_hopping_window_aggregate(ev, con, parts):
+    ds = rd.from_pandas(ev).repartition(parts)
+    got = (TP.windowed_aggregate(ds, hop_us=6 * US_H).to_pandas()
+           .sort_values(["window_start", "event_type"]).reset_index(drop=True))
+    want = con.sql("""
+        SELECT make_timestamp(((epoch_us(ts) // 21600000000) - r.i) * 21600000000)
+                 AS window_start,
+               event_type, count(*)::BIGINT AS n_events,
+               min(value) AS min_value, max(value) AS max_value
+        FROM events CROSS JOIN (SELECT unnest(range(4)) AS i) r
+        GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    want["window_start"] = want["window_start"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # every event lands in exactly width/hop windows
+    assert got["n_events"].sum() == 4 * len(ev)
+
+
+def test_hopping_equals_tumbling_when_hop_is_width(ev):
+    ds = rd.from_pandas(ev)
+    a = (TP.windowed_aggregate(ds).to_pandas()
+         .sort_values(["window_start", "event_type"]).reset_index(drop=True))
+    b = (TP.windowed_aggregate(ds, hop_us=TP._US_DAY).to_pandas()
+         .sort_values(["window_start", "event_type"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_hopping_rejects_nondivisible_hop(ev):
+    with pytest.raises(ValueError):
+        TP.windowed_aggregate(rd.from_pandas(ev), hop_us=7 * US_H)
+
+
+@pytest.mark.parametrize("parts", [1, 5])
 def test_asof_join_inner_ties(ev, con, parts):
     p, c = _sides(ev, parts)
     got = (TP.asof_join(p, c, key="user_id", ts="ts", lcols=["event_id"],
