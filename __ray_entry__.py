@@ -192,6 +192,23 @@ def _q_out_degrees(sf_dir: str):
     return ctx.out_degrees().map_batches(f, batch_format="pyarrow")
 
 
+def _q_degree_distribution(sf_dir: str):
+    """Degree histogram (out + in) of the deduped directed graph incl.
+    structural self-loops — per-shard degree tables, tiny histogram
+    shuffle (one row per distinct degree per block)."""
+    return A.degree_distribution(_graph(sf_dir))
+
+
+def _q_degree_assortativity(sf_dir: str):
+    """Directed degree-assortativity sufficient statistics: exact int64
+    sums of (x=outdeg(src), y=indeg(dst)) over every edge — one
+    dedicated actor-to-actor degree exchange, driver folds P small
+    vectors. The Pearson r derives from these six integers (float kept
+    out of the hash-compare gate by design)."""
+    s = A.assortativity_sums(_graph(sf_dir))
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in s.items()})
+
+
 def _q_random_batch(sf_dir: str):
     """Seeded counter-RNG random batch over the live graph: 64 edge
     deletions (uniform vertex -> uniform non-loop out-edge, 5 retries
@@ -996,6 +1013,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vertex_dictionary": _q_vertex_dictionary,
         "edges_encoded_dist": _q_edges_encoded_dist,
         "out_degrees": _q_out_degrees,
+        "degree_distribution": _q_degree_distribution,
+        "degree_assortativity": _q_degree_assortativity,
         "self_loops": _q_self_loops,
         "random_batch": _q_random_batch,
         "triangle_total": _q_triangle_total,
@@ -1914,6 +1933,21 @@ SELECT ds.vid AS src, dd.vid AS dst, m.turn_idx
 FROM mention m JOIN dict ds ON m.src = ds.conv_id JOIN dict dd ON m.dst = dd.conv_id""",
         "out_degrees": _GRAPH_CTE
         + "\nSELECT src AS conv_id, count(*) AS outdeg FROM uedges GROUP BY src",
+        "degree_distribution": _GRAPH_CTE + """
+, od AS (SELECT src AS v, count(*)::BIGINT AS degree FROM uedges GROUP BY src),
+  idg AS (SELECT dst AS v, count(*)::BIGINT AS degree FROM uedges GROUP BY dst)
+SELECT 'out' AS kind, degree, count(*)::BIGINT AS n_vertices FROM od GROUP BY degree
+UNION ALL
+SELECT 'in' AS kind, degree, count(*)::BIGINT AS n_vertices FROM idg GROUP BY degree""",
+        "degree_assortativity": _GRAPH_CTE + """
+, od AS (SELECT src AS v, count(*)::BIGINT AS d FROM uedges GROUP BY src),
+  idg AS (SELECT dst AS v, count(*)::BIGINT AS d FROM uedges GROUP BY dst)
+SELECT count(*)::BIGINT AS m,
+       CAST(sum(x.d) AS BIGINT) AS sx, CAST(sum(y.d) AS BIGINT) AS sy,
+       CAST(sum(x.d * y.d) AS BIGINT) AS sxy,
+       CAST(sum(x.d * x.d) AS BIGINT) AS sxx,
+       CAST(sum(y.d * y.d) AS BIGINT) AS syy
+FROM uedges e JOIN od x ON x.v = e.src JOIN idg y ON y.v = e.dst""",
         "random_batch": _sql_random_batch(),
         "self_loops": _GRAPH_CTE
         + "\nSELECT count(*) AS self_loops FROM uedges WHERE src = dst",

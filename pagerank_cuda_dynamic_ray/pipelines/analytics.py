@@ -575,6 +575,86 @@ def random_walks(ctx: GraphContext, length: int = 8, seed: int = 0) -> rd.Datase
     return rd.from_arrow(tables)
 
 
+def degree_distribution(ctx: GraphContext) -> rd.Dataset:
+    """Degree histogram of the directed deduped graph (incl. structural
+    self-loops): (kind 'out'|'in', degree, n_vertices). The wide step
+    is a groupby over at most max-degree distinct keys — the per-shard
+    degree tables ship one row per owned vertex and the histogram
+    shuffle moves one row per distinct degree per block."""
+    import pandas as pd
+
+    def hist(kind: str, col: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(col, sort=False).size()
+            return pd.DataFrame({"kind": kind,
+                                 "degree": g.index.to_numpy(np.int64),
+                                 "n_vertices": g.to_numpy(np.int64)})
+        return f
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"kind": [g["kind"].iloc[0]],
+                             "degree": np.array([g["degree"].iloc[0]], np.int64),
+                             "n_vertices": np.array([g["n_vertices"].sum()], np.int64)})
+
+    out = (ctx.out_degrees().map_batches(hist("out", "outdeg"), batch_format="pandas"))
+    ind = (ctx.in_degrees().map_batches(hist("in", "indeg"), batch_format="pandas"))
+    both = out.union(ind)
+
+    def gk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__gk"] = df["kind"] + "|" + df["degree"].astype(str)
+        return df
+
+    return (both.map_batches(gk, batch_format="pandas")
+            .groupby("__gk").map_groups(merge, batch_format="pandas"))
+
+
+def assortativity_sums(ctx: GraphContext) -> dict[str, int]:
+    """Exact integer sufficient statistics for directed degree
+    assortativity over every edge (u,v) of the deduped graph incl.
+    self-loops: x = outdeg(u), y = indeg(v); returns m, Σx, Σy, Σxy,
+    Σx², Σy².
+
+    One dedicated degree exchange: each shard's pull index (restricted
+    per owner, shipped actor-to-actor as ObjectRefs — the driver holds
+    only P² refs, never the cut) fetches integer out-degrees from the
+    owners, then the per-edge products reduce shard-side through the
+    same gather layout the rank exchange uses. Driver folds P small
+    int64 vectors in Python ints (no overflow at any scale)."""
+    P = ctx.P
+    need = {(p, q): ctx.shards[p].assort_needs.remote(q)
+            for p in range(P) for q in range(P)}
+    # barriers between layers (no fetch — data stays in the object
+    # store): assort_partial blocks its actor in ray.get, so every
+    # upstream task must be COMPLETE before any partial is submitted,
+    # or a deferred-arg degree task behind a blocked actor deadlocks
+    # the pool.
+    ray.wait(list(need.values()), num_returns=P * P, fetch_local=False)
+    deg = {(p, q): ctx.shards[q].outdeg_int_for.remote(need[(p, q)])
+           for p in range(P) for q in range(P)}
+    ray.wait(list(deg.values()), num_returns=P * P, fetch_local=False)
+    parts = get_all_fail_fast(
+        [ctx.shards[p].assort_partial.remote([deg[(p, q)] for q in range(P)])
+         for p in range(P)])
+    tot = [sum(int(part[i]) for part in parts) for i in range(6)]
+    return dict(zip(["m", "sx", "sy", "sxy", "sxx", "syy"], tot))
+
+
+def degree_assortativity(ctx: GraphContext) -> float:
+    """Directed degree assortativity coefficient (Pearson r of
+    (outdeg(u), indeg(v)) over edges — Newman 2002/2003 sense, computed
+    from the exact integer sums of ``assortativity_sums``)."""
+    s = assortativity_sums(ctx)
+    m, sx, sy, sxy, sxx, syy = (s[k] for k in ("m", "sx", "sy", "sxy", "sxx", "syy"))
+    if m == 0:
+        return float("nan")
+    num = m * sxy - sx * sy
+    den2 = (m * sxx - sx * sx) * (m * syy - sy * sy)
+    if den2 <= 0:
+        return float("nan")
+    return float(num / np.sqrt(float(den2)))
+
+
 def modularity(ctx: GraphContext, labels: rd.Dataset | None = None) -> float:
     """Modularity Q of the current shard labels (run connected_components
     or label_propagation first; or pass a (vid,label) Dataset to install).

@@ -280,6 +280,10 @@ class GraphContext:
         tables = ray.get([s.out_degree_table.remote() for s in self.shards])
         return rd.from_arrow(tables)
 
+    def in_degrees(self) -> rd.Dataset:
+        tables = ray.get([s.in_degree_table.remote() for s in self.shards])
+        return rd.from_arrow(tables)
+
     # ------------------------------------------------------------------
     # batch updates (temporal protocol, main.cu:79-147)
     # ------------------------------------------------------------------

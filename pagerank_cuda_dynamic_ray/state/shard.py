@@ -404,6 +404,49 @@ class GraphShard:
             {"vid": pa.array(self.owned_vids()), "outdeg": pa.array(self.outdeg.astype(np.int64))}
         )
 
+    def in_degree_table(self) -> pa.Table:
+        """(vid, indeg) for owned vertices over the deduped directed
+        edge set incl. structural self-loops — the transpose of
+        out_degree_table (reference degreesW on transposeWithDegree,
+        /root/reference/inc/transpose.hxx:90-149)."""
+        indeg = (np.diff(self.in_offsets) if self.in_offsets is not None
+                 else np.zeros(self.n_local, dtype=np.int64))
+        return pa.table(
+            {"vid": pa.array(self.owned_vids()), "indeg": pa.array(indeg.astype(np.int64))}
+        )
+
+    # ---- degree assortativity (x = outdeg(src), y = indeg(dst) per edge) ----
+
+    def assort_needs(self, q: int) -> np.ndarray:
+        """Local ids of owner ``q``'s vertices this shard needs out-
+        degrees for (= the pull index restricted to q). Shipped actor-
+        to-actor as an ObjectRef — the driver never holds the cut."""
+        g = self.gather_ids
+        return (g[g % self.P == q] // self.P) if g is not None else np.empty(0, np.int64)
+
+    def outdeg_int_for(self, locals_: np.ndarray) -> np.ndarray:
+        """Integer out-degree (incl. self-loops) of owned local ids."""
+        offs = self.out_offsets
+        return (offs[locals_ + 1] - offs[locals_]).astype(np.int64)
+
+    def assort_partial(self, deg_refs: list) -> np.ndarray:
+        """Per-shard integer partial sums for degree assortativity over
+        owned in-edges: [m, Σx, Σy, Σxy, Σx², Σy²] with x = outdeg(src)
+        (gathered from the per-owner segments in ``deg_refs``, aligned
+        to gather_ids' owner-major layout exactly like the rank
+        exchange) and y = indeg(dst) (local). Exact int64 at any tested
+        scale; at extreme scale the driver folds partials in Python
+        ints, so only a single block's Σx² must fit int64."""
+        import ray
+        segs = ray.get(list(deg_refs))
+        cat = (np.concatenate(segs) if segs else np.empty(0, np.int64))
+        x = cat[self.in_key] if self.in_key is not None else np.empty(0, np.int64)
+        indeg = (np.diff(self.in_offsets) if self.in_offsets is not None
+                 else np.empty(0, np.int64))
+        y = np.repeat(indeg, indeg).astype(np.int64)
+        return np.array([len(x), x.sum(), y.sum(), (x * y).sum(),
+                         (x * x).sum(), (y * y).sum()], dtype=np.int64)
+
     def out_degrees_of(self, locals_: np.ndarray) -> np.ndarray:
         """DATA out-degree (current CSR, structural self-loops excluded)
         for owned local ids — the degree probe of removeRandomEdgeFrom

@@ -95,3 +95,82 @@ def test_modularity_install_guards(ctx):
     }))
     with pytest.raises(ValueError, match="ambiguous"):
         A.modularity(ctx, ambiguous)
+
+
+# ----------------------------------------------------------------------
+# degree distribution + assortativity
+# ----------------------------------------------------------------------
+
+_FIX_SRC = np.array([0, 1, 2, 3, 4, 5, 2, 0, 1, 3, 4, 5])
+_FIX_DST = np.array([1, 2, 0, 4, 5, 3, 3, 2, 0, 5, 3, 4])
+
+
+def _brute_degrees(n, src, dst):
+    pairs = sorted(set(zip(src.tolist(), dst.tolist())))
+    od = np.zeros(n, np.int64)
+    idg = np.zeros(n, np.int64)
+    for a, b in pairs:
+        od[a] += 1
+        idg[b] += 1
+    return pairs, od, idg
+
+
+def test_degree_distribution_matches_bruteforce(ctx):
+    got = (A.degree_distribution(ctx).to_pandas()
+           .sort_values(["kind", "degree"]).reset_index(drop=True))
+    _, od, idg = _brute_degrees(8, _FIX_SRC, _FIX_DST)
+    import pandas as pd
+    rows = []
+    for kind, d in (("in", idg), ("out", od)):
+        vals, cnt = np.unique(d, return_counts=True)
+        for v, c in zip(vals, cnt):
+            rows.append((kind, int(v), int(c)))
+    want = pd.DataFrame(rows, columns=["kind", "degree", "n_vertices"])
+    want = want.sort_values(["kind", "degree"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["kind", "degree", "n_vertices"]], want)
+
+
+def test_assortativity_sums_match_bruteforce(ctx):
+    pairs, od, idg = _brute_degrees(8, _FIX_SRC, _FIX_DST)
+    x = np.array([od[a] for a, _ in pairs], np.int64)
+    y = np.array([idg[b] for _, b in pairs], np.int64)
+    s = A.assortativity_sums(ctx)
+    assert s == {"m": len(pairs), "sx": int(x.sum()), "sy": int(y.sum()),
+                 "sxy": int((x * y).sum()), "sxx": int((x * x).sum()),
+                 "syy": int((y * y).sum())}
+    # every edge source has outdeg 2 in this fixture -> zero x-variance
+    # -> the coefficient is undefined; both sides must agree on NaN
+    assert np.isnan(A.degree_assortativity(ctx))
+
+
+def test_assortativity_partition_invariance():
+    rng = np.random.RandomState(11)
+    n = 60
+    src = rng.randint(0, n, 400).astype(np.int64)
+    dst = rng.randint(0, n, 400).astype(np.int64)
+    sums = []
+    for parts in (1, 4):
+        c = GraphContext(n, parts, add_self_loops=True)
+        c.ingest_pairs(src, dst)
+        c.finalize()
+        sums.append(A.assortativity_sums(c))
+        c.shutdown()
+    assert sums[0] == sums[1]
+    # brute force incl. the structural self-loop on every vertex
+    pairs = sorted(set(zip(src.tolist(), dst.tolist())) | {(v, v) for v in range(n)})
+    od = np.zeros(n, np.int64)
+    idg = np.zeros(n, np.int64)
+    for a, b in pairs:
+        od[a] += 1
+        idg[b] += 1
+    x = np.array([od[a] for a, _ in pairs], np.int64)
+    y = np.array([idg[b] for _, b in pairs], np.int64)
+    assert sums[0]["m"] == len(pairs)
+    assert sums[0]["sxy"] == int((x * y).sum())
+    # non-degenerate degrees here: coefficient matches numpy's Pearson r
+    c = GraphContext(n, 4, add_self_loops=True)
+    c.ingest_pairs(src, dst)
+    c.finalize()
+    r = A.degree_assortativity(c)
+    c.shutdown()
+    assert abs(r - float(np.corrcoef(x, y)[0, 1])) < 1e-12
