@@ -775,6 +775,27 @@ def _q_sessions(sf_dir: str):
 # training-data-family queries (documents / embeddings)
 # ----------------------------------------------------------------------
 
+def _q_pii_scrub(sf_dir: str):
+    """PII redaction over documents. The synthetic corpus carries no
+    natural PII, so the query first INJECTS deterministic doc_id-derived
+    emails / phones / IPs (replicated verbatim in the SQL oracle), then
+    scrubs — the driver hash-compares counts AND the full cleaned text."""
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+
+    def inject(df):
+        did = df["doc_id"].to_numpy(np.int64)
+        s = df["text"].fillna("") + " contact u" + df["doc_id"].astype(str) + "@ex.com"
+        s = s.where(did % 3 != 0,
+                    s + " call 555-010-" + pd.Series(did % 10000, index=df.index)
+                    .astype(str).str.zfill(4))
+        s = s.where(did % 5 != 0,
+                    s + " host 10.0." + pd.Series(did % 256, index=df.index).astype(str)
+                    + "." + pd.Series(did // 256 % 256, index=df.index).astype(str))
+        return pd.DataFrame({"doc_id": did, "text": s.to_numpy()})
+
+    return TS.scrub_pii(docs.map_batches(inject, batch_format="pandas"))
+
+
 def _q_exact_dedup(sf_dir: str):
     return D.exact_dedup(_tbl(sf_dir, "documents", ["doc_id", "text"]))
 
@@ -1052,6 +1073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": _q_sessions,
         # training-data family
         "exact_dedup": _q_exact_dedup,
+        "pii_scrub": _q_pii_scrub,
         "doc_tokens": _q_doc_tokens,
         "doc_lang": _q_doc_lang,
         "doc_quality": _q_doc_quality,
@@ -1252,6 +1274,38 @@ WITH wins AS (
 ),
 mk AS (SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rk FROM wins)
 SELECT doc_id, CAST(sum(h) AS BIGINT) AS fingerprint FROM mk WHERE rk <= 4 GROUP BY doc_id"""
+
+
+def _sql_pii_scrub() -> str:
+    """Replays _q_pii_scrub end-to-end: the deterministic doc_id-derived
+    PII injection, then the sequential count+replace chain of
+    stages/text_stage.PII_PATTERNS (patterns live in the RE2 ∩ Python-re
+    agreement subset, so regexp_extract_all / regexp_replace 'g' match
+    pandas str.count / str.replace exactly)."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+    ip = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    coalesce(text, '') || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com'
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST(doc_id // 256 % 256 AS VARCHAR)
+            ELSE '' END AS s0
+  FROM documents),
+t1 AS (SELECT doc_id,
+  CAST(length(regexp_extract_all(s0, '{email}')) AS BIGINT) AS n_emails,
+  regexp_replace(s0, '{email}', '<EMAIL>', 'g') AS s1 FROM aug),
+t2 AS (SELECT doc_id, n_emails,
+  CAST(length(regexp_extract_all(s1, '{phone}')) AS BIGINT) AS n_phones,
+  regexp_replace(s1, '{phone}', '<PHONE>', 'g') AS s2 FROM t1)
+SELECT doc_id, n_emails, n_phones,
+  CAST(length(regexp_extract_all(s2, '{ip}')) AS BIGINT) AS n_ips,
+  regexp_replace(s2, '{ip}', '<IP>', 'g') AS clean_text FROM t2"""
 
 
 def _sm_threshold(rate: float) -> int:
@@ -2133,6 +2187,7 @@ FROM terms""",
         "ngram_jaccard": _sql_ngram_jaccard(),
         "doc_fingerprint": _sql_fingerprint(),
         "hash_split": _sql_hash_split(),
+        "pii_scrub": _sql_pii_scrub(),
         "hll_distinct": _sql_hll_distinct(),
         "doc_len_quantiles": _sql_doc_len_quantiles(),
         "countmin_user_counts": _sql_countmin(),

@@ -83,3 +83,55 @@ def quality_filter(docs: rd.Dataset, min_quality: float = 0.2,
         return batch[(batch["quality"] >= min_quality) & (batch["n_tokens_ws"] >= min_tokens)]
 
     return scored.map_batches(keep, batch_format="pandas")
+
+
+# ----------------------------------------------------------------------
+# PII scrubbing (training-data redaction stage)
+# ----------------------------------------------------------------------
+
+# (name, pattern, replacement) — applied SEQUENTIALLY, each pattern
+# counting + replacing over the text as left by the previous one. The
+# patterns deliberately stay inside the regex subset where Python `re`
+# and DuckDB's RE2 agree (char classes, bounded repeats, \b, \d), so the
+# whole stage replays as nested regexp_replace in the SQL oracle.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phones", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+class PIIScrub:
+    """Actor-pool redaction stage: compiled patterns once per actor in
+    ``__init__``, vectorized pandas ``.str`` kernels per batch. Purely
+    row-local (no shuffle, partitioning-invariant at any scale)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        import re
+        self.text_col, self.id_col = text_col, id_col
+        self.pats = [(name, re.compile(rx), repl) for name, rx, repl in PII_PATTERNS]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.text_col].fillna("")
+        out = pd.DataFrame({self.id_col: batch[self.id_col].to_numpy()})
+        for name, rx, repl in self.pats:
+            out[f"n_{name}"] = texts.str.count(rx).to_numpy(np.int64)
+            texts = texts.str.replace(rx, repl, regex=True)
+        out["clean_text"] = texts.to_numpy()
+        return out
+
+
+def scrub_pii(docs: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
+              concurrency: int | None = None, batch_size: int = 1024) -> rd.Dataset:
+    """Redact emails / phone numbers / IPv4 addresses from a text
+    column. Output: (<id_col>, n_emails, n_phones, n_ips, clean_text).
+    Counts are measured against the text state each pattern sees
+    (sequential application), so counts + cleaned text are exactly
+    reproducible by any engine applying the same chain."""
+    if concurrency is None:
+        return docs.map_batches(
+            PIIScrub(text_col, id_col), batch_format="pandas", batch_size=batch_size)
+    return docs.map_batches(
+        PIIScrub, batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col})

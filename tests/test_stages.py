@@ -300,3 +300,64 @@ def test_embedding_neardup_refuses_large_corpus():
     # under the cap the baseline still works
     out = dedup.embedding_neardup_pairs(ds, threshold=0.99)
     assert set(out.columns) == {"a", "b", "cosine"}
+
+
+# ----------------------------------------------------------------------
+# PII scrubbing
+# ----------------------------------------------------------------------
+
+def test_pii_scrub_planted_and_nulls():
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+    from pagerank_cuda_dynamic_ray.stages.text_stage import scrub_pii, PII_PATTERNS
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "mail a@b.co and c.d+x@e.org today",
+            "call 555-123-4567 or 555.987.6543",
+            "host 10.0.0.1 and 192.168.255.254",
+            "a@b.co 555-123-4567 1.2.3.4 all three",
+            None,
+            "",
+        ],
+    })
+    got = (scrub_pii(rd.from_pandas(df).repartition(3)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # DuckDB RE2 replay of the same sequential chain (dialect parity)
+    con = duckdb.connect()
+    con.register("d", df)
+    email, phone, ip = (p[1] for p in PII_PATTERNS)
+    want = con.sql(f"""
+        WITH t0 AS (SELECT doc_id, coalesce(text,'') AS s0 FROM d),
+        t1 AS (SELECT doc_id,
+          CAST(length(regexp_extract_all(s0,'{email}')) AS BIGINT) AS n_emails,
+          regexp_replace(s0,'{email}','<EMAIL>','g') AS s1 FROM t0),
+        t2 AS (SELECT doc_id, n_emails,
+          CAST(length(regexp_extract_all(s1,'{phone}')) AS BIGINT) AS n_phones,
+          regexp_replace(s1,'{phone}','<PHONE>','g') AS s2 FROM t1)
+        SELECT doc_id, n_emails, n_phones,
+          CAST(length(regexp_extract_all(s2,'{ip}')) AS BIGINT) AS n_ips,
+          regexp_replace(s2,'{ip}','<IP>','g') AS clean_text FROM t2
+        ORDER BY doc_id""").df()
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    assert got["n_emails"].tolist() == [2, 0, 0, 1, 0, 0]
+    assert got["n_phones"].tolist() == [0, 2, 0, 1, 0, 0]
+    assert got["n_ips"].tolist() == [0, 0, 2, 1, 0, 0]
+    assert got.loc[3, "clean_text"] == "<EMAIL> <PHONE> <IP> all three"
+    # null text scrubs to empty, never NaN
+    assert got.loc[4, "clean_text"] == ""
+
+
+def test_pii_scrub_actor_pool_matches_tasks():
+    import pandas as pd
+    import ray.data as rd
+    from pagerank_cuda_dynamic_ray.stages.text_stage import scrub_pii
+
+    df = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64),
+                       "text": [f"u{i}@x.io line {i}" for i in range(50)]})
+    a = scrub_pii(rd.from_pandas(df)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (scrub_pii(rd.from_pandas(df), concurrency=2, batch_size=8).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b[a.columns])
