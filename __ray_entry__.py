@@ -826,6 +826,14 @@ STRAT_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25}
 STRAT_DEFAULT = 0.1
 PER_KEY_K = 50
 VOCAB_TOP = 100
+INVIDX_K = 32
+
+
+def _q_inverted_index(sf_dir: str):
+    """Capped inverted index over documents: per token, document
+    frequency + the 32 smallest doc ids (CSV) — per-block smallest-k
+    combiner, merge groups bounded by block count."""
+    return SP.inverted_index(_tbl(sf_dir, "documents", ["doc_id", "text"]), k=INVIDX_K)
 
 
 def _q_hash_split(sf_dir: str):
@@ -1082,6 +1090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "sample_per_key": _q_sample_per_key,
         "vocabulary": _q_vocabulary,
+        "inverted_index": _q_inverted_index,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "hll_distinct": _q_hll_distinct,
         "doc_len_quantiles": _q_doc_len_quantiles,
@@ -2198,6 +2207,13 @@ FROM terms""",
 SELECT t AS token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents)
 GROUP BY t ORDER BY n DESC, t LIMIT {VOCAB_TOP}""",
+        "inverted_index": f"""
+WITH tok AS (SELECT DISTINCT doc_id, token FROM
+  (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents))
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, {INVIDX_K}), ',')
+         AS postings
+FROM tok GROUP BY token""",
         "tfidf_top_terms": f"""
 WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents),
 tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token),

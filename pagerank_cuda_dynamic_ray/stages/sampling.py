@@ -245,3 +245,62 @@ def tfidf_top_terms(
         })
 
     return joined.groupby(id_col).map_groups(topk, batch_format="pyarrow")
+
+
+def inverted_index(
+    ds: rd.Dataset,
+    k: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Capped inverted index: per whitespace token, its document
+    frequency and the ``k`` smallest doc ids containing it (CSV string,
+    ascending — a string so the driver's hash-compare gate covers the
+    posting values directly).
+
+    Combiner shape: each block ships, per distinct token, ONE row
+    carrying (partial df, per-block smallest-k postings list) — never
+    the raw (token, doc) pair stream — so the shuffle is bounded by
+    distinct-tokens-per-block × k. The global smallest-k is a subset of
+    the union of per-block smallest-k, so the merge is exact. Assumes
+    one row per document (the documents-table contract); the per-token
+    merge groups are tiny (≤ blocks rows each).
+    """
+    import pandas as pd
+
+    def partial(df_: pd.DataFrame) -> pd.DataFrame:
+        texts = df_[text_col].fillna("")
+        s = pd.Series(texts.str.findall(r"\S+").to_numpy(),
+                      index=df_[id_col].to_numpy(np.int64)).explode().dropna()
+        if not len(s):
+            return pd.DataFrame({"token": pd.Series([], dtype=str),
+                                 "pdf": pd.Series([], dtype=np.int64),
+                                 "ids": pd.Series([], dtype=object)})
+        pairs = (pd.DataFrame({"doc": s.index.to_numpy(np.int64),
+                               "token": s.to_numpy()})
+                 .drop_duplicates().sort_values(["token", "doc"]))
+        tok = pairs["token"].to_numpy()
+        doc = pairs["doc"].to_numpy(np.int64)
+        u, start, cnt = np.unique(tok, return_index=True, return_counts=True)
+        take = np.minimum(cnt, k)
+        # flat positions of each token's first `take` docs — no per-token loop
+        offs = (np.repeat(start, take)
+                + np.arange(int(take.sum())) - np.repeat(np.cumsum(take) - take, take))
+        ids_flat = doc[offs]
+        bounds = np.concatenate([[0], np.cumsum(take)])
+        return pd.DataFrame({
+            "token": u,
+            "pdf": cnt.astype(np.int64),
+            "ids": [ids_flat[bounds[i]:bounds[i + 1]] for i in range(len(u))],
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(np.concatenate([np.asarray(x, np.int64) for x in g["ids"]]))[:k]
+        return pd.DataFrame({
+            "token": [g["token"].iloc[0]],
+            "df": np.array([g["pdf"].sum()], np.int64),
+            "postings": [",".join(map(str, ids.tolist()))],
+        })
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("token").map_groups(merge, batch_format="pandas")

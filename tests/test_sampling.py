@@ -142,3 +142,29 @@ def test_tfidf_handles_empty_and_null_text():
     d0 = out[out["doc_id"] == 0].sort_values("tfidf_e6", ascending=False)
     # 'a' (tf=2, df=1) outranks 'b' (tf=1, df=2)
     assert list(d0["token"]) == ["a", "b"]
+
+
+# ----------------------------------------------------------------------
+# inverted index
+# ----------------------------------------------------------------------
+
+def test_inverted_index_exact_and_capped():
+    texts = ["a b c", "b c", "c", None, "a a a", ""]
+    df = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64), "text": texts})
+    for parts in (1, 3):
+        out = (sampling.inverted_index(rd.from_pandas(df).repartition(parts), k=2)
+               .to_pandas().sort_values("token").reset_index(drop=True))
+        assert out["token"].tolist() == ["a", "b", "c"]
+        assert out["df"].tolist() == [2, 2, 3]          # per-doc DISTINCT tokens
+        assert out["postings"].tolist() == ["0,4", "0,1", "0,1"]  # capped at k=2
+
+
+def test_inverted_index_global_topk_crosses_blocks():
+    # token 'z' appears in docs 10..19; with one doc per block the global
+    # smallest-k must merge across every block's partial list
+    df = pd.DataFrame({"doc_id": np.arange(10, 20, dtype=np.int64)[::-1].copy(),
+                       "text": ["z"] * 10})
+    out = (sampling.inverted_index(rd.from_pandas(df).repartition(10), k=3)
+           .to_pandas())
+    assert out["df"].tolist() == [10]
+    assert out["postings"].tolist() == ["10,11,12"]
