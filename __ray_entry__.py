@@ -827,6 +827,16 @@ STRAT_DEFAULT = 0.1
 PER_KEY_K = 50
 VOCAB_TOP = 100
 INVIDX_K = 32
+PMI_WINDOW = 4
+PMI_TOPK = 50
+
+
+def _q_cooccurrence_pmi(sf_dir: str):
+    """Top-k co-occurring token pairs (window ≤ 4 positions apart) with
+    1e-6-quantized PMI from integer sufficient statistics. Pure-integer
+    winner selection; driver touches O(k) rows only."""
+    return SP.cooccurrence_pmi(_tbl(sf_dir, "documents", ["doc_id", "text"]),
+                               window=PMI_WINDOW, top_k=PMI_TOPK)
 
 
 def _q_inverted_index(sf_dir: str):
@@ -1091,6 +1101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_key": _q_sample_per_key,
         "vocabulary": _q_vocabulary,
         "inverted_index": _q_inverted_index,
+        "cooccurrence_pmi": _q_cooccurrence_pmi,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "hll_distinct": _q_hll_distinct,
         "doc_len_quantiles": _q_doc_len_quantiles,
@@ -2214,6 +2225,24 @@ SELECT token, CAST(count(*) AS BIGINT) AS df,
        array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, {INVIDX_K}), ',')
          AS postings
 FROM tok GROUP BY token""",
+        "cooccurrence_pmi": f"""
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text,'\\S+')) AS token,
+                    generate_subscripts(regexp_extract_all(text,'\\S+'),1) AS i FROM documents),
+uni AS (SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY token),
+tu AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni),
+pairs AS (SELECT least(t1.token,t2.token) || ' ' || greatest(t1.token,t2.token) AS pair,
+                 count(*)::BIGINT AS n
+          FROM tok t1 JOIN tok t2
+            ON t1.doc_id = t2.doc_id AND t2.i - t1.i BETWEEN 1 AND {PMI_WINDOW}
+          GROUP BY 1),
+tp AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM pairs),
+top AS (SELECT pair, n FROM pairs ORDER BY n DESC, pair LIMIT {PMI_TOPK})
+SELECT top.pair, top.n, ua.c AS c_a, ub.c AS c_b,
+  CAST(round(ln((top.n::DOUBLE * tu.t * tu.t) / (ua.c::DOUBLE * ub.c * tp.t)) * 1e6)
+       AS BIGINT) AS pmi_e6
+FROM top, tu, tp
+JOIN uni ua ON ua.token = split_part(top.pair, ' ', 1)
+JOIN uni ub ON ub.token = split_part(top.pair, ' ', 2)""",
         "tfidf_top_terms": f"""
 WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents),
 tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, token),

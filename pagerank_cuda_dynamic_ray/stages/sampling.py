@@ -304,3 +304,104 @@ def inverted_index(
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return partials.groupby("token").map_groups(merge, batch_format="pandas")
+
+
+def token_counts(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Global whitespace-token occurrence counts (the un-limited form of
+    ``vocabulary``): per-block np.unique combiner -> groupby sum.
+    Returns Dataset(token, n)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = pd.Series(t[text_col].to_pandas()).fillna("")
+        flat = texts.str.findall(r"\S+").explode().dropna()
+        if not len(flat):
+            return pa.table({"token": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        tok, cnt = np.unique(flat.to_numpy(), return_counts=True)
+        return pa.table({"token": pa.array(tok), "n": pa.array(cnt.astype(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("token").sum("n").rename_columns({"sum(n)": "n"}))
+
+
+def cooccurrence_pmi(
+    ds: rd.Dataset,
+    window: int = 4,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> "pa.Table":
+    """Top-k token co-occurrence pairs by count, with pointwise mutual
+    information.
+
+    A pair = two tokens at positions (i, j) of the same document with
+    1 <= j - i <= window, unordered (lexicographic (lo, hi)); every
+    occurrence counts. Per-block combiner ships (pair, count) uniques;
+    one groupby-sum shuffle; selection is pure-integer (count desc, pair
+    asc) BEFORE any float math, so the winner set is exactly
+    reproducible. PMI then derives from integer sufficient statistics
+    (pair count, unigram counts, corpus totals):
+    pmi = ln(n·T_u·T_u / (c_a·c_b·T_p)), quantized to 1e-6.
+
+    The driver touches only O(top_k) rows — pair counts, unigram counts
+    and both totals stay distributed.
+    """
+    import pandas as pd
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        texts = pd.Series(t[text_col].to_pandas()).fillna("")
+        lists = texts.str.findall(r"\S+").to_numpy()
+        empty = pa.table({"pair": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        if not len(lists):
+            return empty
+        lens = np.fromiter((len(x) for x in lists), np.int64, len(lists))
+        if lens.sum() == 0:
+            return empty
+        flat = np.concatenate([np.asarray(x, object) for x in lists if len(x)])
+        docidx = np.repeat(np.arange(len(lists)), lens)
+        keys = []
+        for d in range(1, window + 1):
+            if len(flat) <= d:
+                break
+            m = docidx[:-d] == docidx[d:]
+            a, b = flat[:-d][m], flat[d:][m]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            keys.append(lo + " " + hi)
+        if not keys:
+            return empty
+        u, c = np.unique(np.concatenate(keys), return_counts=True)
+        return pa.table({"pair": pa.array(u.astype(str)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby("pair").sum("n").rename_columns({"sum(n)": "n"})
+             .materialize())
+    t_p = int(pairs.sum("n") or 0)
+    top = pairs.sort(["n", "pair"], descending=[True, False]).limit(top_k).to_pandas()
+
+    uni = token_counts(ds, text_col).materialize()
+    t_u = int(uni.sum("n") or 0)
+    toks_a = top["pair"].str.split(" ", n=1).str[0]
+    toks_b = top["pair"].str.split(" ", n=1).str[1]
+    need = set(toks_a) | set(toks_b)
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.is_in(t["token"], pa.array(sorted(need), pa.string())))
+
+    cnt = uni.map_batches(keep, batch_format="pyarrow").to_pandas()
+    lut = dict(zip(cnt["token"], cnt["n"].astype(int)))
+    n = top["n"].astype(int)
+    c_a = toks_a.map(lut).astype(int)
+    c_b = toks_b.map(lut).astype(int)
+    import math
+    pmi = [int(round(math.log((float(nn) * t_u * t_u) / (float(ca) * cb * t_p)) * 1e6))
+           for nn, ca, cb in zip(n, c_a, c_b)]
+    return pa.table({
+        "pair": pa.array(top["pair"], pa.string()),
+        "n": pa.array(n.to_numpy(np.int64)),
+        "c_a": pa.array(c_a.to_numpy(np.int64)),
+        "c_b": pa.array(c_b.to_numpy(np.int64)),
+        "pmi_e6": pa.array(np.array(pmi, np.int64)),
+    })

@@ -168,3 +168,36 @@ def test_inverted_index_global_topk_crosses_blocks():
            .to_pandas())
     assert out["df"].tolist() == [10]
     assert out["postings"].tolist() == ["10,11,12"]
+
+
+def test_cooccurrence_pmi_bruteforce_and_partition_invariance():
+    import itertools, math
+    rng = np.random.RandomState(7)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [" ".join(rng.choice(vocab, rng.randint(0, 9))) for _ in range(40)]
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64), "text": texts})
+    W, K = 3, 8
+    # brute force
+    from collections import Counter
+    pc_, uc = Counter(), Counter()
+    for t in texts:
+        toks = t.split()
+        uc.update(toks)
+        for i, j in itertools.combinations(range(len(toks)), 2):
+            if j - i <= W:
+                lo, hi = sorted((toks[i], toks[j]))
+                pc_[f"{lo} {hi}"] += 1
+    tp, tu = sum(pc_.values()), sum(uc.values())
+    want = sorted(pc_.items(), key=lambda kv: (-kv[1], kv[0]))[:K]
+    outs = []
+    for parts in (1, 5):
+        got = (sampling.cooccurrence_pmi(rd.from_pandas(df).repartition(parts),
+                                         window=W, top_k=K).to_pandas())
+        outs.append(got)
+        assert list(zip(got["pair"], got["n"])) == want
+        for _, r in got.iterrows():
+            a, b = r["pair"].split(" ")
+            assert r["c_a"] == uc[a] and r["c_b"] == uc[b]
+            pmi = math.log((float(r["n"]) * tu * tu) / (float(uc[a]) * uc[b] * tp))
+            assert r["pmi_e6"] == int(round(pmi * 1e6))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
