@@ -465,6 +465,14 @@ WALK_LEN = 8
 HARM_SEEDS = 8
 HARM_MAXD = 12
 HARM_LCM = 27720  # lcm(1..12)
+SCC_SEEDS = 4
+
+
+def _q_scc_of_seeds(sf_dir: str):
+    """SCC membership (forward ∩ backward directed reachability) for 4
+    hash-elected seeds — the FW-BW carve step over the frontier
+    machinery; two sweeps per seed, Dataset out."""
+    return A.scc_of_seeds(_graph(sf_dir), num_seeds=SCC_SEEDS, seed=0)
 
 
 def _q_harmonic_centrality(sf_dir: str):
@@ -990,6 +998,14 @@ def _knn_queries(sf_dir: str) -> pd.DataFrame:
     return pdf.sort_values("vec_id").head(5).reset_index(drop=True)
 
 
+def _q_embedding_covariance(sf_dir: str):
+    """Exact-integer covariance numerators of the embedding column
+    (upper triangle): per-block (n, Σq, Σqqᵀ) combiner rows, Python-int
+    driver fold — cov_num = n·C_ij − S_i·S_j is summation-order-free,
+    the distributed stats base of the PCA stage."""
+    return S.embedding_covariance(_tbl(sf_dir, "embeddings", ["vec_id", "embedding"]))
+
+
 def _q_knn_bruteforce(sf_dir: str):
     emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = S.knn_bruteforce(emb, _knn_queries(sf_dir), k=10)
@@ -1070,6 +1086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "core_numbers": _q_core_numbers,
         "random_walks": _q_random_walks,
         "harmonic_centrality": _q_harmonic_centrality,
+        "scc_of_seeds": _q_scc_of_seeds,
         "neighborhood_jaccard": _q_neighborhood_jaccard,
         "cc_incremental": _q_cc_incremental,
         "label_propagation": _q_label_propagation,
@@ -1112,6 +1129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": _q_simhash_dedup,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "embedding_covariance": _q_embedding_covariance,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
@@ -1401,6 +1419,38 @@ hsum AS (SELECT v, CAST(sum({HARM_LCM} // d) AS BIGINT) AS harmonic
          FROM hw WHERE d > 0 GROUP BY v)
 SELECT i.conv_id, coalesce(h.harmonic, 0) AS harmonic
 FROM ids i LEFT JOIN hsum h ON h.v = i.conv_id"""
+
+
+def _sql_scc_of_seeds(seed: int = 0) -> str:
+    """scc_of_seeds replayed in SQL: the same splitmix64 seed election
+    (over lexicographic vid ranks), then forward and backward directed
+    transitive closures from the seeds as recursive UNION fixpoints,
+    intersected."""
+    off = (seed << 60) % (1 << 64)
+    ranked = _sm64(
+        "(SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS vid FROM ids)",
+        f"(CAST(vid AS HUGEINT) + {off}) % {_T64}",
+        "h",
+    )
+    return _GRAPH_CTE + f""",
+seeds AS (SELECT conv_id FROM {ranked} ORDER BY h, vid LIMIT {SCC_SEEDS}),
+fwd AS (
+  WITH RECURSIVE r(s, v) AS (
+    SELECT conv_id, conv_id FROM seeds
+    UNION
+    SELECT r.s, e.dst FROM r JOIN uedges e ON e.src = r.v
+  ) SELECT s, v FROM r),
+bwd AS (
+  WITH RECURSIVE r(s, v) AS (
+    SELECT conv_id, conv_id FROM seeds
+    UNION
+    SELECT r.s, e.src FROM r JOIN uedges e ON e.dst = r.v
+  ) SELECT s, v FROM r),
+dict AS (SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS vid FROM ids)
+SELECT ds.vid AS seed_vid, dv.vid AS vid, f.v AS conv_id
+FROM fwd f JOIN bwd b ON b.s = f.s AND b.v = f.v
+JOIN dict ds ON ds.conv_id = f.s
+JOIN dict dv ON dv.conv_id = f.v"""
 
 
 def _sql_random_walks(seed: int = 0) -> str:
@@ -2151,6 +2201,7 @@ FROM ids i LEFT JOIN corev c ON c.v = i.conv_id""",
         # nested mix2 chain, next = the adj row at idx = r % deg
         "random_walks": _sql_random_walks(),
         "harmonic_centrality": _sql_harmonic_centrality(),
+        "scc_of_seeds": _sql_scc_of_seeds(),
         # wedges via nbr self-join; scores exact-integer (c*1e6)//(da+db-c);
         # conv_id lex order == vid order, so tie-breaks match the engine
         "neighborhood_jaccard": _GRAPH_CTE2 + f"""
@@ -2369,6 +2420,19 @@ FROM g""",
 SELECT e1.vec_id AS a, e2.vec_id AS b
 FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
 WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.45""",
+        "embedding_covariance": """
+WITH el AS (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings),
+q AS (SELECT vec_id, i - 1 AS i,
+             CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS q FROM el),
+nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+s AS (SELECT i, CAST(sum(q) AS BIGINT) AS s FROM q GROUP BY i),
+c AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS c
+      FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2)
+SELECT c.i, c.j, CAST(nn.n * c.c - sa.s * sb.s AS BIGINT) AS cov_num
+FROM c, nn
+JOIN s sa ON sa.i = c.i
+JOIN s sb ON sb.i = c.j""",
         "knn_bruteforce": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5),
 s AS (SELECT q.qid, e.vec_id AS nid, list_cosine_similarity(q.qe, e.embedding) AS cos

@@ -14,7 +14,7 @@ import numpy as np
 import ray
 import ray.data as rd
 
-from .graph import GraphContext, get_all_fail_fast
+from .graph import GraphContext, get_all_fail_fast, tables_dataset
 
 
 def _ensure_symmetric(ctx: GraphContext) -> None:
@@ -481,9 +481,9 @@ def neighborhood_jaccard(
     merged = pa.concat_tables(tops)
     score = merged["jaccard_e6"].to_numpy()
     sel = np.lexsort((merged["b"].to_numpy(), merged["a"].to_numpy(), -score))[:top]
-    return rd.from_arrow(merged.take(pa.array(np.sort(sel))).sort_by(
+    return tables_dataset([merged.take(pa.array(np.sort(sel))).sort_by(
         [("jaccard_e6", "descending"), ("a", "ascending"), ("b", "ascending")]
-    ))
+    )])
 
 
 HARM_LCM_12 = 27720  # lcm(1..12): 1/d sums become exact integers
@@ -540,6 +540,57 @@ def harmonic_centrality(
     return _with_conv(ctx, tables)
 
 
+def scc_of_seeds(
+    ctx: GraphContext,
+    num_seeds: int = 4,
+    seed: int = 0,
+    max_rounds: int = 100_000,
+    seeds: "np.ndarray | None" = None,
+) -> rd.Dataset:
+    """Strongly-connected-component membership for a deterministic seed
+    panel on the DIRECTED graph: SCC(s) = forward-reachable(s) ∩
+    backward-reachable(s) — the FW-BW carve step, run as two
+    level-synchronous frontier sweeps per seed (out-CSR hop, then the
+    transpose in-CSR hop) over the existing BFS machinery. Seeds are
+    the ``num_seeds`` smallest splitmix64(vid + seed·2^60) (ties by
+    vid), elected by per-shard candidate merge — the driver never holds
+    an N-sized array, and membership leaves as a Dataset.
+
+    Returns Dataset(seed_vid, vid[, conv_id])."""
+    import numpy as np
+
+    P, shards = ctx.P, ctx.shards
+    if seeds is None:
+        off = (int(seed) << 60) % (1 << 64)
+        cands = ray.get([
+            s.harm_seed_candidates.remote(int(num_seeds), off) for s in shards
+        ])
+        h = np.concatenate([c[0] for c in cands])
+        vids = np.concatenate([c[1] for c in cands])
+        seeds = vids[np.lexsort((vids, h))[: int(num_seeds)]]
+    tables = []
+    for sv in seeds:
+        for expander, snapshot in (("expand_out_neighbors", True),
+                                   ("expand_in_neighbors", False)):
+            frontier = ray.get([s.bfs_init.remote(int(sv)) for s in shards])
+            level = 0
+            while any(f.size for f in frontier) and level < max_rounds:
+                level += 1
+                refs = [
+                    getattr(shards[p], expander)
+                    .options(num_returns=P + 1).remote(frontier[p])
+                    for p in range(P)
+                ]
+                frontier = ray.get([
+                    shards[p].bfs_apply.remote(level, *[refs[q][1 + p] for q in range(P)])
+                    for p in range(P)
+                ])
+            if snapshot:
+                ray.get([s.reach_snapshot.remote() for s in shards])
+        tables.extend(ray.get([s.scc_member_table.remote(int(sv)) for s in shards]))
+    return _with_conv(ctx, tables)
+
+
 def random_walks(ctx: GraphContext, length: int = 8, seed: int = 0) -> rd.Dataset:
     """Deterministic random walks over the directed out-CSR, one walk
     per vertex: the step choice idx = mix2(mix2(walk, cur), seed·2^60
@@ -572,7 +623,7 @@ def random_walks(ctx: GraphContext, length: int = 8, seed: int = 0) -> rd.Datase
         if not sum(alive):
             break
     tables = ray.get([s.walk_log_table.remote() for s in shards])
-    return rd.from_arrow(tables)
+    return tables_dataset(tables)
 
 
 def degree_distribution(ctx: GraphContext) -> rd.Dataset:
@@ -731,8 +782,8 @@ def _with_conv(ctx: GraphContext, tables) -> rd.Dataset:
             vids = t["vid"].to_numpy()
             out.append(t.append_column("conv_id", pa.array(ctx.dictionary[vids])))
         tables = out
-        return rd.from_arrow(tables)
-    ds = rd.from_arrow(tables)
+        return tables_dataset(tables)
+    ds = tables_dataset(tables)
     if ctx.dictionary_ds is not None:
         # distributed-dictionary mode: conv_id via hash join, no driver
         # gather; fractional-CPU aggregators so the join can schedule

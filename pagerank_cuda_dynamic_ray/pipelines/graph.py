@@ -278,11 +278,11 @@ class GraphContext:
 
     def out_degrees(self) -> rd.Dataset:
         tables = ray.get([s.out_degree_table.remote() for s in self.shards])
-        return rd.from_arrow(tables)
+        return tables_dataset(tables)
 
     def in_degrees(self) -> rd.Dataset:
         tables = ray.get([s.in_degree_table.remote() for s in self.shards])
-        return rd.from_arrow(tables)
+        return tables_dataset(tables)
 
     # ------------------------------------------------------------------
     # batch updates (temporal protocol, main.cu:79-147)
@@ -869,7 +869,7 @@ class GraphContext:
             if self.dictionary is not None:
                 cols["conv_id"] = pa.array(self.dictionary[vids])
             tables.append(pa.table(cols))
-        ds = rd.from_arrow(tables)
+        ds = tables_dataset(tables)
         if self.dictionary is None and self.dictionary_ds is not None:
             # fractional-CPU aggregators: the shard pool holds CPU slots
             ds = ds.join(
@@ -877,6 +877,19 @@ class GraphContext:
                 aggregator_ray_remote_args={"num_cpus": 0.25},
             ).rename_columns({"id": "conv_id"})
         return ds
+
+
+def tables_dataset(tables) -> rd.Dataset:
+    """Dataset from driver-held Arrow tables WITHOUT cluster CPU:
+    ``rd.from_arrow`` submits one default-1-CPU metadata task per table
+    and ray.get-blocks on it, which deadlocks forever when long-lived
+    shard actor pools have every CPU slot reserved (two pools open at
+    once is enough on a small node). ``from_blocks`` computes the block
+    metadata driver-side — no task, no scheduling dependency."""
+    tables = list(tables)
+    if not tables:
+        return rd.from_blocks([pa.table({})])
+    return rd.from_blocks(tables)
 
 
 def get_all_fail_fast(refs: list) -> list:

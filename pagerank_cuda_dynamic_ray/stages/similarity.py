@@ -261,3 +261,108 @@ def knn_lsh(embeddings: rd.Dataset, queries: pd.DataFrame, k: int = 10,
 
     out = partials.groupby("query_id").map_groups(merge, batch_format="pandas").to_pandas()
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# PCA over the embedding column (exact-integer distributed covariance)
+# ----------------------------------------------------------------------
+
+PCA_SCALE = 10_000  # quantization for the integer sufficient statistics
+
+
+def embedding_covariance_sums(embeddings: rd.Dataset, scale: int = PCA_SCALE,
+                              col: str = "embedding"):
+    """Exact integer covariance sufficient statistics of an embedding
+    column: n, S = Σ q, C = Σ q qᵀ with q = round(x·scale) per
+    component (float32 -> float64 first, so any engine quantizes the
+    identical doubles).
+
+    Each block ships ONE row (n, S d-vector, C d² flat) — the combiner
+    shape; the driver folds block partials in Python ints, so the fold
+    itself can never overflow. Per-block int64 bound: rows_per_block ·
+    (scale·max|x|)² must stay < 2^63 (~10^9 rows/block at unit-norm
+    embeddings with scale 10^4). Returns (n:int, S, C) with S, C
+    object-dtype (arbitrary-precision) arrays."""
+    def part(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = np.round(
+            np.stack(pdf[col].to_list()).astype(np.float64) * scale
+        ).astype(np.int64)
+        return pd.DataFrame({"n": [np.int64(len(q))],
+                             "s": [q.sum(0, dtype=np.int64)],
+                             "c": [(q.T @ q).ravel()]})
+
+    parts = embeddings.map_batches(part, batch_format="pandas").take_all()
+    if not parts:
+        raise ValueError("empty embeddings dataset")
+    d = len(parts[0]["s"])
+    n = 0
+    S = np.zeros(d, dtype=object)
+    C = np.zeros(d * d, dtype=object)
+    for r in parts:
+        n += int(r["n"])
+        S = S + np.asarray(r["s"], dtype=object)
+        C = C + np.asarray(r["c"], dtype=object)
+    return n, S, C.reshape(d, d)
+
+
+def embedding_covariance(embeddings: rd.Dataset, scale: int = PCA_SCALE,
+                         col: str = "embedding"):
+    """Upper-triangle integer covariance numerators: rows (i, j,
+    cov_num) with cov_num = n·C_ij − S_i·S_j (the covariance times
+    n², exact — cov_ij = cov_num / (n²·scale²)). All values are pure
+    integer functions of the quantized inputs, so any engine reproduces
+    them bit-for-bit."""
+    import pyarrow as pa
+
+    n, S, C = embedding_covariance_sums(embeddings, scale, col)
+    d = len(S)
+    iu, ju = np.triu_indices(d)
+    vals = [int(n) * int(C[i, j]) - int(S[i]) * int(S[j]) for i, j in zip(iu, ju)]
+    hi = max((abs(v) for v in vals), default=0)
+    if hi >= 2 ** 63:
+        raise OverflowError("covariance numerator exceeds int64; lower scale")
+    return pa.table({"i": pa.array(iu.astype(np.int64)),
+                     "j": pa.array(ju.astype(np.int64)),
+                     "cov_num": pa.array(np.array(vals, dtype=np.int64))})
+
+
+def embedding_pca(embeddings: rd.Dataset, n_components: int = 2,
+                  scale: int = PCA_SCALE, col: str = "embedding",
+                  id_col: str = "vec_id") -> rd.Dataset:
+    """PCA projection: top principal components of the exact-integer
+    covariance (eigendecomposition of the small d×d matrix on the
+    driver — d² floats, never the data), then a streaming map_batches
+    projection of every row onto the components.
+
+    Deterministic across partitionings: the covariance is exact-integer
+    (summation-order-free) and each eigenvector's sign is fixed by
+    making its largest-|coefficient| entry positive (first index wins
+    ties). Output: (<id_col>, pc0..pc{k-1} float64)."""
+    n, S, C = embedding_covariance_sums(embeddings, scale, col)
+    d = len(S)
+    mean = np.array([float(s) / (n * scale) for s in S])
+    cov = np.empty((d, d), dtype=np.float64)
+    for i in range(d):
+        for j in range(d):
+            cov[i, j] = float(int(n) * int(C[i, j]) - int(S[i]) * int(S[j])) \
+                / (float(n) * n * scale * scale)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:n_components]
+    comps = v[:, order]
+    for k in range(comps.shape[1]):
+        a = np.abs(comps[:, k])
+        lead = np.flatnonzero(a == a.max())[0]
+        if comps[lead, k] < 0:
+            comps[:, k] = -comps[:, k]
+    mean_ref = ray.put(mean)
+    comps_ref = ray.put(comps)
+
+    def proj(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf[col].to_list()).astype(np.float64)
+        p = (m - ray.get(mean_ref)) @ ray.get(comps_ref)
+        out = pd.DataFrame({id_col: pdf[id_col].to_numpy()})
+        for k in range(p.shape[1]):
+            out[f"pc{k}"] = p[:, k]
+        return out
+
+    return embeddings.map_batches(proj, batch_format="pandas")

@@ -250,5 +250,6 @@ def exact_quantiles_hist(
         rank = int(np.floor((n - 1) * float(q)))
         out_q.append(label)
         out_v.append(int(values[np.searchsorted(cum, rank + 1)]))
-    return rd.from_arrow(pa.table({"q": pa.array(out_q, type=pa.string()),
-                                   "value": pa.array(out_v, type=pa.int64())}))
+    from ..pipelines.graph import tables_dataset
+    return tables_dataset([pa.table({"q": pa.array(out_q, type=pa.string()),
+                                     "value": pa.array(out_v, type=pa.int64())})])

@@ -1285,6 +1285,35 @@ class GraphShard:
                 out = [np.unique(dsts[cuts[q]:cuts[q + 1]] // self.P) for q in range(self.P)]
         return (sum(len(o) for o in out), *out)
 
+    def expand_in_neighbors(self, src_locals: np.ndarray):
+        """In-neighbor (transpose) expansion of a frontier, per-owner
+        split — the backward hop of directed reachability (same contract
+        as expand_out_neighbors / expand_sym_neighbors)."""
+        out: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(self.P)]
+        if src_locals.size and self.in_src is not None and len(self.in_src):
+            edge_idx, _ = K.gather_subset_edges(self.in_offsets, src_locals)
+            srcs = self.in_src[edge_idx]
+            if srcs.size:
+                order, cuts = K.owner_split(srcs, self.P)
+                srcs = srcs[order]
+                out = [np.unique(srcs[cuts[q]:cuts[q + 1]] // self.P) for q in range(self.P)]
+        return (sum(len(o) for o in out), *out)
+
+    def reach_snapshot(self) -> None:
+        """Save the current BFS visited set (dist >= 0) so a second
+        (backward) sweep can reuse the dist machinery."""
+        self._reach_fwd = self.dist >= 0
+
+    def scc_member_table(self, seed_vid: int) -> pa.Table:
+        """Owned members of the seed's SCC = forward-visited (snapshot)
+        ∩ backward-visited (current dist)."""
+        m = self._reach_fwd & (self.dist >= 0)
+        vids = self.owned_vids()[m]
+        return pa.table({
+            "seed_vid": pa.array(np.full(len(vids), seed_vid, dtype=np.int64)),
+            "vid": pa.array(vids),
+        })
+
     def bfs_apply(self, level: int, *mark_arrays: np.ndarray) -> np.ndarray:
         """Set dist=level on unvisited marked vertices; returns new frontier."""
         fresh_all = []

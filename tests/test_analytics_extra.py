@@ -174,3 +174,58 @@ def test_assortativity_partition_invariance():
     r = A.degree_assortativity(c)
     c.shutdown()
     assert abs(r - float(np.corrcoef(x, y)[0, 1])) < 1e-12
+
+
+# ----------------------------------------------------------------------
+# SCC of seeds (directed forward ∩ backward reachability)
+# ----------------------------------------------------------------------
+
+@pytest.mark.parametrize("parts", [1, 3])
+def test_scc_of_seeds_known_structure(parts):
+    # cycle {0,1,2} -> 3, cycle {3,4}, isolated 5 (self-loops everywhere)
+    src = np.array([0, 1, 2, 2, 3, 4])
+    dst = np.array([1, 2, 0, 3, 4, 3])
+    c = GraphContext(6, parts, add_self_loops=True)
+    c.ingest_pairs(src, dst)
+    c.finalize()
+    got = A.scc_of_seeds(c, seeds=np.array([0, 3, 5])).to_pandas()
+    c.shutdown()
+    groups = {s: sorted(g["vid"]) for s, g in got.groupby("seed_vid")}
+    assert groups == {0: [0, 1, 2], 3: [3, 4], 5: [5]}
+
+
+def test_scc_seed_election_is_partition_invariant():
+    rng = np.random.RandomState(5)
+    src = rng.randint(0, 30, 120).astype(np.int64)
+    dst = rng.randint(0, 30, 120).astype(np.int64)
+    outs = []
+    for parts in (1, 4):
+        c = GraphContext(30, parts, add_self_loops=True)
+        c.ingest_pairs(src, dst)
+        c.finalize()
+        outs.append(A.scc_of_seeds(c, num_seeds=3, seed=0).to_pandas()
+                    .sort_values(["seed_vid", "vid"]).reset_index(drop=True))
+        c.shutdown()
+    import pandas as pd
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # brute-force check: membership == mutual reachability with the seed
+    pairs = set(zip(src.tolist(), dst.tolist())) | {(v, v) for v in range(30)}
+    adj = {v: set() for v in range(30)}
+    radj = {v: set() for v in range(30)}
+    for a, b in pairs:
+        adj[a].add(b)
+        radj[b].add(a)
+
+    def reach(s, g):
+        seen, stk = {s}, [s]
+        while stk:
+            v = stk.pop()
+            for w in g[v]:
+                if w not in seen:
+                    seen.add(w)
+                    stk.append(w)
+        return seen
+
+    for sv, g in outs[0].groupby("seed_vid"):
+        want = sorted(reach(sv, adj) & reach(sv, radj))
+        assert sorted(g["vid"]) == want

@@ -361,3 +361,60 @@ def test_pii_scrub_actor_pool_matches_tasks():
     b = (scrub_pii(rd.from_pandas(df), concurrency=2, batch_size=8).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+# ----------------------------------------------------------------------
+# embedding PCA (exact-integer covariance)
+# ----------------------------------------------------------------------
+
+def _emb_ds(n=120, d=6, seed=3):
+    rng = np.random.RandomState(seed)
+    m = rng.randn(n, d).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return m, rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [r for r in m],
+    }))
+
+
+def test_embedding_covariance_partition_invariant_and_exact():
+    m, _ = _emb_ds()
+    q = np.round(m.astype(np.float64) * similarity.PCA_SCALE).astype(np.int64)
+    n = len(q)
+    C = q.T @ q
+    S = q.sum(0)
+    outs = []
+    for parts in (1, 5):
+        _, ds = _emb_ds()
+        t = similarity.embedding_covariance(ds.repartition(parts)).to_pandas()
+        outs.append(t)
+        for _, r in t.iterrows():
+            i, j = int(r["i"]), int(r["j"])
+            assert r["cov_num"] == n * int(C[i, j]) - int(S[i]) * int(S[j])
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_embedding_pca_matches_numpy_and_is_partition_invariant():
+    m, ds = _emb_ds()
+    got1 = (similarity.embedding_pca(ds.repartition(1), n_components=2).to_pandas()
+            .sort_values("vec_id").reset_index(drop=True))
+    got5 = (similarity.embedding_pca(ds.repartition(5), n_components=2).to_pandas()
+            .sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got1, got5)
+    # numpy oracle on the QUANTIZED data (the engine's covariance is of
+    # the round(x*scale) values; projection uses the raw rows)
+    q = np.round(m.astype(np.float64) * similarity.PCA_SCALE) / similarity.PCA_SCALE
+    cov = np.cov(q, rowvar=False, bias=True)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, np.argsort(w)[::-1][:2]]
+    for k in range(2):
+        a = np.abs(comps[:, k])
+        lead = np.flatnonzero(a == a.max())[0]
+        if comps[lead, k] < 0:
+            comps[:, k] = -comps[:, k]
+    want = (m.astype(np.float64) - q.mean(0)) @ comps
+    np.testing.assert_allclose(
+        got1[["pc0", "pc1"]].to_numpy(), want, rtol=0, atol=1e-9)
+    # the two PCs are orthogonal directions of decreasing variance
+    p = got1[["pc0", "pc1"]].to_numpy()
+    assert p[:, 0].var() >= p[:, 1].var()
