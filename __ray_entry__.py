@@ -822,6 +822,16 @@ def _q_doc_quality(sf_dir: str):
         ["doc_id", "punct_ratio", "upper_ratio", "stop_ratio", "quality"])
 
 
+def _q_quality_filter(sf_dir: str):
+    """The chained training-data filter stage: score documents
+    (quality/tokens/lang, fingerprint skipped) and keep quality >= 0.2
+    with >= 5 tokens — float threshold compare is exact because the
+    score itself is hash-verified bitwise (see doc_quality)."""
+    out = TS.quality_filter(_tbl(sf_dir, "documents", ["doc_id", "text"]),
+                            min_quality=0.2, min_tokens=5)
+    return out.select_columns(["doc_id", "n_tokens_ws", "quality", "lang"])
+
+
 def _q_doc_fingerprint(sf_dir: str):
     return _analyzed_docs(sf_dir, True).select_columns(["doc_id", "fingerprint"])
 
@@ -1109,6 +1119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data family
         "exact_dedup": _q_exact_dedup,
         "pii_scrub": _q_pii_scrub,
+        "quality_filter": _q_quality_filter,
         "doc_tokens": _q_doc_tokens,
         "doc_lang": _q_doc_lang,
         "doc_quality": _q_doc_quality,
@@ -2416,6 +2427,31 @@ g AS (SELECT doc_id,
 SELECT doc_id, punct_ratio, upper_ratio, stop_ratio,
        least(greatest(0.3 + 0.5 * stop_ratio - punct_ratio - greatest(mean_token_len - 12, 0) * 0.02, 0.0), 1.0) AS quality
 FROM g""",
+        "quality_filter": rf"""
+WITH f AS (SELECT doc_id, length(text) AS n_chars,
+        len(regexp_extract_all(text, '\S+')) AS n_tok,
+        len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+        regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS ws
+      FROM documents),
+g AS (SELECT doc_id, n_tok,
+        n_punct / greatest(n_chars, 1) AS punct_ratio,
+        len(list_filter(ws, x -> x IN ({_EN}))) / greatest(n_tok, 1) AS stop_ratio,
+        (n_chars - greatest(n_tok - 1, 0)) / greatest(n_tok, 1) AS mean_token_len,
+        len(list_filter(ws, x -> x IN ({_DE}))) AS de,
+        len(list_filter(ws, x -> x IN ({_EN}))) AS en,
+        len(list_filter(ws, x -> x IN ({_ES}))) AS es,
+        len(list_filter(ws, x -> x IN ({_FR}))) AS fr
+      FROM f),
+h AS (SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens_ws,
+        least(greatest(0.3 + 0.5 * stop_ratio - punct_ratio
+                       - greatest(mean_token_len - 12, 0) * 0.02, 0.0), 1.0) AS quality,
+        CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+             WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+             WHEN en >= es AND en >= fr THEN 'en'
+             WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang
+      FROM g)
+SELECT doc_id, n_tokens_ws, quality, lang FROM h
+WHERE quality >= 0.2 AND n_tokens_ws >= 5""",
         "embedding_neardup": """
 SELECT e1.vec_id AS a, e2.vec_id AS b
 FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id

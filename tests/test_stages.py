@@ -418,3 +418,19 @@ def test_embedding_pca_matches_numpy_and_is_partition_invariant():
     # the two PCs are orthogonal directions of decreasing variance
     p = got1[["pc0", "pc1"]].to_numpy()
     assert p[:, 0].var() >= p[:, 1].var()
+
+
+def test_quality_filter_drops_low_quality_docs():
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            "the and is a good long document with many plain words here",
+            "!!! ??? ;;; ,,, ...",          # punct-heavy -> quality 0
+            "xx yy",                        # too few tokens
+            None,                           # empty -> filtered
+        ],
+    })
+    out = text_stage.quality_filter(rd.from_pandas(df), min_quality=0.2,
+                                    min_tokens=5).to_pandas()
+    assert out["doc_id"].tolist() == [0]
+    assert (out["quality"] >= 0.2).all()
