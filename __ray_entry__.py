@@ -468,6 +468,12 @@ HARM_LCM = 27720  # lcm(1..12)
 SCC_SEEDS = 4
 
 
+def _q_eccentricity_sample(sf_dir: str):
+    """Per-seed eccentricity (max BFS hop distance, undirected view)
+    for 4 hash-elected seeds — the diameter-lower-bound sampler."""
+    return A.eccentricity_sample(_graph(sf_dir), num_seeds=SCC_SEEDS, seed=0)
+
+
 def _q_scc_of_seeds(sf_dir: str):
     """SCC membership (forward ∩ backward directed reachability) for 4
     hash-elected seeds — the FW-BW carve step over the frontier
@@ -1097,6 +1103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": _q_random_walks,
         "harmonic_centrality": _q_harmonic_centrality,
         "scc_of_seeds": _q_scc_of_seeds,
+        "eccentricity_sample": _q_eccentricity_sample,
         "neighborhood_jaccard": _q_neighborhood_jaccard,
         "cc_incremental": _q_cc_incremental,
         "label_propagation": _q_label_propagation,
@@ -1462,6 +1469,31 @@ SELECT ds.vid AS seed_vid, dv.vid AS vid, f.v AS conv_id
 FROM fwd f JOIN bwd b ON b.s = f.s AND b.v = f.v
 JOIN dict ds ON ds.conv_id = f.s
 JOIN dict dv ON dv.conv_id = f.v"""
+
+
+def _sql_eccentricity_sample(seed: int = 0) -> str:
+    """eccentricity_sample replayed in SQL: the splitmix64 seed panel,
+    a depth-capped recursive BFS walk per seed (cap 64 ≥ any true
+    eccentricity here), eccentricity = max over vertices of the min
+    distance."""
+    off = (seed << 60) % (1 << 64)
+    ranked = _sm64(
+        "(SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS vid FROM ids)",
+        f"(CAST(vid AS HUGEINT) + {off}) % {_T64}",
+        "h",
+    )
+    return _GRAPH_CTE2 + f""",
+seeds AS (SELECT conv_id FROM {ranked} ORDER BY h, vid LIMIT {SCC_SEEDS}),
+hw AS (
+  WITH RECURSIVE w(s, v, d) AS (
+    SELECT conv_id, conv_id, 0 FROM seeds
+    UNION
+    SELECT w.s, e.b, w.d + 1 FROM w JOIN nbr e ON e.a = w.v WHERE w.d < 64
+  ) SELECT s, v, min(d) AS d FROM w GROUP BY s, v
+),
+dict AS (SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS vid FROM ids)
+SELECT dc.vid AS seed_vid, CAST(max(hw.d) AS BIGINT) AS eccentricity
+FROM hw JOIN dict dc ON dc.conv_id = hw.s GROUP BY 1"""
 
 
 def _sql_random_walks(seed: int = 0) -> str:
@@ -2213,6 +2245,7 @@ FROM ids i LEFT JOIN corev c ON c.v = i.conv_id""",
         "random_walks": _sql_random_walks(),
         "harmonic_centrality": _sql_harmonic_centrality(),
         "scc_of_seeds": _sql_scc_of_seeds(),
+        "eccentricity_sample": _sql_eccentricity_sample(),
         # wedges via nbr self-join; scores exact-integer (c*1e6)//(da+db-c);
         # conv_id lex order == vid order, so tie-breaks match the engine
         "neighborhood_jaccard": _GRAPH_CTE2 + f"""

@@ -540,6 +540,53 @@ def harmonic_centrality(
     return _with_conv(ctx, tables)
 
 
+def eccentricity_sample(
+    ctx: GraphContext,
+    num_seeds: int = 4,
+    seed: int = 0,
+    max_depth: int = 64,
+    seeds: "np.ndarray | None" = None,
+):
+    """Sampled eccentricities on the undirected view: per hash-elected
+    seed, the max BFS hop distance among reached vertices — max over
+    seeds is the standard diameter lower bound. One level-synchronous
+    BFS per seed over the existing frontier machinery; the only driver
+    state is the P per-shard max-reduce per seed. ``max_depth`` bounds
+    the rounds for oracle parity (any value ≥ the true eccentricity is
+    exact). Returns a small Arrow table (seed_vid, eccentricity)."""
+    import numpy as np
+    import pyarrow as pa
+
+    _ensure_symmetric(ctx)
+    P, shards = ctx.P, ctx.shards
+    if seeds is None:
+        off = (int(seed) << 60) % (1 << 64)
+        cands = ray.get([
+            s.harm_seed_candidates.remote(int(num_seeds), off) for s in shards
+        ])
+        h = np.concatenate([c[0] for c in cands])
+        vids = np.concatenate([c[1] for c in cands])
+        seeds = vids[np.lexsort((vids, h))[: int(num_seeds)]]
+    out_s, out_e = [], []
+    for sv in seeds:
+        frontier = ray.get([s.bfs_init.remote(int(sv)) for s in shards])
+        level = 0
+        while any(f.size for f in frontier) and level < max_depth:
+            level += 1
+            refs = [
+                shards[p].expand_sym_neighbors.options(num_returns=P + 1).remote(frontier[p])
+                for p in range(P)
+            ]
+            frontier = ray.get([
+                shards[p].bfs_apply.remote(level, *[refs[q][1 + p] for q in range(P)])
+                for p in range(P)
+            ])
+        out_s.append(int(sv))
+        out_e.append(max(ray.get([s.dist_max.remote() for s in shards])))
+    return pa.table({"seed_vid": pa.array(np.array(out_s, np.int64)),
+                     "eccentricity": pa.array(np.array(out_e, np.int64))})
+
+
 def scc_of_seeds(
     ctx: GraphContext,
     num_seeds: int = 4,

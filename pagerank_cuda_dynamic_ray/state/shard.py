@@ -1327,6 +1327,10 @@ class GraphShard:
     def dist_table(self) -> pa.Table:
         return pa.table({"vid": pa.array(self.owned_vids()), "distance": pa.array(self.dist)})
 
+    def dist_max(self) -> int:
+        """Max BFS distance among reached owned vertices (-1 if none)."""
+        return int(self.dist.max(initial=-1)) if self.n_local else -1
+
     # --- truncated harmonic centrality accumulator (multi-source BFS
     # reuses bfs_init/expand/apply; scores are exact integers
     # Σ floor(LCM/d) so no float summation order can differ) ---

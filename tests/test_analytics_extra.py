@@ -229,3 +229,16 @@ def test_scc_seed_election_is_partition_invariant():
     for sv, g in outs[0].groupby("seed_vid"):
         want = sorted(reach(sv, adj) & reach(sv, radj))
         assert sorted(g["vid"]) == want
+
+
+def test_eccentricity_sample_known_graph(ctx):
+    # undirected view: path 0-1-2-3-4-5 shape from the two bridged
+    # triangles; vids 6/7 isolated (no self-loops in this fixture)
+    t = A.eccentricity_sample(ctx, seeds=np.array([0, 4, 6])).to_pandas()
+    got = dict(zip(t["seed_vid"], t["eccentricity"]))
+    # brute force: ecc(0)=3 (to 4/5), ecc(4)=3 (to 0/1), ecc(6)=-1
+    # (unreached everywhere; isolated vertex never enters any frontier —
+    # bfs_init only seeds owned vertices, and 6 has no edges, so dist_max
+    # over reached is 0 at its own shard)
+    assert got[0] == 3 and got[4] == 3
+    assert got[6] == 0  # the seed itself is reached at distance 0
