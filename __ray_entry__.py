@@ -838,6 +838,43 @@ def _q_quality_filter(sf_dir: str):
     return out.select_columns(["doc_id", "n_tokens_ws", "quality", "lang"])
 
 
+def _q_curation_pipeline(sf_dir: str):
+    """End-to-end training-data curation chain, the composite a real
+    user runs: quality filter -> text semi-join (hash Dataset.join) ->
+    exact dedup (keep min-id representative per distinct text) ->
+    deterministic hash split -> per-(split, lang) rollup with source-doc
+    mass. Every stage is the already-verified library operator; the SQL
+    oracle replays the identical chain end-to-end."""
+    docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
+    kept = TS.quality_filter(docs, min_quality=0.2, min_tokens=5) \
+        .select_columns(["doc_id", "lang"])
+    kd = docs.join(kept, "inner", NUM_PARTS, on=("doc_id",),
+                   aggregator_ray_remote_args={"num_cpus": 0.25})
+    reps = D.exact_dedup(kd)
+    reps_lang = reps.join(kept, "inner", NUM_PARTS, on=("doc_id",),
+                          aggregator_ray_remote_args={"num_cpus": 0.25})
+    sp = SP.hash_split(reps_lang, SPLIT_WEIGHTS, seed=0)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["split", "lang"], sort=False)
+             .agg(n_docs=("doc_id", "size"), n_source_docs=("n_dups", "sum"))
+             .reset_index())
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["n_source_docs"] = g["n_source_docs"].astype(np.int64)
+        g["__gk"] = g["split"] + "|" + g["lang"]
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "split": [g["split"].iloc[0]], "lang": [g["lang"].iloc[0]],
+            "n_docs": np.array([g["n_docs"].sum()], np.int64),
+            "n_source_docs": np.array([g["n_source_docs"].sum()], np.int64),
+        })
+
+    return (sp.map_batches(partial, batch_format="pandas")
+            .groupby("__gk").map_groups(merge, batch_format="pandas"))
+
+
 def _q_doc_fingerprint(sf_dir: str):
     return _analyzed_docs(sf_dir, True).select_columns(["doc_id", "fingerprint"])
 
@@ -1127,6 +1164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "pii_scrub": _q_pii_scrub,
         "quality_filter": _q_quality_filter,
+        "curation_pipeline": _q_curation_pipeline,
         "doc_tokens": _q_doc_tokens,
         "doc_lang": _q_doc_lang,
         "doc_quality": _q_doc_quality,
@@ -1362,6 +1400,54 @@ t2 AS (SELECT doc_id, n_emails,
 SELECT doc_id, n_emails, n_phones,
   CAST(length(regexp_extract_all(s2, '{ip}')) AS BIGINT) AS n_ips,
   regexp_replace(s2, '{ip}', '<IP>', 'g') AS clean_text FROM t2"""
+
+
+def _sql_curation_pipeline() -> str:
+    """Replays _q_curation_pipeline: quality/lang scoring CTEs -> kept
+    semi-join -> min-id dedup per distinct text -> splitmix hash split
+    (seed 0) -> per-(split, lang) rollup."""
+    total = float(sum(SPLIT_WEIGHTS.values()))
+    names = list(SPLIT_WEIGHTS)
+    edges = np.cumsum([SPLIT_WEIGHTS[k] / total for k in names])
+    whens = " ".join(
+        f"WHEN h < CAST('{_sm_threshold(float(e))}' AS UBIGINT) THEN '{nm}'"
+        for nm, e in zip(names[:-1], edges[:-1])
+    )
+    hashed = _sm64("(SELECT * FROM reps_lang)",
+                   f"CAST(doc_id AS HUGEINT) % {_T64}", "h")
+    return rf"""
+WITH f AS (SELECT doc_id, length(text) AS n_chars,
+        len(regexp_extract_all(text, '\S+')) AS n_tok,
+        len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+        regexp_extract_all(lower(text), '[a-zà-ÿ]+') AS ws
+      FROM documents),
+g AS (SELECT doc_id, n_tok,
+        n_punct / greatest(n_chars, 1) AS punct_ratio,
+        len(list_filter(ws, x -> x IN ({_EN}))) / greatest(n_tok, 1) AS stop_ratio,
+        (n_chars - greatest(n_tok - 1, 0)) / greatest(n_tok, 1) AS mean_token_len,
+        len(list_filter(ws, x -> x IN ({_DE}))) AS de,
+        len(list_filter(ws, x -> x IN ({_EN}))) AS en,
+        len(list_filter(ws, x -> x IN ({_ES}))) AS es,
+        len(list_filter(ws, x -> x IN ({_FR}))) AS fr
+      FROM f),
+h0 AS (SELECT doc_id, n_tok,
+        least(greatest(0.3 + 0.5 * stop_ratio - punct_ratio
+                       - greatest(mean_token_len - 12, 0) * 0.02, 0.0), 1.0) AS quality,
+        CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+             WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+             WHEN en >= es AND en >= fr THEN 'en'
+             WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang
+      FROM g),
+kept AS (SELECT doc_id, lang FROM h0 WHERE quality >= 0.2 AND n_tok >= 5),
+kd AS (SELECT d.doc_id, d.text, k.lang FROM documents d JOIN kept k USING (doc_id)),
+reps AS (SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups FROM kd GROUP BY text),
+reps_lang AS (SELECT r.doc_id, r.n_dups, k.lang FROM reps r JOIN kept k USING (doc_id)),
+sp AS (SELECT doc_id, n_dups, lang,
+              CASE {whens} ELSE '{names[-1]}' END AS split
+       FROM {hashed})
+SELECT split, lang, count(*)::BIGINT AS n_docs,
+       CAST(sum(n_dups) AS BIGINT) AS n_source_docs
+FROM sp GROUP BY 1, 2"""
 
 
 def _sm_threshold(rate: float) -> int:
@@ -2303,6 +2389,7 @@ FROM terms""",
         "doc_fingerprint": _sql_fingerprint(),
         "hash_split": _sql_hash_split(),
         "pii_scrub": _sql_pii_scrub(),
+        "curation_pipeline": _sql_curation_pipeline(),
         "hll_distinct": _sql_hll_distinct(),
         "doc_len_quantiles": _sql_doc_len_quantiles(),
         "countmin_user_counts": _sql_countmin(),
