@@ -192,6 +192,25 @@ def _q_out_degrees(sf_dir: str):
     return ctx.out_degrees().map_batches(f, batch_format="pyarrow")
 
 
+def _q_edges_export(sf_dir: str):
+    """Graph export/import round trip: per-shard parallel Parquet dump
+    of the live edge set, read back with read_parquet, vids mapped to
+    conv ids — hash-verifies the portable snapshot path end-to-end."""
+    ctx = _graph(sf_dir)
+    out_dir = os.path.join(
+        "/tmp/graft_export", os.path.basename(os.path.abspath(sf_dir)))
+    ctx.export_edges_parquet(out_dir)
+    ds = rd.read_parquet(out_dir)
+    dict_ref = ray.put(ctx.dictionary)
+
+    def f(t: pa.Table) -> pa.Table:
+        d = ray.get(dict_ref)
+        return pa.table({"src_conv": pa.array(d[t["src"].to_numpy()]),
+                         "dst_conv": pa.array(d[t["dst"].to_numpy()])})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _q_degree_distribution(sf_dir: str):
     """Degree histogram (out + in) of the deduped directed graph incl.
     structural self-loops — per-shard degree tables, tiny histogram
@@ -1122,6 +1141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edges_encoded_dist": _q_edges_encoded_dist,
         "out_degrees": _q_out_degrees,
         "degree_distribution": _q_degree_distribution,
+        "edges_export": _q_edges_export,
         "degree_assortativity": _q_degree_assortativity,
         "self_loops": _q_self_loops,
         "random_batch": _q_random_batch,
@@ -2186,6 +2206,8 @@ SELECT ds.vid AS src, dd.vid AS dst, m.turn_idx
 FROM mention m JOIN dict ds ON m.src = ds.conv_id JOIN dict dd ON m.dst = dd.conv_id""",
         "out_degrees": _GRAPH_CTE
         + "\nSELECT src AS conv_id, count(*) AS outdeg FROM uedges GROUP BY src",
+        "edges_export": _GRAPH_CTE
+        + "\nSELECT src AS src_conv, dst AS dst_conv FROM uedges",
         "degree_distribution": _GRAPH_CTE + """
 , od AS (SELECT src AS v, count(*)::BIGINT AS degree FROM uedges GROUP BY src),
   idg AS (SELECT dst AS v, count(*)::BIGINT AS degree FROM uedges GROUP BY dst)

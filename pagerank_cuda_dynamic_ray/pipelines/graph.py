@@ -284,6 +284,17 @@ class GraphContext:
         tables = ray.get([s.in_degree_table.remote() for s in self.shards])
         return tables_dataset(tables)
 
+    def export_edges_parquet(self, dir_path: str) -> int:
+        """Dump the live directed edge set as hash-partitioned Parquet
+        (one file per shard, written in parallel by the owners — the
+        driver never holds an edge). Returns the edge count written.
+        Read back with ``ray.data.read_parquet(dir_path)`` or rebuild a
+        context via ``GraphContext.from_edges``."""
+        os.makedirs(dir_path, exist_ok=True)
+        return int(sum(ray.get([
+            s.write_edges_parquet.remote(dir_path) for s in self.shards
+        ])))
+
     # ------------------------------------------------------------------
     # batch updates (temporal protocol, main.cu:79-147)
     # ------------------------------------------------------------------

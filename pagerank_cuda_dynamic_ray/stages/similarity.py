@@ -291,7 +291,21 @@ def embedding_covariance_sums(embeddings: rd.Dataset, scale: int = PCA_SCALE,
                              "s": [q.sum(0, dtype=np.int64)],
                              "c": [(q.T @ q).ravel()]})
 
-    parts = embeddings.map_batches(part, batch_format="pandas").take_all()
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        # intermediate combiner: ~256 block partials -> 1 row, so the
+        # driver fetches O(blocks/256) rows instead of one per block
+        # (at 10^6 blocks the unfolded fetch is tens of GB of d² rows).
+        # int64 is safe: |C_ij| per block < rows_block·(scale·|x|)²,
+        # and one fold sums ≤ 256 of them.
+        return pd.DataFrame({
+            "n": [np.int64(pdf["n"].sum())],
+            "s": [np.sum(np.stack(pdf["s"].to_list()), axis=0, dtype=np.int64)],
+            "c": [np.sum(np.stack(pdf["c"].to_list()), axis=0, dtype=np.int64)],
+        })
+
+    parts = (embeddings.map_batches(part, batch_format="pandas")
+             .map_batches(fold, batch_format="pandas", batch_size=256)
+             .take_all())
     if not parts:
         raise ValueError("empty embeddings dataset")
     d = len(parts[0]["s"])

@@ -390,6 +390,22 @@ class GraphShard:
         self.in_w = d["in_w"] if "in_w" in d.files else None
         return self._rebuild()
 
+    def write_edges_parquet(self, dir_path: str) -> int:
+        """Write this shard's directed edge set (global vids, incl.
+        structural self-loops) as one Parquet file — the portable
+        graph-export path: P shards write in parallel, no driver
+        gather, resumable via atomic tmp+rename (the snapshot npz twin
+        for shared storage / external consumers)."""
+        lk, dst = self.out_keys // self.N, self.out_keys % self.N
+        src = lk * self.P + self.p
+        tbl = pa.table({"src": pa.array(src.astype(np.int64)),
+                        "dst": pa.array(dst.astype(np.int64))})
+        path = os.path.join(dir_path, f"part-{self.p}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+        return tbl.num_rows
+
     def count_self_loops(self) -> int:
         """countSelfLoops equivalent (/root/reference/inc/selfLoop.hxx:15-19)."""
         if self.out_offsets is None:

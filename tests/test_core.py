@@ -258,3 +258,27 @@ def test_weighted_graph_refuses_updates_and_hub_split(tiny_path):
     ctx.shutdown()
     with pytest.raises(ValueError, match="weighted"):
         GraphContext(n, 2, weighted=True, hub_split_threshold=64)
+
+
+def test_export_edges_parquet_roundtrip(tmp_path):
+    import ray.data as rd
+    from pagerank_cuda_dynamic_ray.pipelines.graph import GraphContext
+
+    src = np.array([0, 1, 2, 2, 3])
+    dst = np.array([1, 2, 0, 3, 4])
+    c = GraphContext(5, 3, add_self_loops=True)
+    c.ingest_pairs(src, dst)
+    c.finalize()
+    n = c.export_edges_parquet(str(tmp_path / "edges"))
+    assert n == c.num_edges()
+    got = rd.read_parquet(str(tmp_path / "edges")).to_pandas()
+    c.shutdown()
+    want = sorted(set(zip(src.tolist(), dst.tolist())) | {(v, v) for v in range(5)})
+    assert sorted(zip(got["src"], got["dst"])) == want
+    # a context rebuilt from the export matches the original graph
+    c2 = GraphContext(5, 2, add_self_loops=False)  # loops already in file
+    df = got
+    c2.ingest_pairs(df["src"].to_numpy(), df["dst"].to_numpy())
+    c2.finalize()
+    assert c2.num_edges() == n
+    c2.shutdown()
