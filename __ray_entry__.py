@@ -487,6 +487,20 @@ HARM_LCM = 27720  # lcm(1..12)
 SCC_SEEDS = 4
 
 
+def _q_sp_counts(sf_dir: str):
+    """Brandes forward pass from the panel's first hash-elected seed:
+    exact shortest-path counts σ(v) + hop distance per vertex — the
+    integer-verifiable heart of betweenness centrality (the backward
+    dependency sweep is float-reduction-ordered and is verified by the
+    pytest brute-force oracle instead)."""
+    ctx = _graph(sf_dir)
+    cands = ray.get([s.harm_seed_candidates.remote(1, 0) for s in ctx.shards])
+    h = np.concatenate([c[0] for c in cands])
+    vids = np.concatenate([c[1] for c in cands])
+    src = int(vids[np.lexsort((vids, h))[0]])
+    return A.shortest_path_counts(ctx, src)
+
+
 def _q_eccentricity_sample(sf_dir: str):
     """Per-seed eccentricity (max BFS hop distance, undirected view)
     for 4 hash-elected seeds — the diameter-lower-bound sampler."""
@@ -1161,6 +1175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_centrality": _q_harmonic_centrality,
         "scc_of_seeds": _q_scc_of_seeds,
         "eccentricity_sample": _q_eccentricity_sample,
+        "sp_counts": _q_sp_counts,
         "neighborhood_jaccard": _q_neighborhood_jaccard,
         "cc_incremental": _q_cc_incremental,
         "label_propagation": _q_label_propagation,
@@ -1600,6 +1615,43 @@ hw AS (
 dict AS (SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS vid FROM ids)
 SELECT dc.vid AS seed_vid, CAST(max(hw.d) AS BIGINT) AS eccentricity
 FROM hw JOIN dict dc ON dc.conv_id = hw.s GROUP BY 1"""
+
+
+def _sql_sp_counts() -> str:
+    """sp_counts replayed in SQL: min-distance BFS CTE, then σ by
+    level — the recursive working table at step k holds exactly the
+    level-k rows, so the grouped sum over it IS the Brandes forward
+    recurrence σ(v) = Σ σ(u) over dist(u)=dist(v)-1 neighbors."""
+    ranked = _sm64(
+        "(SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS vid FROM ids)",
+        f"CAST(vid AS HUGEINT) % {_T64}",
+        "h",
+    )
+    return _GRAPH_CTE2 + f""",
+seeds AS (SELECT conv_id FROM {ranked} ORDER BY h, vid LIMIT 1),
+dw AS (
+  WITH RECURSIVE w(v, d) AS (
+    SELECT conv_id, 0 FROM seeds
+    UNION
+    SELECT e.b, w.d + 1 FROM w JOIN nbr e ON e.a = w.v WHERE w.d < 64
+  ) SELECT v, min(d) AS d FROM w GROUP BY v
+),
+sig AS (
+  WITH RECURSIVE s(d, v, sg) AS (
+    SELECT 0, conv_id, CAST(1 AS BIGINT) FROM seeds
+    UNION ALL
+    SELECT s.d + 1, e.b, CAST(sum(s.sg) AS BIGINT)
+    FROM s JOIN nbr e ON e.a = s.v JOIN dw ON dw.v = e.b AND dw.d = s.d + 1
+    WHERE s.d < 64
+    GROUP BY 1, 2
+  ) SELECT v, sg FROM s
+),
+dict AS (SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS vid FROM ids)
+SELECT dc.vid AS vid, CAST(coalesce(dw.d, -1) AS BIGINT) AS distance,
+       CAST(coalesce(sig.sg, 0) AS BIGINT) AS sigma, i.conv_id
+FROM ids i JOIN dict dc USING (conv_id)
+LEFT JOIN dw ON dw.v = i.conv_id
+LEFT JOIN sig ON sig.v = i.conv_id"""
 
 
 def _sql_random_walks(seed: int = 0) -> str:
@@ -2354,6 +2406,7 @@ FROM ids i LEFT JOIN corev c ON c.v = i.conv_id""",
         "harmonic_centrality": _sql_harmonic_centrality(),
         "scc_of_seeds": _sql_scc_of_seeds(),
         "eccentricity_sample": _sql_eccentricity_sample(),
+        "sp_counts": _sql_sp_counts(),
         # wedges via nbr self-join; scores exact-integer (c*1e6)//(da+db-c);
         # conv_id lex order == vid order, so tie-breaks match the engine
         "neighborhood_jaccard": _GRAPH_CTE2 + f"""

@@ -540,6 +540,93 @@ def harmonic_centrality(
     return _with_conv(ctx, tables)
 
 
+def shortest_path_counts(ctx: GraphContext, source_vid: int,
+                         max_depth: int = 64) -> rd.Dataset:
+    """Brandes forward pass from one source on the undirected view:
+    hop distance + the EXACT number of shortest paths σ(v) per vertex
+    (level-synchronous BFS whose frontier carries per-destination
+    σ sums, combined inside each shard before the exchange). σ values
+    are integers (shipped as exact integer-valued floats ≪ 2^53), so
+    the output is hash-comparable across engines.
+    Returns Dataset(vid, distance, sigma[, conv_id]); unreached rows
+    have distance -1, sigma 0."""
+    _ensure_symmetric(ctx)
+    P, shards = ctx.P, ctx.shards
+    frontier = ray.get([s.sp_init.remote(int(source_vid)) for s in shards])
+    level = 0
+    while any(f.size for f in frontier) and level < max_depth:
+        level += 1
+        refs = [
+            shards[p].sp_expand.options(num_returns=P + 1).remote(frontier[p])
+            for p in range(P)
+        ]
+        frontier = ray.get([
+            shards[p].sp_apply.remote(level, *[refs[q][1 + p] for q in range(P)])
+            for p in range(P)
+        ])
+    tables = ray.get([s.sp_table.remote() for s in shards])
+    return _with_conv(ctx, tables)
+
+
+def betweenness_sample(
+    ctx: GraphContext,
+    num_seeds: int = 4,
+    seed: int = 0,
+    max_depth: int = 64,
+    seeds: "np.ndarray | None" = None,
+) -> rd.Dataset:
+    """Sampled betweenness centrality (Brandes, undirected, unweighted):
+    for each hash-elected seed, the forward σ pass above, then the
+    backward dependency sweep — per level L (descending), dist==L
+    vertices ship (1+δ)/σ to their neighbors and dist==L-1 owners
+    accumulate δ += σ·incoming, packs applied in fixed shard order so
+    repeat runs at a given partitioning are bit-identical (across
+    partitionings the per-shard partial-sum order differs: allclose,
+    like any float reduction).
+    Scores are the sampled sums Σ_s δ_s(v) (source excluded); divide by
+    num_seeds/N for the usual estimator scaling. Returns
+    Dataset(vid, betweenness[, conv_id])."""
+    import numpy as np
+
+    _ensure_symmetric(ctx)
+    P, shards = ctx.P, ctx.shards
+    if seeds is None:
+        off = (int(seed) << 60) % (1 << 64)
+        cands = ray.get([
+            s.harm_seed_candidates.remote(int(num_seeds), off) for s in shards
+        ])
+        h = np.concatenate([c[0] for c in cands])
+        vids = np.concatenate([c[1] for c in cands])
+        seeds = vids[np.lexsort((vids, h))[: int(num_seeds)]]
+    ray.get([s.bt_reset.remote() for s in shards])
+    for sv in seeds:
+        frontier = ray.get([s.sp_init.remote(int(sv)) for s in shards])
+        level = 0
+        while any(f.size for f in frontier) and level < max_depth:
+            level += 1
+            refs = [
+                shards[p].sp_expand.options(num_returns=P + 1).remote(frontier[p])
+                for p in range(P)
+            ]
+            frontier = ray.get([
+                shards[p].sp_apply.remote(level, *[refs[q][1 + p] for q in range(P)])
+                for p in range(P)
+            ])
+        top = max(ray.get([s.bt_levels.remote() for s in shards]))
+        for lv in range(top, 0, -1):
+            refs = [
+                shards[p].bt_emit.options(num_returns=P + 1).remote(lv)
+                for p in range(P)
+            ]
+            ray.get([
+                shards[p].bt_apply.remote(lv, *[refs[q][1 + p] for q in range(P)])
+                for p in range(P)
+            ])
+        ray.get([s.bt_accum.remote() for s in shards])
+    tables = ray.get([s.bt_table.remote() for s in shards])
+    return _with_conv(ctx, tables)
+
+
 def eccentricity_sample(
     ctx: GraphContext,
     num_seeds: int = 4,

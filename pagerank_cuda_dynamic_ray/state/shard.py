@@ -1343,6 +1343,111 @@ class GraphShard:
     def dist_table(self) -> pa.Table:
         return pa.table({"vid": pa.array(self.owned_vids()), "distance": pa.array(self.dist)})
 
+    # --- Brandes passes (shortest-path counts + dependency sweep) on
+    # the symmetric view: forward = level-synchronous BFS carrying
+    # integer path counts; backward = per-level dependency exchange ---
+
+    def sp_init(self, source_vid: int) -> np.ndarray:
+        self.dist = np.full(self.n_local, -1, dtype=np.int64)
+        self.sigma = np.zeros(self.n_local, dtype=np.int64)
+        self._delta_bt = np.zeros(self.n_local, dtype=np.float64)
+        if source_vid % self.P == self.p:
+            loc = source_vid // self.P
+            self.dist[loc] = 0
+            self.sigma[loc] = 1
+            return np.array([loc], dtype=np.int64)
+        return np.empty(0, dtype=np.int64)
+
+    def _sym_emit(self, locals_: np.ndarray, values: np.ndarray):
+        """Per-owner (local_id, value-sum) packs for the given owned
+        rows' symmetric neighbors, value replicated per edge and
+        combined per destination BEFORE shipping (int64 and float64
+        values both supported)."""
+        out = [np.empty((2, 0), dtype=np.float64) for _ in range(self.P)]
+        if locals_.size and self.sym_adj is not None and self.sym_adj.size:
+            edge_idx, bounds = K.gather_subset_edges(self.sym_offsets, locals_)
+            dsts = self.sym_adj[edge_idx]
+            vals = np.repeat(values, np.diff(bounds))
+            if dsts.size:
+                order, cuts = K.owner_split(dsts, self.P)
+                dsts, vals = dsts[order], vals[order]
+                for q in range(self.P):
+                    d = dsts[cuts[q]:cuts[q + 1]] // self.P
+                    v = vals[cuts[q]:cuts[q + 1]]
+                    u, inv = np.unique(d, return_inverse=True)
+                    s = np.bincount(inv, weights=v.astype(np.float64))
+                    out[q] = np.stack([u.astype(np.float64), s])
+        return (sum(o.shape[1] for o in out), *out)
+
+    def sp_expand(self, frontier_locals: np.ndarray):
+        """Forward hop: ship σ sums to the next level's vertices."""
+        return self._sym_emit(frontier_locals,
+                              self.sigma[frontier_locals].astype(np.float64))
+
+    def sp_apply(self, level: int, *packs) -> np.ndarray:
+        """Install dist=level on first touch; σ += incoming for vertices
+        AT this level (σ counts stay exact: they are integer-valued
+        floats well below 2^53 at any tested depth); drop contributions
+        to already-settled vertices."""
+        fresh_all = []
+        for pk in packs:
+            if pk is None or pk.shape[1] == 0:
+                continue
+            loc = pk[0].astype(np.int64)
+            fresh = loc[self.dist[loc] < 0]
+            self.dist[fresh] = level
+            at_level = self.dist[loc] == level
+            np.add.at(self.sigma, loc[at_level],
+                      pk[1][at_level].astype(np.int64))
+            fresh_all.append(fresh)
+        return np.unique(np.concatenate(fresh_all)) if fresh_all else \
+            np.empty(0, dtype=np.int64)
+
+    def sp_table(self) -> pa.Table:
+        return pa.table({"vid": pa.array(self.owned_vids()),
+                         "distance": pa.array(self.dist),
+                         "sigma": pa.array(self.sigma)})
+
+    def bt_levels(self) -> int:
+        return int(self.dist.max(initial=0)) if self.n_local else 0
+
+    def bt_emit(self, level: int):
+        """Backward hop: vertices at ``level`` ship (1+δ)/σ to their
+        neighbors (only dist==level-1 receivers will accumulate)."""
+        locs = np.flatnonzero(self.dist == level)
+        if not locs.size:
+            return (0, *[np.empty((2, 0), dtype=np.float64) for _ in range(self.P)])
+        w = (1.0 + self._delta_bt[locs]) / self.sigma[locs]
+        return self._sym_emit(locs, w)
+
+    def bt_apply(self, level: int, *packs) -> None:
+        """δ(u) += σ(u) · incoming for owned u at dist == level-1 —
+        multiplied HERE so δ is final before u's own emit at the next
+        (lower) level. Packs apply in the fixed q=0..P-1 order, so the
+        float accumulation order is deterministic for any partitioning."""
+        for pk in packs:
+            if pk is None or pk.shape[1] == 0:
+                continue
+            loc = pk[0].astype(np.int64)
+            m = self.dist[loc] == level - 1
+            sel = loc[m]
+            np.add.at(self._delta_bt, sel, self.sigma[sel] * pk[1][m])
+
+    def bt_accum(self) -> None:
+        """Fold this seed's dependencies into the running betweenness
+        accumulator (source excluded per Brandes)."""
+        if not hasattr(self, "_btw") or self._btw is None or \
+                len(self._btw) != self.n_local:
+            self._btw = np.zeros(self.n_local, dtype=np.float64)
+        self._btw += np.where(self.dist > 0, self._delta_bt, 0.0)
+
+    def bt_reset(self) -> None:
+        self._btw = np.zeros(self.n_local, dtype=np.float64)
+
+    def bt_table(self) -> pa.Table:
+        return pa.table({"vid": pa.array(self.owned_vids()),
+                         "betweenness": pa.array(self._btw)})
+
     def dist_max(self) -> int:
         """Max BFS distance among reached owned vertices (-1 if none)."""
         return int(self.dist.max(initial=-1)) if self.n_local else -1

@@ -242,3 +242,97 @@ def test_eccentricity_sample_known_graph(ctx):
     # over reached is 0 at its own shard)
     assert got[0] == 3 and got[4] == 3
     assert got[6] == 0  # the seed itself is reached at distance 0
+
+
+# ----------------------------------------------------------------------
+# Brandes: shortest-path counts + sampled betweenness
+# ----------------------------------------------------------------------
+
+def _brute_brandes(n, pairs, sources):
+    """Reference Brandes on the undirected simple graph."""
+    from collections import deque
+    adj = {v: set() for v in range(n)}
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    btw = np.zeros(n)
+    all_sp = {}
+    for s in sources:
+        dist = {s: 0}
+        sigma = {v: 0 for v in range(n)}
+        sigma[s] = 1
+        order = []
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    dq.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = {v: 0.0 for v in range(n)}
+        for w in reversed(order):
+            for v in adj[w]:
+                if dist.get(v, -9) == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                btw[w] += delta[w]
+        all_sp[s] = (dist, dict(sigma))
+    return btw, all_sp
+
+
+@pytest.mark.parametrize("parts", [1, 4])
+def test_shortest_path_counts_and_betweenness(parts):
+    rng = np.random.RandomState(9)
+    n = 40
+    src = rng.randint(0, n, 140).astype(np.int64)
+    dst = rng.randint(0, n, 140).astype(np.int64)
+    pairs = sorted(set(zip(src.tolist(), dst.tolist())))
+    seeds = [0, 7, 13]
+    btw, all_sp = _brute_brandes(n, pairs, seeds)
+    c = GraphContext(n, parts, add_self_loops=True)
+    c.ingest_pairs(src, dst)
+    c.finalize()
+    sp = (A.shortest_path_counts(c, 7).to_pandas()
+          .sort_values("vid").reset_index(drop=True))
+    dist7, sig7 = all_sp[7]
+    for v in range(n):
+        assert sp.loc[v, "distance"] == dist7.get(v, -1)
+        assert sp.loc[v, "sigma"] == (sig7[v] if v in dist7 else 0)
+    got = (A.betweenness_sample(c, seeds=np.array(seeds)).to_pandas()
+           .sort_values("vid").reset_index(drop=True))
+    c.shutdown()
+    np.testing.assert_allclose(got["betweenness"].to_numpy(), btw, atol=1e-9)
+
+
+def test_betweenness_partition_invariant_bitwise():
+    rng = np.random.RandomState(21)
+    n = 50
+    src = rng.randint(0, n, 200).astype(np.int64)
+    dst = rng.randint(0, n, 200).astype(np.int64)
+    outs = []
+    for parts in (1, 5):
+        c = GraphContext(n, parts, add_self_loops=True)
+        c.ingest_pairs(src, dst)
+        c.finalize()
+        outs.append(A.betweenness_sample(c, num_seeds=3, seed=0).to_pandas()
+                    .sort_values("vid").reset_index(drop=True))
+        c.shutdown()
+    # deterministic per partitioning; across partitionings the float
+    # combine order differs (per-shard partial sums), so allclose only
+    np.testing.assert_allclose(outs[0]["betweenness"].to_numpy(),
+                               outs[1]["betweenness"].to_numpy(),
+                               rtol=0, atol=1e-9)
+    # repeat runs at the same partitioning are bit-identical
+    c = GraphContext(n, 5, add_self_loops=True)
+    c.ingest_pairs(src, dst)
+    c.finalize()
+    a = A.betweenness_sample(c, num_seeds=3, seed=0).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    b = A.betweenness_sample(c, num_seeds=3, seed=0).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    c.shutdown()
+    assert (a["betweenness"].to_numpy() == b["betweenness"].to_numpy()).all()
