@@ -154,6 +154,17 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     A.random_walks(ctx, length=8).materialize()
     q["random_walks"] = time.perf_counter() - t0
+    # round-2 additions, timed under extra_ keys so the headline total
+    # stays comparable round over round
+    t0 = time.perf_counter()
+    A.scc_of_seeds(ctx, num_seeds=4).materialize()
+    extra["scc_of_seeds_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    A.betweenness_sample(ctx, num_seeds=2).materialize()
+    extra["betweenness_2seed_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    A.assortativity_sums(ctx)
+    extra["assortativity_s"] = time.perf_counter() - t0
     ctx.shutdown()
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
@@ -177,6 +188,15 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     SP.tfidf_top_terms(docs_full, k=5).materialize()
     q["tfidf"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    SP.inverted_index(docs_full, k=32).materialize()
+    extra["inverted_index_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    SP.cooccurrence_pmi(docs_full, window=4, top_k=50)
+    extra["cooccurrence_pmi_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    TS.scrub_pii(docs).materialize()
+    extra["pii_scrub_s"] = time.perf_counter() - t0
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id"])
     t0 = time.perf_counter()
     SK.hll_distinct(ev, "event_id")
@@ -197,7 +217,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "queries": {k: round(v, 3) for k, v in q.items()},
         "sf": _sf_of(sf_dir),
         "num_cpus": num_cpus,
-        "extra": {k: (round(v, 1) if isinstance(v, float) else v) for k, v in extra.items()},
+        "extra": {k: (round(v, 3) if isinstance(v, float) else v) for k, v in extra.items()},
     }
 
 

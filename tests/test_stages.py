@@ -367,7 +367,7 @@ def test_pii_scrub_actor_pool_matches_tasks():
 # embedding PCA (exact-integer covariance)
 # ----------------------------------------------------------------------
 
-def _emb_ds(n=120, d=6, seed=3):
+def _pca_emb_ds(n=120, d=6, seed=3):
     rng = np.random.RandomState(seed)
     m = rng.randn(n, d).astype(np.float32)
     m /= np.linalg.norm(m, axis=1, keepdims=True)
@@ -378,14 +378,14 @@ def _emb_ds(n=120, d=6, seed=3):
 
 
 def test_embedding_covariance_partition_invariant_and_exact():
-    m, _ = _emb_ds()
+    m, _ = _pca_emb_ds()
     q = np.round(m.astype(np.float64) * similarity.PCA_SCALE).astype(np.int64)
     n = len(q)
     C = q.T @ q
     S = q.sum(0)
     outs = []
     for parts in (1, 5):
-        _, ds = _emb_ds()
+        _, ds = _pca_emb_ds()
         t = similarity.embedding_covariance(ds.repartition(parts)).to_pandas()
         outs.append(t)
         for _, r in t.iterrows():
@@ -395,7 +395,7 @@ def test_embedding_covariance_partition_invariant_and_exact():
 
 
 def test_embedding_pca_matches_numpy_and_is_partition_invariant():
-    m, ds = _emb_ds()
+    m, ds = _pca_emb_ds()
     got1 = (similarity.embedding_pca(ds.repartition(1), n_components=2).to_pandas()
             .sort_values("vec_id").reset_index(drop=True))
     got5 = (similarity.embedding_pca(ds.repartition(5), n_components=2).to_pandas()
