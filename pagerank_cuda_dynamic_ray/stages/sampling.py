@@ -360,18 +360,24 @@ def cooccurrence_pmi(
             return empty
         flat = np.concatenate([np.asarray(x, object) for x in lists if len(x)])
         docidx = np.repeat(np.arange(len(lists)), lens)
+        # block-local token dictionary: ids are order-isomorphic to the
+        # strings (np.unique sorts), so min/max by id == lexicographic
+        # min/max by token — the pair key becomes ONE int64 and the
+        # hot counting path never touches Python string concatenation
+        toks_u, inv = np.unique(flat, return_inverse=True)
+        kcard = np.int64(len(toks_u))
         keys = []
         for d in range(1, window + 1):
             if len(flat) <= d:
                 break
             m = docidx[:-d] == docidx[d:]
-            a, b = flat[:-d][m], flat[d:][m]
-            lo, hi = np.minimum(a, b), np.maximum(a, b)
-            keys.append(lo + " " + hi)
+            a, b = inv[:-d][m], inv[d:][m]
+            keys.append(np.minimum(a, b) * kcard + np.maximum(a, b))
         if not keys:
             return empty
         u, c = np.unique(np.concatenate(keys), return_counts=True)
-        return pa.table({"pair": pa.array(u.astype(str)),
+        pair = toks_u[u // kcard] + " " + toks_u[u % kcard]
+        return pa.table({"pair": pa.array(pair.astype(str)),
                          "n": pa.array(c.astype(np.int64))})
 
     pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
