@@ -199,6 +199,10 @@ def _q_edges_export(sf_dir: str):
     ctx = _graph(sf_dir)
     out_dir = os.path.join(
         "/tmp/graft_export", os.path.basename(os.path.abspath(sf_dir)))
+    # wipe first: a leftover export from a run with a different shard
+    # count would leave extra part files that read_parquet would merge
+    import shutil
+    shutil.rmtree(out_dir, ignore_errors=True)
     ctx.export_edges_parquet(out_dir)
     ds = rd.read_parquet(out_dir)
     dict_ref = ray.put(ctx.dictionary)
