@@ -199,11 +199,7 @@ def _q_edges_export(sf_dir: str):
     ctx = _graph(sf_dir)
     out_dir = os.path.join(
         "/tmp/graft_export", os.path.basename(os.path.abspath(sf_dir)))
-    # wipe first: a leftover export from a run with a different shard
-    # count would leave extra part files that read_parquet would merge
-    import shutil
-    shutil.rmtree(out_dir, ignore_errors=True)
-    ctx.export_edges_parquet(out_dir)
+    ctx.export_edges_parquet(out_dir)  # clears stale part files itself
     ds = rd.read_parquet(out_dir)
     dict_ref = ray.put(ctx.dictionary)
 
@@ -498,10 +494,7 @@ def _q_sp_counts(sf_dir: str):
     dependency sweep is float-reduction-ordered and is verified by the
     pytest brute-force oracle instead)."""
     ctx = _graph(sf_dir)
-    cands = ray.get([s.harm_seed_candidates.remote(1, 0) for s in ctx.shards])
-    h = np.concatenate([c[0] for c in cands])
-    vids = np.concatenate([c[1] for c in cands])
-    src = int(vids[np.lexsort((vids, h))[0]])
+    src = int(A._elect_seeds(ctx, 1, 0)[0])
     return A.shortest_path_counts(ctx, src)
 
 
@@ -931,10 +924,15 @@ PMI_TOPK = 50
 
 def _q_cooccurrence_pmi(sf_dir: str):
     """Top-k co-occurring token pairs (window ≤ 4 positions apart) with
-    1e-6-quantized PMI from integer sufficient statistics. Pure-integer
-    winner selection; driver touches O(k) rows only."""
-    return SP.cooccurrence_pmi(_tbl(sf_dir, "documents", ["doc_id", "text"]),
-                               window=PMI_WINDOW, top_k=PMI_TOPK)
+    the integer sufficient statistics that fully determine PMI (pair
+    count, unigram counts, corpus totals). The float pmi_e6 column is
+    kept OUT of the hash gate — ln/round are not bit-portable across
+    libm builds; any engine derives the identical coefficient from the
+    verified integers. Pure-integer winner selection; driver touches
+    O(k) rows only."""
+    t = SP.cooccurrence_pmi(_tbl(sf_dir, "documents", ["doc_id", "text"]),
+                            window=PMI_WINDOW, top_k=PMI_TOPK)
+    return t.select(["pair", "n", "c_a", "c_b", "t_u", "t_p"])
 
 
 def _q_inverted_index(sf_dir: str):
@@ -2499,8 +2497,7 @@ pairs AS (SELECT least(t1.token,t2.token) || ' ' || greatest(t1.token,t2.token) 
 tp AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM pairs),
 top AS (SELECT pair, n FROM pairs ORDER BY n DESC, pair LIMIT {PMI_TOPK})
 SELECT top.pair, top.n, ua.c AS c_a, ub.c AS c_b,
-  CAST(round(ln((top.n::DOUBLE * tu.t * tu.t) / (ua.c::DOUBLE * ub.c * tp.t)) * 1e6)
-       AS BIGINT) AS pmi_e6
+  tu.t AS t_u, tp.t AS t_p
 FROM top, tu, tp
 JOIN uni ua ON ua.token = split_part(top.pair, ' ', 1)
 JOIN uni ub ON ub.token = split_part(top.pair, ' ', 2)""",

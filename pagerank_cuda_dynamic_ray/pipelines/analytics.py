@@ -508,17 +508,7 @@ def harmonic_centrality(
 
     _ensure_symmetric(ctx)
     P, shards = ctx.P, ctx.shards
-    off = (int(seed) << 60) % (1 << 64)
-
-    # distributed seed election: each shard nominates its num_seeds best
-    # (hash, vid) owned candidates; the driver merges P·num_seeds rows,
-    # never an N-sized array
-    cands = ray.get([
-        s.harm_seed_candidates.remote(int(num_seeds), off) for s in shards
-    ])
-    h = np.concatenate([c[0] for c in cands])
-    vids = np.concatenate([c[1] for c in cands])
-    seeds = vids[np.lexsort((vids, h))[: int(num_seeds)]]
+    seeds = _elect_seeds(ctx, num_seeds, seed)
     if max_depth > 12:
         raise ValueError("max_depth > 12 breaks the exact lcm(1..12) scaling")
     ray.get([s.harm_init.remote() for s in shards])
@@ -540,17 +530,25 @@ def harmonic_centrality(
     return _with_conv(ctx, tables)
 
 
-def shortest_path_counts(ctx: GraphContext, source_vid: int,
-                         max_depth: int = 64) -> rd.Dataset:
-    """Brandes forward pass from one source on the undirected view:
-    hop distance + the EXACT number of shortest paths σ(v) per vertex
-    (level-synchronous BFS whose frontier carries per-destination
-    σ sums, combined inside each shard before the exchange). σ values
-    are integers (shipped as exact integer-valued floats ≪ 2^53), so
-    the output is hash-comparable across engines.
-    Returns Dataset(vid, distance, sigma[, conv_id]); unreached rows
-    have distance -1, sigma 0."""
-    _ensure_symmetric(ctx)
+def _elect_seeds(ctx: GraphContext, num_seeds: int, seed: int) -> np.ndarray:
+    """The engine's ONE deterministic seed panel (shared by harmonic /
+    eccentricity / SCC / betweenness and replayed by their SQL oracles
+    — keep in lockstep with the ranked-CTE election in __ray_entry__):
+    the num_seeds smallest splitmix64(vid + seed·2^60), ties by vid.
+    Each shard nominates its own best k; the driver merges P·k rows,
+    never an N-sized array."""
+    off = (int(seed) << 60) % (1 << 64)
+    cands = ray.get([
+        s.harm_seed_candidates.remote(int(num_seeds), off) for s in ctx.shards
+    ])
+    h = np.concatenate([c[0] for c in cands])
+    vids = np.concatenate([c[1] for c in cands])
+    return vids[np.lexsort((vids, h))[: int(num_seeds)]]
+
+
+def _sp_forward(ctx: GraphContext, source_vid: int, max_depth: int) -> None:
+    """Brandes forward pass (dist + exact σ) left resident on the
+    shards — shared by shortest_path_counts and betweenness_sample."""
     P, shards = ctx.P, ctx.shards
     frontier = ray.get([s.sp_init.remote(int(source_vid)) for s in shards])
     level = 0
@@ -564,7 +562,21 @@ def shortest_path_counts(ctx: GraphContext, source_vid: int,
             shards[p].sp_apply.remote(level, *[refs[q][1 + p] for q in range(P)])
             for p in range(P)
         ])
-    tables = ray.get([s.sp_table.remote() for s in shards])
+
+
+def shortest_path_counts(ctx: GraphContext, source_vid: int,
+                         max_depth: int = 64) -> rd.Dataset:
+    """Brandes forward pass from one source on the undirected view:
+    hop distance + the EXACT number of shortest paths σ(v) per vertex
+    (level-synchronous BFS whose frontier carries per-destination
+    σ sums, combined inside each shard before the exchange). σ values
+    are integers (shipped as exact integer-valued floats ≪ 2^53), so
+    the output is hash-comparable across engines.
+    Returns Dataset(vid, distance, sigma[, conv_id]); unreached rows
+    have distance -1, sigma 0."""
+    _ensure_symmetric(ctx)
+    _sp_forward(ctx, source_vid, max_depth)
+    tables = ray.get([s.sp_table.remote() for s in ctx.shards])
     return _with_conv(ctx, tables)
 
 
@@ -591,27 +603,10 @@ def betweenness_sample(
     _ensure_symmetric(ctx)
     P, shards = ctx.P, ctx.shards
     if seeds is None:
-        off = (int(seed) << 60) % (1 << 64)
-        cands = ray.get([
-            s.harm_seed_candidates.remote(int(num_seeds), off) for s in shards
-        ])
-        h = np.concatenate([c[0] for c in cands])
-        vids = np.concatenate([c[1] for c in cands])
-        seeds = vids[np.lexsort((vids, h))[: int(num_seeds)]]
+        seeds = _elect_seeds(ctx, num_seeds, seed)
     ray.get([s.bt_reset.remote() for s in shards])
     for sv in seeds:
-        frontier = ray.get([s.sp_init.remote(int(sv)) for s in shards])
-        level = 0
-        while any(f.size for f in frontier) and level < max_depth:
-            level += 1
-            refs = [
-                shards[p].sp_expand.options(num_returns=P + 1).remote(frontier[p])
-                for p in range(P)
-            ]
-            frontier = ray.get([
-                shards[p].sp_apply.remote(level, *[refs[q][1 + p] for q in range(P)])
-                for p in range(P)
-            ])
+        _sp_forward(ctx, int(sv), max_depth)
         top = max(ray.get([s.bt_levels.remote() for s in shards]))
         for lv in range(top, 0, -1):
             refs = [
@@ -647,13 +642,7 @@ def eccentricity_sample(
     _ensure_symmetric(ctx)
     P, shards = ctx.P, ctx.shards
     if seeds is None:
-        off = (int(seed) << 60) % (1 << 64)
-        cands = ray.get([
-            s.harm_seed_candidates.remote(int(num_seeds), off) for s in shards
-        ])
-        h = np.concatenate([c[0] for c in cands])
-        vids = np.concatenate([c[1] for c in cands])
-        seeds = vids[np.lexsort((vids, h))[: int(num_seeds)]]
+        seeds = _elect_seeds(ctx, num_seeds, seed)
     out_s, out_e = [], []
     for sv in seeds:
         frontier = ray.get([s.bfs_init.remote(int(sv)) for s in shards])
@@ -695,13 +684,7 @@ def scc_of_seeds(
 
     P, shards = ctx.P, ctx.shards
     if seeds is None:
-        off = (int(seed) << 60) % (1 << 64)
-        cands = ray.get([
-            s.harm_seed_candidates.remote(int(num_seeds), off) for s in shards
-        ])
-        h = np.concatenate([c[0] for c in cands])
-        vids = np.concatenate([c[1] for c in cands])
-        seeds = vids[np.lexsort((vids, h))[: int(num_seeds)]]
+        seeds = _elect_seeds(ctx, num_seeds, seed)
     tables = []
     for sv in seeds:
         for expander, snapshot in (("expand_out_neighbors", True),
@@ -762,28 +745,19 @@ def random_walks(ctx: GraphContext, length: int = 8, seed: int = 0) -> rd.Datase
 
 def degree_distribution(ctx: GraphContext) -> rd.Dataset:
     """Degree histogram of the directed deduped graph (incl. structural
-    self-loops): (kind 'out'|'in', degree, n_vertices). The wide step
-    is a groupby over at most max-degree distinct keys — the per-shard
-    degree tables ship one row per owned vertex and the histogram
-    shuffle moves one row per distinct degree per block."""
+    self-loops): (kind 'out'|'in', degree, n_vertices). Histogram
+    partials are computed ON the shards (one row per distinct degree
+    per shard — the driver never gathers a per-vertex table); the merge
+    groupby touches at most P rows per (kind, degree)."""
     import pandas as pd
-
-    def hist(kind: str, col: str):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby(col, sort=False).size()
-            return pd.DataFrame({"kind": kind,
-                                 "degree": g.index.to_numpy(np.int64),
-                                 "n_vertices": g.to_numpy(np.int64)})
-        return f
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"kind": [g["kind"].iloc[0]],
                              "degree": np.array([g["degree"].iloc[0]], np.int64),
                              "n_vertices": np.array([g["n_vertices"].sum()], np.int64)})
 
-    out = (ctx.out_degrees().map_batches(hist("out", "outdeg"), batch_format="pandas"))
-    ind = (ctx.in_degrees().map_batches(hist("in", "indeg"), batch_format="pandas"))
-    both = out.union(ind)
+    tables = ray.get([s.degree_hist_table.remote() for s in ctx.shards])
+    both = tables_dataset(tables)
 
     def gk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

@@ -291,6 +291,11 @@ class GraphContext:
         Read back with ``ray.data.read_parquet(dir_path)`` or rebuild a
         context via ``GraphContext.from_edges``."""
         os.makedirs(dir_path, exist_ok=True)
+        # clear stale exports: a previous dump with MORE shards leaves
+        # part files this run would not overwrite, and read_parquet
+        # would silently merge old and new edges
+        for old in glob.glob(os.path.join(dir_path, "part-*.parquet")):
+            os.unlink(old)
         return int(sum(ray.get([
             s.write_edges_parquet.remote(dir_path) for s in self.shards
         ])))

@@ -409,5 +409,10 @@ def cooccurrence_pmi(
         "n": pa.array(n.to_numpy(np.int64)),
         "c_a": pa.array(c_a.to_numpy(np.int64)),
         "c_b": pa.array(c_b.to_numpy(np.int64)),
+        # integer corpus totals: with (n, c_a, c_b, t_u, t_p) the PMI is
+        # fully determined, so cross-engine checks can stay pure-integer
+        # (ln/round are NOT bit-portable across libm builds)
+        "t_u": pa.array(np.full(len(n), t_u, np.int64)),
+        "t_p": pa.array(np.full(len(n), t_p, np.int64)),
         "pmi_e6": pa.array(np.array(pmi, np.int64)),
     })

@@ -94,6 +94,10 @@ def quality_filter(docs: rd.Dataset, min_quality: float = 0.2,
 # patterns deliberately stay inside the regex subset where Python `re`
 # and DuckDB's RE2 agree (char classes, bounded repeats, \b, \d), so the
 # whole stage replays as nested regexp_replace in the SQL oracle.
+# Compiled with re.ASCII: Python's \d/\b are Unicode-aware by default
+# while RE2's are ASCII-only — without the flag, a digit run adjacent to
+# an accented letter (\b) or a non-ASCII digit (\d) matches differently
+# in the two engines and the hash gate diverges.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("phones", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
@@ -109,7 +113,8 @@ class PIIScrub:
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         import re
         self.text_col, self.id_col = text_col, id_col
-        self.pats = [(name, re.compile(rx), repl) for name, rx, repl in PII_PATTERNS]
+        self.pats = [(name, re.compile(rx, re.ASCII), repl)
+                     for name, rx, repl in PII_PATTERNS]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch[self.text_col].fillna("")

@@ -431,6 +431,26 @@ class GraphShard:
             {"vid": pa.array(self.owned_vids()), "indeg": pa.array(indeg.astype(np.int64))}
         )
 
+    def degree_hist_table(self) -> pa.Table:
+        """Per-shard degree histogram partials (kind 'out'|'in', degree,
+        n_vertices) — ships one row per distinct degree per shard, so
+        the driver/merge never sees an N-sized array."""
+        cols_k, cols_d, cols_n = [], [], []
+        for kind, offs in (("out", self.out_offsets), ("in", self.in_offsets)):
+            deg = (np.diff(offs) if offs is not None
+                   else np.zeros(self.n_local, dtype=np.int64))
+            vals, cnt = np.unique(deg, return_counts=True)
+            cols_k.extend([kind] * len(vals))
+            cols_d.append(vals.astype(np.int64))
+            cols_n.append(cnt.astype(np.int64))
+        return pa.table({
+            "kind": pa.array(cols_k, pa.string()),
+            "degree": pa.array(np.concatenate(cols_d) if cols_d else
+                               np.empty(0, np.int64)),
+            "n_vertices": pa.array(np.concatenate(cols_n) if cols_n else
+                                   np.empty(0, np.int64)),
+        })
+
     # ---- degree assortativity (x = outdeg(src), y = indeg(dst) per edge) ----
 
     def assort_needs(self, q: int) -> np.ndarray:
@@ -1400,6 +1420,12 @@ class GraphShard:
             np.add.at(self.sigma, loc[at_level],
                       pk[1][at_level].astype(np.int64))
             fresh_all.append(fresh)
+        # σ travels as float64 sums: beyond 2^53 the shipped values (and
+        # this int64 accumulation) would silently lose exactness — fail
+        # loudly instead (dense layered graphs can get there)
+        if self.sigma.max(initial=0) > 2 ** 53:
+            raise OverflowError(
+                "shortest-path count exceeds 2^53; sigma is no longer exact")
         return np.unique(np.concatenate(fresh_all)) if fresh_all else \
             np.empty(0, dtype=np.int64)
 
