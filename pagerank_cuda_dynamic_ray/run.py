@@ -34,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--checkpoint-every", type=int, default=10)
     ap.add_argument("--analytics", action="store_true", help="also run CC/LP/triangles")
+    ap.add_argument("--centrality", action="store_true",
+                    help="also run harmonic/betweenness/eccentricity samplers")
+    ap.add_argument("--export-edges", action="store_true",
+                    help="dump the live edge set as partitioned Parquet")
     args = ap.parse_args(argv)
 
     import ray
@@ -99,6 +103,16 @@ def main(argv: list[str] | None = None) -> int:
             tri, per = A.triangle_count(ctx)
             metrics["triangles"] = tri
             per.write_parquet(os.path.join(args.output, "triangles"))
+        if args.centrality:
+            A.harmonic_centrality(ctx).write_parquet(os.path.join(args.output, "harmonic"))
+            A.betweenness_sample(ctx, num_seeds=4).write_parquet(
+                os.path.join(args.output, "betweenness"))
+            ecc = A.eccentricity_sample(ctx, num_seeds=4)
+            metrics["diameter_lower_bound"] = int(
+                max(ecc["eccentricity"].to_pylist(), default=0))
+        if args.export_edges:
+            metrics["edges_exported"] = ctx.export_edges_parquet(
+                os.path.join(args.output, "edges"))
         ctx.shutdown()
     metrics["total_s"] = round(time.perf_counter() - t0, 3)
     with open(os.path.join(args.output, "metrics.json"), "w") as f:

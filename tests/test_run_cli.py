@@ -27,7 +27,8 @@ def test_run_cli_standalone(tmp_path):
     proc = subprocess.run(
         [sys.executable, "-m", "pagerank_cuda_dynamic_ray.run",
          "--input", fixture, "--output", out_dir,
-         "--num-parts", "2", "--variants", "static", "--analytics"],
+         "--num-parts", "2", "--variants", "static", "--analytics",
+         "--centrality", "--export-edges"],
         capture_output=True, text=True, timeout=300, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
@@ -48,3 +49,8 @@ def test_run_cli_standalone(tmp_path):
     assert abs(total - 1.0) < 1e-6
     comp = pads.dataset(os.path.join(out_dir, "components")).to_table()
     assert comp.num_rows == ranks.num_rows
+    btw = pads.dataset(os.path.join(out_dir, "betweenness")).to_table()
+    assert btw.num_rows == ranks.num_rows
+    assert metrics["diameter_lower_bound"] >= 0
+    edges = pads.dataset(os.path.join(out_dir, "edges")).to_table()
+    assert edges.num_rows == metrics["edges_exported"] == metrics["edges"]
