@@ -292,9 +292,11 @@ class GraphContext:
         context via ``GraphContext.from_edges``."""
         os.makedirs(dir_path, exist_ok=True)
         # clear stale exports: a previous dump with MORE shards leaves
-        # part files this run would not overwrite, and read_parquet
-        # would silently merge old and new edges
-        for old in glob.glob(os.path.join(dir_path, "part-*.parquet")):
+        # part files this run would not overwrite (and a crashed one can
+        # leave part-*.parquet.tmp); read_parquet reads EVERY file in
+        # the dir and would silently merge old and new edges
+        for old in glob.glob(os.path.join(dir_path, "part-*.parquet")) + \
+                glob.glob(os.path.join(dir_path, "part-*.parquet.tmp")):
             os.unlink(old)
         return int(sum(ray.get([
             s.write_edges_parquet.remote(dir_path) for s in self.shards

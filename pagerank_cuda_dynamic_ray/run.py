@@ -72,6 +72,27 @@ def main(argv: list[str] | None = None) -> int:
     os.makedirs(args.output, exist_ok=True)
     metrics: dict = {"num_parts": P, "cpus": cpus, "input": args.input}
 
+    def post_graph(ctx) -> None:
+        """The optional per-graph outputs, shared by both paths (on the
+        temporal path they run against the FINAL graph state — the full
+        input — rebuilt once after the experiment)."""
+        if args.analytics:
+            A.connected_components(ctx).write_parquet(os.path.join(args.output, "components"))
+            A.label_propagation(ctx).write_parquet(os.path.join(args.output, "labels"))
+            tri, per = A.triangle_count(ctx)
+            metrics["triangles"] = tri
+            per.write_parquet(os.path.join(args.output, "triangles"))
+        if args.centrality:
+            A.harmonic_centrality(ctx).write_parquet(os.path.join(args.output, "harmonic"))
+            A.betweenness_sample(ctx, num_seeds=4).write_parquet(
+                os.path.join(args.output, "betweenness"))
+            ecc = A.eccentricity_sample(ctx, num_seeds=4)
+            metrics["diameter_lower_bound"] = int(
+                max(ecc["eccentricity"].to_pylist(), default=0))
+        if args.export_edges:
+            metrics["edges_exported"] = ctx.export_edges_parquet(
+                os.path.join(args.output, "edges"))
+
     t0 = time.perf_counter()
     if args.temporal:
         out = api.run_temporal_experiment(
@@ -80,6 +101,11 @@ def main(argv: list[str] | None = None) -> int:
             ranks_out_dir=args.output,
         )
         metrics["experiment"] = out
+        if args.analytics or args.centrality or args.export_edges:
+            ctx, _ = api.build_graph(args.input, num_parts=P)
+            metrics["edges"] = ctx.num_edges()
+            post_graph(ctx)
+            ctx.shutdown()
     else:
         ctx, _ = api.build_graph(args.input, num_parts=P)
         metrics["edges"] = ctx.num_edges()
@@ -97,22 +123,7 @@ def main(argv: list[str] | None = None) -> int:
             ctx.ranks_dataset(res.ranks).write_parquet(
                 os.path.join(args.output, f"ranks_{v}")
             )
-        if args.analytics:
-            A.connected_components(ctx).write_parquet(os.path.join(args.output, "components"))
-            A.label_propagation(ctx).write_parquet(os.path.join(args.output, "labels"))
-            tri, per = A.triangle_count(ctx)
-            metrics["triangles"] = tri
-            per.write_parquet(os.path.join(args.output, "triangles"))
-        if args.centrality:
-            A.harmonic_centrality(ctx).write_parquet(os.path.join(args.output, "harmonic"))
-            A.betweenness_sample(ctx, num_seeds=4).write_parquet(
-                os.path.join(args.output, "betweenness"))
-            ecc = A.eccentricity_sample(ctx, num_seeds=4)
-            metrics["diameter_lower_bound"] = int(
-                max(ecc["eccentricity"].to_pylist(), default=0))
-        if args.export_edges:
-            metrics["edges_exported"] = ctx.export_edges_parquet(
-                os.path.join(args.output, "edges"))
+        post_graph(ctx)
         ctx.shutdown()
     metrics["total_s"] = round(time.perf_counter() - t0, 3)
     with open(os.path.join(args.output, "metrics.json"), "w") as f:

@@ -1417,15 +1417,17 @@ class GraphShard:
             fresh = loc[self.dist[loc] < 0]
             self.dist[fresh] = level
             at_level = self.dist[loc] == level
-            np.add.at(self.sigma, loc[at_level],
-                      pk[1][at_level].astype(np.int64))
+            touched = loc[at_level]
+            np.add.at(self.sigma, touched, pk[1][at_level].astype(np.int64))
+            # σ travels as float64 sums: AT 2^53 an incoming 2^53+1 has
+            # already rounded to 2^53 (indistinguishable), so exactness
+            # requires strictly < 2^53 — fail loudly otherwise. Checked
+            # per pack over the touched entries only (O(frontier), not
+            # an O(n) scan per level).
+            if touched.size and self.sigma[touched].max() >= 2 ** 53:
+                raise OverflowError(
+                    "shortest-path count reaches 2^53; sigma is no longer exact")
             fresh_all.append(fresh)
-        # σ travels as float64 sums: beyond 2^53 the shipped values (and
-        # this int64 accumulation) would silently lose exactness — fail
-        # loudly instead (dense layered graphs can get there)
-        if self.sigma.max(initial=0) > 2 ** 53:
-            raise OverflowError(
-                "shortest-path count exceeds 2^53; sigma is no longer exact")
         return np.unique(np.concatenate(fresh_all)) if fresh_all else \
             np.empty(0, dtype=np.int64)
 
