@@ -487,6 +487,13 @@ HARM_LCM = 27720  # lcm(1..12)
 SCC_SEEDS = 4
 
 
+def _q_edge_support(sf_dir: str):
+    """Per-edge triangle support (the static heart of k-truss): wedge
+    combine reused from link prediction, per-shard edge lookup, zero
+    extra exchange. Σ support = 3·triangles."""
+    return A.edge_triangle_support(_graph(sf_dir))
+
+
 def _q_sp_counts(sf_dir: str):
     """Brandes forward pass from the panel's first hash-elected seed:
     exact shortest-path counts σ(v) + hop distance per vertex — the
@@ -1178,6 +1185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_of_seeds": _q_scc_of_seeds,
         "eccentricity_sample": _q_eccentricity_sample,
         "sp_counts": _q_sp_counts,
+        "edge_support": _q_edge_support,
         "neighborhood_jaccard": _q_neighborhood_jaccard,
         "cc_incremental": _q_cc_incremental,
         "label_propagation": _q_label_propagation,
@@ -2409,6 +2417,16 @@ FROM ids i LEFT JOIN corev c ON c.v = i.conv_id""",
         "scc_of_seeds": _sql_scc_of_seeds(),
         "eccentricity_sample": _sql_eccentricity_sample(),
         "sp_counts": _sql_sp_counts(),
+        "edge_support": _GRAPH_CTE2 + """,
+cn AS (SELECT n1.a AS x, n2.a AS y, CAST(count(*) AS BIGINT) AS cnt
+       FROM nbr n1 JOIN nbr n2 ON n1.b = n2.b AND n1.a < n2.a
+       GROUP BY 1, 2),
+dict AS (SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS vid FROM ids)
+SELECT da.vid AS a, db.vid AS b, CAST(coalesce(cn.cnt, 0) AS BIGINT) AS support
+FROM und e
+JOIN dict da ON da.conv_id = e.a
+JOIN dict db ON db.conv_id = e.b
+LEFT JOIN cn ON cn.x = e.a AND cn.y = e.b""",
         # wedges via nbr self-join; scores exact-integer (c*1e6)//(da+db-c);
         # conv_id lex order == vid order, so tie-breaks match the engine
         "neighborhood_jaccard": _GRAPH_CTE2 + f"""

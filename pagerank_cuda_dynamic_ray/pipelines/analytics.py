@@ -486,6 +486,33 @@ def neighborhood_jaccard(
     )])
 
 
+def edge_triangle_support(ctx: GraphContext,
+                          max_pairs: int = 4_000_000) -> rd.Dataset:
+    """Per-edge triangle support |N(a)∩N(b)| for every undirected edge
+    (a < b) — the static heart of k-truss. Reuses the link-prediction
+    wedge combine (chunked per-apex emission, owner(lo)-routed
+    sorted-merge fold), then each shard looks its OWN edges up in the
+    combined counts (edges in no triangle get 0) — no extra exchange.
+    Identity: Σ support = 3·triangles. Returns Dataset(a, b, support)."""
+    import numpy as np
+
+    _ensure_symmetric(ctx)
+    P, shards = ctx.P, ctx.shards
+    nch = max(ray.get([s.jac_plan_chunks.remote(max_pairs) for s in shards]))
+    ray.get([s.jac_reset.remote() for s in shards])
+    for k in range(nch):
+        refs = [
+            shards[p].jac_pairs_chunk_routed.options(num_returns=P + 1).remote(k)
+            for p in range(P)
+        ]
+        ray.get([
+            shards[p].jac_accept.remote(*[refs[q][1 + p] for q in range(P)])
+            for p in range(P)
+        ])
+    tables = ray.get([s.edge_support_table.remote() for s in shards])
+    return tables_dataset(tables)
+
+
 HARM_LCM_12 = 27720  # lcm(1..12): 1/d sums become exact integers
 
 

@@ -2032,6 +2032,32 @@ class GraphShard:
     # symmetric CSR — the dynamic analogue of the tri_* family)
     # ------------------------------------------------------------------
 
+    def edge_support_table(self) -> pa.Table:
+        """Per-edge triangle support for owned undirected edges (a, b)
+        with a < b: the combined wedge-pair counts (jac_accept state)
+        looked up per edge, 0 when the pair closed no wedge — the
+        static heart of k-truss. One row per owned und edge."""
+        offs, adj = self.sym_offsets, self.sym_adj
+        if adj is None or not len(adj):
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "support": pa.array([], pa.int64())})
+        a = np.repeat(self.owned_vids(), np.diff(offs))
+        b = adj
+        m = b > a
+        a, b = a[m], b[m]
+        key = a * self.N + b
+        keys, counts = self._jac_keys, self._jac_counts
+        if len(keys):
+            pos = np.searchsorted(keys, key)
+            posc = np.minimum(pos, len(keys) - 1)
+            has = keys[posc] == key
+            support = np.where(has, counts[posc], 0).astype(np.int64)
+        else:
+            support = np.zeros(len(a), dtype=np.int64)
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "support": pa.array(support)})
+
     def sym_member(self, pairs: np.ndarray) -> np.ndarray:
         """Undirected-edge membership: for each column (a, b) with a
         owned here, is b ∈ N(a) in the symmetric CSR? Vectorized

@@ -336,3 +336,29 @@ def test_betweenness_partition_invariant_bitwise():
         .sort_values("vid").reset_index(drop=True)
     c.shutdown()
     assert (a["betweenness"].to_numpy() == b["betweenness"].to_numpy()).all()
+
+
+@pytest.mark.parametrize("parts", [1, 4])
+def test_edge_triangle_support(parts):
+    rng = np.random.RandomState(17)
+    n = 30
+    src = rng.randint(0, n, 150).astype(np.int64)
+    dst = rng.randint(0, n, 150).astype(np.int64)
+    c = GraphContext(n, parts, add_self_loops=True)
+    c.ingest_pairs(src, dst)
+    c.finalize()
+    got = (A.edge_triangle_support(c).to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    tri, _ = A.triangle_count(c)
+    c.shutdown()
+    # brute force: undirected simple edges + common-neighbor counts
+    adj = {v: set() for v in range(n)}
+    for x, y in zip(src.tolist(), dst.tolist()):
+        if x != y:
+            adj[x].add(y)
+            adj[y].add(x)
+    edges = sorted((a, b) for a in range(n) for b in adj[a] if a < b)
+    assert list(zip(got["a"], got["b"])) == edges
+    want = [len(adj[a] & adj[b]) for a, b in edges]
+    assert got["support"].tolist() == want
+    assert got["support"].sum() == 3 * tri   # every triangle has 3 edges
