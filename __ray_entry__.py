@@ -494,6 +494,18 @@ def _q_edge_support(sf_dir: str):
     return A.edge_triangle_support(_graph(sf_dir))
 
 
+KTRUSS_K = 3  # the sf0.01 fixture graph has a 3-truss core but no 4-truss
+KTRUSS_ROUNDS = 8
+
+
+def _q_ktruss(sf_dir: str):
+    """3-truss subgraph: iterated support peel (shard-resident first
+    round, join-free sorted-segment Ray Data rounds after), bounded at
+    KTRUSS_ROUNDS — the SQL oracle unrolls the same bound so both sides
+    agree even if the bound binds."""
+    return A.ktruss_edges(_graph(sf_dir), k=KTRUSS_K, rounds=KTRUSS_ROUNDS)
+
+
 def _q_sp_counts(sf_dir: str):
     """Brandes forward pass from the panel's first hash-elected seed:
     exact shortest-path counts σ(v) + hop distance per vertex — the
@@ -1186,6 +1198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eccentricity_sample": _q_eccentricity_sample,
         "sp_counts": _q_sp_counts,
         "edge_support": _q_edge_support,
+        "ktruss": _q_ktruss,
         "neighborhood_jaccard": _q_neighborhood_jaccard,
         "cc_incremental": _q_cc_incremental,
         "label_propagation": _q_label_propagation,
@@ -1625,6 +1638,34 @@ hw AS (
 dict AS (SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS vid FROM ids)
 SELECT dc.vid AS seed_vid, CAST(max(hw.d) AS BIGINT) AS eccentricity
 FROM hw JOIN dict dc ON dc.conv_id = hw.s GROUP BY 1"""
+
+
+def _sql_ktruss(k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS) -> str:
+    """ktruss_edges replayed in SQL: the peel unrolled as a fixed chain
+    of CTE rounds (a recursive CTE cannot self-join its working table,
+    which the wedge recount needs — unrolling sidesteps the one-
+    reference rule; extra rounds past the fixpoint are no-ops on both
+    sides)."""
+    parts = []
+    prev = "und"
+    for r in range(1, rounds + 1):
+        # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs,
+        # and each round references the previous one ~5 times, so the
+        # un-materialized unroll expands 5^rounds scans of the parquet
+        parts.append(f"""
+d{r} AS MATERIALIZED (SELECT a AS x, b AS y FROM {prev} UNION ALL SELECT b, a FROM {prev}),
+t{r} AS MATERIALIZED (SELECT e.a, e.b FROM {prev} e JOIN (
+    SELECT n1.x AS p, n2.x AS q, count(*) AS c
+    FROM d{r} n1 JOIN d{r} n2 ON n1.y = n2.y AND n1.x < n2.x
+    GROUP BY 1, 2) cn
+  ON cn.p = e.a AND cn.q = e.b AND cn.c >= {k - 2})""")
+        prev = f"t{r}"
+    return _GRAPH_CTE + "," + ",".join(parts) + f""",
+dict AS (SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS vid FROM ids)
+SELECT da.vid AS a, db.vid AS b
+FROM {prev} e
+JOIN dict da ON da.conv_id = e.a
+JOIN dict db ON db.conv_id = e.b"""
 
 
 def _sql_sp_counts() -> str:
@@ -2427,6 +2468,7 @@ FROM und e
 JOIN dict da ON da.conv_id = e.a
 JOIN dict db ON db.conv_id = e.b
 LEFT JOIN cn ON cn.x = e.a AND cn.y = e.b""",
+        "ktruss": _sql_ktruss(),
         # wedges via nbr self-join; scores exact-integer (c*1e6)//(da+db-c);
         # conv_id lex order == vid order, so tie-breaks match the engine
         "neighborhood_jaccard": _GRAPH_CTE2 + f"""

@@ -11,6 +11,7 @@ mark-shuffle / convergence-tree-reduce machinery (SURVEY.md §2.9).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import ray
 import ray.data as rd
 
@@ -511,6 +512,151 @@ def edge_triangle_support(ctx: GraphContext,
         ])
     tables = ray.get([s.edge_support_table.remote() for s in shards])
     return tables_dataset(tables)
+
+
+_TRUSS_EDGE_TAG = np.int64(1) << 40  # > any wedge count; marks "edge exists"
+
+
+def _wedge_pairs(nbrs: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+                 N: int) -> np.ndarray:
+    """Encoded (p<q) neighbor-pair keys for each center segment.
+    Neighbors within one center are distinct (simple a<b edge set), so
+    the emission is exact — no cap, unlike the LSH ``_segment_pairs``."""
+    out: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        if e - s >= 2:
+            nb = np.sort(nbrs[s:e])
+            iu, ju = np.triu_indices(len(nb), k=1)
+            out.append(nb[iu] * np.int64(N) + nb[ju])
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(out)
+
+
+def _truss_round(E: rd.Dataset, N: int, P: int, k: int) -> rd.Dataset:
+    """One k-truss peel round over an edge Dataset (a < b): recompute
+    per-edge support WITHIN the surviving subgraph and keep support
+    >= k-2. Pure Ray Data, and deliberately JOIN-FREE: Ray 2.49's hash
+    join crashes on hash partitions that receive zero blocks (empty
+    schema on one acero side), which sparse survivor sets hit readily.
+
+    Shape: sort directed copies by the wedge center, emit neighbor-pair
+    counts per in-block segment (the ``bucket_pairs`` sorted-segment
+    pattern from stages/dedup.py), fix up the <=2 boundary segments per
+    block driver-side, then one groupby("key") SUM where every real
+    edge also contributes a sentinel _TRUSS_EDGE_TAG — an edge survives
+    iff its key sums to >= TAG + (k-2), i.e. the semi-join is a sum.
+    Driver-side state is O(blocks x straddle width); survivor sets
+    shrink monotonically, so later rounds run on small inputs."""
+    import pyarrow as pa
+
+    def dirs(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"c": pa.array(np.concatenate([a, b])),
+                         "n": pa.array(np.concatenate([b, a]))})
+
+    srt = E.map_batches(dirs, batch_format="pyarrow").sort("c").materialize()
+
+    def block_wedges(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        nn = t["n"].to_numpy(zero_copy_only=False)
+        if len(c) == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        bounds = np.flatnonzero(np.diff(c)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(c)]])
+        # first/last segment may continue in a neighboring block — the
+        # boundary pass owns those
+        key = _wedge_pairs(nn, starts[1:-1], ends[1:-1], N)
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(u.astype(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    def block_boundaries(batch: pd.DataFrame) -> pd.DataFrame:
+        c = batch["c"].to_numpy()
+        nn = batch["n"].to_numpy()
+        empty = pd.DataFrame({"c": np.empty(0, np.int64),
+                              "n": np.empty(0, np.int64)})
+        if len(c) == 0:
+            return empty
+        bounds = np.flatnonzero(np.diff(c)) + 1
+        if len(bounds) == 0:  # single segment: emit ONCE (it is both
+            return pd.DataFrame({"c": c, "n": nn})  # first and last)
+        sel = np.concatenate([np.arange(0, bounds[0]),
+                              np.arange(bounds[-1], len(c))])
+        return pd.DataFrame({"c": c[sel], "n": nn[sel]})
+
+    wedge_counts = srt.map_batches(block_wedges, batch_format="pyarrow",
+                                   batch_size=None)
+    bnd = srt.map_batches(block_boundaries, batch_format="pandas",
+                          batch_size=None).to_pandas()
+    extras = []
+    if len(bnd):
+        bnd = bnd.sort_values(["c", "n"])
+        c = bnd["c"].to_numpy()
+        nn = bnd["n"].to_numpy()
+        bounds = np.flatnonzero(np.diff(c)) + 1
+        key = _wedge_pairs(nn, np.concatenate([[0], bounds]),
+                           np.concatenate([bounds, [len(c)]]), N)
+        if len(key):
+            u, cnt = np.unique(key, return_counts=True)
+            extras.append(pa.table({"key": pa.array(u),
+                                    "cnt": pa.array(cnt.astype(np.int64))}))
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"key": pa.array(a * np.int64(N) + b),
+                         "cnt": pa.array(np.full(len(a), _TRUSS_EDGE_TAG))})
+
+    tagged = wedge_counts.union(E.map_batches(edge_rows, batch_format="pyarrow"))
+    if extras:
+        tagged = tagged.union(tables_dataset(extras))
+    summed = tagged.groupby("key").sum("cnt")
+
+    def decode(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names:  # typed-empty aggregate block
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        key = t["key"].to_numpy(zero_copy_only=False)
+        tot = t["sum(cnt)"].to_numpy(zero_copy_only=False)
+        keep = key[tot >= _TRUSS_EDGE_TAG + (k - 2)]
+        return pa.table({"a": pa.array(keep // N), "b": pa.array(keep % N)})
+
+    return summed.map_batches(decode, batch_format="pyarrow")
+
+
+def ktruss_edges(ctx: GraphContext, k: int = 4, rounds: int = 8) -> rd.Dataset:
+    """k-truss subgraph: the surviving undirected edges after iterated
+    support peeling (every kept edge closes >= k-2 triangles among kept
+    edges). Round 1 rides the shard-resident wedge combine
+    (edge_triangle_support); later rounds recompute support over the
+    shrinking survivor Dataset with pure Ray Data joins (_truss_round).
+    ``rounds`` bounds the peel; after the fixpoint extra rounds no-op,
+    and the SQL oracle unrolls the SAME bound, so both sides agree even
+    if the bound binds. Returns Dataset(a, b) with a < b."""
+    import pyarrow as pa
+
+    E = (edge_triangle_support(ctx)
+         .filter(expr=f"support >= {k - 2}")
+         .select_columns(["a", "b"]))
+    n_alive = E.count()
+    for _ in range(1, rounds):
+        if n_alive == 0:
+            break
+        E = _truss_round(E, ctx.N, ctx.P, k).materialize()
+        n_next = E.count()
+        if n_next == n_alive:
+            break
+        n_alive = n_next
+    if n_alive == 0:
+        # a fully-peeled graph must still carry the (a, b) schema —
+        # Ray drops empty blocks through the aggregate, losing it
+        return tables_dataset([pa.table({"a": pa.array([], pa.int64()),
+                                         "b": pa.array([], pa.int64())})])
+    return E
 
 
 HARM_LCM_12 = 27720  # lcm(1..12): 1/d sums become exact integers

@@ -362,3 +362,52 @@ def test_edge_triangle_support(parts):
     want = [len(adj[a] & adj[b]) for a, b in edges]
     assert got["support"].tolist() == want
     assert got["support"].sum() == 3 * tri   # every triangle has 3 edges
+
+
+@pytest.mark.parametrize("parts", [1, 3])
+def test_ktruss_edges(parts):
+    # K5 (a 5-truss=“every edge in 3 triangles” clique) + a pendant
+    # triangle chain that any k=4 peel must strip entirely
+    src = np.array([0, 0, 0, 0, 1, 1, 1, 2, 2, 3, 4, 5, 5, 6])
+    dst = np.array([1, 2, 3, 4, 2, 3, 4, 3, 4, 4, 5, 6, 7, 7])
+    c = GraphContext(8, parts, add_self_loops=True)
+    c.ingest_pairs(src, dst)
+    c.finalize()
+    got4 = (A.ktruss_edges(c, k=4).to_pandas()
+            .sort_values(["a", "b"]).reset_index(drop=True))
+    got5 = (A.ktruss_edges(c, k=5).to_pandas()
+            .sort_values(["a", "b"]).reset_index(drop=True))
+    got6 = A.ktruss_edges(c, k=6).to_pandas()
+    c.shutdown()
+    k5 = sorted((a, b) for a in range(5) for b in range(a + 1, 5))
+    # k=4: the K5 clique survives (each edge in 3 clique triangles);
+    # the 4-5-6-7 tail has edges in <=1 triangle and must peel away
+    assert list(zip(got4["a"], got4["b"])) == k5
+    assert list(zip(got5["a"], got5["b"])) == k5  # K5 is a 5-truss too
+    assert len(got6) == 0                         # but not a 6-truss
+
+
+def test_ktruss_bruteforce_random():
+    rng = np.random.RandomState(23)
+    n = 25
+    src = rng.randint(0, n, 130).astype(np.int64)
+    dst = rng.randint(0, n, 130).astype(np.int64)
+    # brute force peel
+    edges = {(min(a, b), max(a, b)) for a, b in zip(src.tolist(), dst.tolist()) if a != b}
+    k = 4
+    while True:
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        dead = {(a, b) for a, b in edges if len(adj[a] & adj[b]) < k - 2}
+        if not dead:
+            break
+        edges -= dead
+    c = GraphContext(n, 3, add_self_loops=True)
+    c.ingest_pairs(src, dst)
+    c.finalize()
+    got = (A.ktruss_edges(c, k=k).to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    c.shutdown()
+    assert list(zip(got["a"], got["b"])) == sorted(edges)
