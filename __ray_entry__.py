@@ -32,6 +32,7 @@ from pagerank_cuda_dynamic_ray.options import PagerankOptions
 from pagerank_cuda_dynamic_ray.pipelines import analytics as A
 from pagerank_cuda_dynamic_ray.sources import edges as E
 from pagerank_cuda_dynamic_ray.sources import transcripts as T
+from pagerank_cuda_dynamic_ray.stages import clustering as C
 from pagerank_cuda_dynamic_ray.stages import dedup as D
 from pagerank_cuda_dynamic_ray.stages import multimodal as MM
 from pagerank_cuda_dynamic_ray.stages import sampling as SP
@@ -1113,6 +1114,20 @@ def _q_embedding_covariance(sf_dir: str):
     return S.embedding_covariance(_tbl(sf_dir, "embeddings", ["vec_id", "embedding"]))
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 4
+
+
+def _q_kmeans_clusters(sf_dir: str):
+    """Deterministic exact-int k-means over the embedding column
+    (stages/clustering.py): fixed Lloyd rounds on integer-quantized
+    coordinates with truncating centroid division, so the full
+    assignment vector is hash-verifiable against an unrolled SQL
+    replay."""
+    return C.kmeans_assign(_tbl(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                           k=KMEANS_K, iters=KMEANS_ITERS)
+
+
 def _q_knn_bruteforce(sf_dir: str):
     emb = _tbl(sf_dir, "embeddings", ["vec_id", "embedding"])
     out = S.knn_bruteforce(emb, _knn_queries(sf_dir), k=10)
@@ -1244,6 +1259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "embedding_covariance": _q_embedding_covariance,
+        "kmeans_clusters": _q_kmeans_clusters,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
@@ -1666,6 +1682,51 @@ SELECT da.vid AS a, db.vid AS b
 FROM {prev} e
 JOIN dict da ON da.conv_id = e.a
 JOIN dict db ON db.conv_id = e.b"""
+
+
+def _sql_kmeans(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                scale: int = 1 << 20) -> str:
+    """kmeans_clusters replayed in SQL: the fixed Lloyd rounds unrolled
+    as MATERIALIZED CTEs over the unnested quantized coordinates.
+    Integer-exact end to end — quantize floor(f64(x)*scale), distances
+    and sums in BIGINT, centroid update with DuckDB's truncating `//`,
+    argmin ties to the lowest cluster (ORDER BY dist, ctr) — so the
+    assignment vector hash-matches the engine bit for bit."""
+    rounds = []
+    prev = "c0"
+    for r in range(1, iters + 1):
+        rounds.append(f"""
+a{r} AS MATERIALIZED (
+  SELECT e.vec_id, c.ctr,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY sum((e.val - c.cval) * (e.val - c.cval)), c.ctr) AS rn
+  FROM emb e JOIN {prev} c USING (dim)
+  GROUP BY e.vec_id, c.ctr),
+c{r} AS MATERIALIZED (
+  SELECT p.ctr, p.dim, COALESCE(s.sval // s.cnt, p.cval) AS cval
+  FROM {prev} p LEFT JOIN (
+    SELECT a.ctr, e.dim, sum(e.val) AS sval, count(*) AS cnt
+    FROM a{r} a JOIN emb e USING (vec_id)
+    WHERE a.rn = 1 GROUP BY a.ctr, e.dim) s
+  ON s.ctr = p.ctr AND s.dim = p.dim)""")
+        prev = f"c{r}"
+    return f"""WITH emb AS MATERIALIZED (
+  SELECT vec_id,
+         unnest(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT))) AS val,
+         unnest(range(len(embedding))) AS dim
+  FROM embeddings),
+c0 AS MATERIALIZED (
+  SELECT r - 1 AS ctr, dim, val AS cval
+  FROM (SELECT dense_rank() OVER (ORDER BY vec_id) AS r, dim, val FROM emb)
+  WHERE r <= {k}),{",".join(rounds)},
+afin AS (
+  SELECT e.vec_id, c.ctr,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY sum((e.val - c.cval) * (e.val - c.cval)), c.ctr) AS rn
+  FROM emb e JOIN {prev} c USING (dim)
+  GROUP BY e.vec_id, c.ctr)
+SELECT vec_id, CAST(ctr AS BIGINT) AS cluster FROM afin WHERE rn = 1"""
 
 
 def _sql_sp_counts() -> str:
@@ -2725,6 +2786,7 @@ SELECT c.i, c.j, CAST(nn.n * c.c - sa.s * sb.s AS BIGINT) AS cov_num
 FROM c, nn
 JOIN s sa ON sa.i = c.i
 JOIN s sb ON sb.i = c.j""",
+        "kmeans_clusters": _sql_kmeans(),
         "knn_bruteforce": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5),
 s AS (SELECT q.qid, e.vec_id AS nid, list_cosine_similarity(q.qe, e.embedding) AS cos

@@ -1,0 +1,112 @@
+"""Deterministic exact-integer k-means over an embedding column.
+
+Topic/diversity clustering is a core curation primitive for a training
+-data pipeline (cluster-balanced sampling, near-dup triage, domain
+mixing). The reference engine has no clustering operator; this one is
+designed Ray-Data-first and — unusually for k-means — is *bit
+reproducible and replayable in ANSI SQL*, so the driver's DuckDB
+correctness gate can hash-verify the full assignment vector:
+
+- coordinates are integer-quantized once: ``q = floor(float64(x) *
+  scale)`` (exact for float32 inputs);
+- distances, partial sums and centroid updates are all exact int64, so
+  block/partition order cannot perturb anything;
+- the centroid update is TRUNCATING division (DuckDB's integer ``//``
+  truncates toward zero; numpy's floors — we match DuckDB);
+- init = the vectors of the ``k`` smallest vec_ids; argmin ties break
+  to the lowest cluster id. Lloyd rounds are FIXED (no convergence
+  test), so the SQL oracle unrolls the same ``iters`` rounds.
+
+Scale shape: one streaming ``map_batches`` scan per round emitting a
+(k x d) partial-sum combiner per block — the driver folds k*d ints per
+block, never the data; centroids broadcast via ``ray.put``. No shuffle
+anywhere. At 100 TB this is ``iters + 2`` scans, each
+embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+import ray.data as rd
+
+KMEANS_SCALE = 1 << 20  # |x| <~ 2^43-sqrt headroom at dim 64; exact for f32
+
+
+def _quantize(batch: pd.DataFrame, scale: int, col: str) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy()
+    m = np.stack(batch[col].to_list()).astype(np.float64)
+    return ids, np.floor(m * float(scale)).astype(np.int64)
+
+
+def _trunc_div(s: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Integer division truncating toward zero (DuckDB ``//``)."""
+    return np.sign(s) * (np.abs(s) // c)
+
+
+def _init_centroids(embeddings: rd.Dataset, k: int, scale: int, col: str) -> np.ndarray:
+    """Vectors of the k smallest vec_ids: per-block k-smallest partials
+    (combiner), tiny driver fold — never the dataset."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, q = _quantize(batch, scale, col)
+        sel = np.argsort(ids, kind="stable")[:k]
+        return pd.DataFrame({"vec_id": ids[sel], "q": list(q[sel])})
+
+    top = embeddings.map_batches(partial, batch_format="pandas").to_pandas()
+    top = top.sort_values("vec_id").head(k)
+    return np.stack(top["q"].to_list()).astype(np.int64)
+
+
+def _assign(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Exact-int argmin cluster per row; ties -> lowest cluster id."""
+    d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d2, axis=1)
+
+
+def kmeans_assign(embeddings: rd.Dataset, k: int = 8, iters: int = 4,
+                  scale: int = KMEANS_SCALE, col: str = "embedding") -> rd.Dataset:
+    """Fixed-round distributed Lloyd; returns Dataset(vec_id, cluster).
+
+    ``iters`` centroid updates, then one final assignment pass with the
+    settled centroids (what the SQL oracle replays round for round)."""
+    cents = _init_centroids(embeddings, k, scale, col)
+    dim = cents.shape[1]
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial_sums(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+            c = ray.get(_ref)
+            _, q = _quantize(batch, scale, col)
+            a = _assign(q, c)
+            sums = np.zeros((k, dim), dtype=np.int64)
+            np.add.at(sums, a, q)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            return pd.DataFrame({"cluster": np.arange(k, dtype=np.int64),
+                                 "cnt": cnt, "s": list(sums)})
+
+        part = embeddings.map_batches(partial_sums, batch_format="pandas",
+                                      batch_size=4096).to_pandas()
+        cnt = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        for cl, n, s in zip(part["cluster"].to_numpy(), part["cnt"].to_numpy(),
+                            part["s"].to_list()):
+            cnt[cl] += n
+            sums[cl] += np.asarray(s, dtype=np.int64)
+        nonempty = cnt > 0
+        nxt = cents.copy()  # empty cluster keeps its previous centroid
+        nxt[nonempty] = _trunc_div(sums[nonempty], cnt[nonempty, None])
+        cents = nxt
+
+    ref = ray.put(cents)
+
+    def final_assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(ref)
+        ids, q = _quantize(batch, scale, col)
+        return pd.DataFrame({"vec_id": ids.astype(np.int64),
+                             "cluster": _assign(q, c).astype(np.int64)})
+
+    return embeddings.map_batches(final_assign, batch_format="pandas",
+                                  batch_size=4096)

