@@ -481,6 +481,29 @@ def _q_neighborhood_jaccard(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+RA_TOP = 100
+
+
+def _q_resource_allocation(sf_dir: str):
+    """Top-100 link-prediction pairs by the resource-allocation index
+    Σ_z 10^9 // deg(z) over common neighbors — exact integers via the
+    weighted wedge combine (jac_reset ra_scale), conv_id-mapped like
+    neighborhood_jaccard."""
+    ctx = _graph(sf_dir)
+    ds = A.resource_allocation(ctx, top=RA_TOP)
+    dict_ref = ray.put(ctx.dictionary)
+
+    def f(t: pa.Table) -> pa.Table:
+        d = ray.get(dict_ref)
+        return pa.table({
+            "a": pa.array(d[t["a"].to_numpy()]),
+            "b": pa.array(d[t["b"].to_numpy()]),
+            "ra_e9": t["ra_e9"],
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 WALK_LEN = 8
 HARM_SEEDS = 8
 HARM_MAXD = 12
@@ -1215,6 +1238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_support": _q_edge_support,
         "ktruss": _q_ktruss,
         "neighborhood_jaccard": _q_neighborhood_jaccard,
+        "resource_allocation": _q_resource_allocation,
         "cc_incremental": _q_cc_incremental,
         "label_propagation": _q_label_propagation,
         "bfs_distances": _q_bfs_distances,
@@ -2542,6 +2566,16 @@ SELECT c.lo AS a, c.hi AS b, c.common,
 FROM cnt c JOIN degs d1 ON d1.v = c.lo JOIN degs d2 ON d2.v = c.hi
 WHERE c.common >= {JAC_MIN_COMMON}
 ORDER BY jaccard_e6 DESC, a, b LIMIT {JAC_TOP}""",
+        # same wedge set, weighted by 10^9 // deg(apex) — exact BIGINTs;
+        # conv_id lex order == vid order, so tie-breaks match the engine
+        "resource_allocation": _GRAPH_CTE2 + f"""
+,wed AS (SELECT n1.b AS lo, n2.b AS hi, n1.a AS z FROM nbr n1 JOIN nbr n2
+         ON n1.a = n2.a AND n1.b < n2.b),
+degs AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg FROM nbr GROUP BY a)
+SELECT w.lo AS a, w.hi AS b, sum(1000000000 // d.deg) AS ra_e9
+FROM wed w JOIN degs d ON d.v = w.z
+GROUP BY w.lo, w.hi
+ORDER BY ra_e9 DESC, a, b LIMIT {RA_TOP}""",
         # warm restarts must land on the same full-graph components
         "cc_incremental": _GRAPH_CTE2 + f""",
 ccr AS (

@@ -487,6 +487,48 @@ def neighborhood_jaccard(
     )])
 
 
+RA_SCALE = 1_000_000_000
+
+
+def resource_allocation(ctx: GraphContext, top: int = 100,
+                        max_pairs: int = 4_000_000,
+                        scale: int = RA_SCALE) -> rd.Dataset:
+    """Link-prediction by the resource-allocation index: for each
+    vertex pair, Σ over common neighbors z of ``scale // deg(z)`` —
+    exact integers, so ordering and the top cut are deterministic and
+    SQL-replayable (Adamic-Adar's 1/log d is irrational; RA is its
+    integer-honest sibling with the same hub-discounting intent).
+
+    Rides the same chunked per-apex wedge combine as
+    ``neighborhood_jaccard`` — the only difference is each wedge
+    carries weight scale // deg(apex) folded shard-side (jac_reset
+    ra_scale) — and skips the degree exchange entirely since the apex
+    degree is already folded in. Returns Dataset(a, b, ra_e9) sorted by
+    (score desc, a, b), top rows only (driver merges P·top)."""
+    import pyarrow as pa
+
+    _ensure_symmetric(ctx)
+    P, shards = ctx.P, ctx.shards
+    nch = max(ray.get([s.jac_plan_chunks.remote(max_pairs) for s in shards]))
+    ray.get([s.jac_reset.remote(scale) for s in shards])
+    for k in range(nch):
+        refs = [
+            shards[p].jac_pairs_chunk_routed.options(num_returns=P + 1).remote(k)
+            for p in range(P)
+        ]
+        ray.get([
+            shards[p].jac_accept.remote(*[refs[q][1 + p] for q in range(P)])
+            for p in range(P)
+        ])
+    tops = ray.get([s.ra_topk.remote(top) for s in shards])
+    merged = pa.concat_tables(tops)
+    score = merged["ra_e9"].to_numpy()
+    sel = np.lexsort((merged["b"].to_numpy(), merged["a"].to_numpy(), -score))[:top]
+    return tables_dataset([merged.take(pa.array(np.sort(sel))).sort_by(
+        [("ra_e9", "descending"), ("a", "ascending"), ("b", "ascending")]
+    )])
+
+
 def edge_triangle_support(ctx: GraphContext,
                           max_pairs: int = 4_000_000) -> rd.Dataset:
     """Per-edge triangle support |N(a)∩N(b)| for every undirected edge

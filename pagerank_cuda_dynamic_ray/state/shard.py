@@ -1819,7 +1819,16 @@ class GraphShard:
         base = self.sym_offsets[row_ij]
         lo = self.sym_adj[base + lo_i]
         hi = self.sym_adj[base + j_ij]
-        key, c = np.unique(lo * np.int64(self.N) + hi, return_counts=True)
+        packed = lo * np.int64(self.N) + hi
+        if getattr(self, "_jac_ra_scale", 0):
+            # resource-allocation: Σ over apexes z of scale // deg(z),
+            # exact int64 (np.add.at, not float bincount)
+            w = np.int64(self._jac_ra_scale) // np.diff(self.sym_offsets)[row_ij]
+            key, inv = np.unique(packed, return_inverse=True)
+            c = np.zeros(len(key), dtype=np.int64)
+            np.add.at(c, inv, w)
+        else:
+            key, c = np.unique(packed, return_counts=True)
         return pa.table({"lo": pa.array(key // self.N), "hi": pa.array(key % self.N),
                          "c": pa.array(c.astype(np.int64))})
 
@@ -1839,9 +1848,13 @@ class GraphShard:
                    for q in range(self.P)]
         return (sum(o.shape[1] for o in out), *out)
 
-    def jac_reset(self) -> None:
+    def jac_reset(self, ra_scale: int = 0) -> None:
+        """ra_scale=0: wedge COUNTS (Jaccard / support). ra_scale>0:
+        each wedge carries weight ra_scale // deg(apex) instead — the
+        resource-allocation index, still exact int64."""
         self._jac_keys = np.empty(0, dtype=np.int64)
         self._jac_counts = np.empty(0, dtype=np.int64)
+        self._jac_ra_scale = int(ra_scale)
 
     def jac_accept(self, *pair_arrays: np.ndarray) -> None:
         """Merge incoming (key, c) partials into the running combine —
@@ -1854,6 +1867,9 @@ class GraphShard:
         c = np.concatenate(cs)
         uniq, inv = np.unique(key, return_inverse=True)
         self._jac_keys = uniq
+        # float64 bincount is exact while per-pair totals stay < 2^53:
+        # counts are bounded by N; RA weights by ra_scale/2 per wedge —
+        # both orders of magnitude inside the window at any planned scale
         self._jac_counts = np.bincount(inv, weights=c).astype(np.int64)
 
     def jac_hi_needs(self):
@@ -1886,6 +1902,16 @@ class GraphShard:
         sel = np.lexsort((hi, lo, -score))[:top]
         return pa.table({"a": pa.array(lo[sel]), "b": pa.array(hi[sel]),
                          "common": pa.array(c[sel]), "jaccard_e6": pa.array(score[sel])})
+
+    def ra_topk(self, top: int) -> pa.Table:
+        """Local top rows by accumulated resource-allocation weight —
+        no degree exchange needed (the weight already folded deg(apex))."""
+        lo = self._jac_keys // self.N
+        hi = self._jac_keys % self.N
+        score = self._jac_counts
+        sel = np.lexsort((hi, lo, -score))[:top]
+        return pa.table({"a": pa.array(lo[sel]), "b": pa.array(hi[sel]),
+                         "ra_e9": pa.array(score[sel])})
 
     def tri_answer(self, *query_arrays: np.ndarray):
         """Answer wedge queries: edge lo->hi present in the oriented CSR?

@@ -411,3 +411,32 @@ def test_ktruss_bruteforce_random():
            .sort_values(["a", "b"]).reset_index(drop=True))
     c.shutdown()
     assert list(zip(got["a"], got["b"])) == sorted(edges)
+
+
+@pytest.mark.parametrize("parts", [1, 3])
+def test_resource_allocation_bruteforce(parts):
+    rng = np.random.RandomState(31)
+    n = 30
+    src = rng.randint(0, n, 90).astype(np.int64)
+    dst = rng.randint(0, n, 90).astype(np.int64)
+    adj = {}
+    for a, b in zip(src.tolist(), dst.tolist()):
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    scale = 1_000_000_000
+    want = {}
+    for z, nb in adj.items():
+        w = scale // len(nb)
+        nbs = sorted(nb)
+        for i in range(len(nbs)):
+            for j in range(i + 1, len(nbs)):
+                want[(nbs[i], nbs[j])] = want.get((nbs[i], nbs[j]), 0) + w
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    c = GraphContext(n, parts, add_self_loops=True)
+    c.ingest_pairs(src, dst)
+    c.finalize()
+    got = A.resource_allocation(c, top=20).to_pandas()
+    c.shutdown()
+    assert [((a, b), s) for a, b, s in
+            zip(got["a"], got["b"], got["ra_e9"])] == top
