@@ -259,6 +259,13 @@ def _q_triangles_per_vertex(sf_dir: str):
     return per_vertex.select_columns(["conv_id", "triangles"])
 
 
+def _q_clustering_coefficient(sf_dir: str):
+    """Exact scaled-int local clustering coefficient per vertex —
+    triangle corner credits paired shard-side with symmetric degrees."""
+    ds = A.clustering_coefficient(_graph(sf_dir))
+    return ds.select_columns(["conv_id", "triangles", "cc_e6"])
+
+
 def _q_pagerank_static(sf_dir: str):
     """Per-vertex PageRank, 1e10-quantized integers from a fixed
     250-iteration run — hash-comparable against the DuckDB recursive
@@ -1221,6 +1228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_total": _q_triangle_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "triangles_incremental": _q_triangles_incremental,
+        "clustering_coefficient": _q_clustering_coefficient,
         "pagerank_static": _q_pagerank_static,
         "pagerank_top20": _q_pagerank_top20,
         "pagerank_personalized": _q_pagerank_personalized,
@@ -2452,6 +2460,23 @@ tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
 corners AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
 SELECT i.conv_id AS conv_id, CAST(coalesce(c.n, 0) AS BIGINT) AS triangles
 FROM ids i LEFT JOIN (SELECT v, count(*) AS n FROM corners GROUP BY v) c ON c.v = i.conv_id""",
+        # same triangle corners + nbr degrees: cc = (2·tri·1e6)//(d(d−1))
+        "clustering_coefficient": _GRAPH_CTE2
+        + """,
+tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+corners AS (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+tpv AS (SELECT i.conv_id, CAST(coalesce(c.n, 0) AS BIGINT) AS triangles
+        FROM ids i LEFT JOIN (SELECT v, count(*) AS n FROM corners GROUP BY v) c
+        ON c.v = i.conv_id),
+degs AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg FROM nbr GROUP BY a)
+SELECT t.conv_id, t.triangles,
+       CASE WHEN coalesce(d.deg, 0) >= 2
+            THEN (2 * t.triangles * 1000000) // (d.deg * (d.deg - 1))
+            ELSE 0 END AS cc_e6
+FROM tpv t LEFT JOIN degs d ON d.v = t.conv_id""",
         "pagerank_static": _GRAPH_CTE2 + _PR_CTE
         + "\nSELECT v AS conv_id, rank_e10 FROM prr",
         # personalized PR: same fixed-iteration recursion, restart mass

@@ -226,6 +226,18 @@ def triangle_count(ctx: GraphContext, max_wedges: int = 4_000_000) -> tuple[int,
     return int(total), _with_conv(ctx, tables)
 
 
+def clustering_coefficient(ctx: GraphContext, scale: int = 1_000_000,
+                           max_wedges: int = 4_000_000) -> rd.Dataset:
+    """Per-vertex local clustering coefficient as exact scaled integers
+    (2·tri·scale) // (d·(d−1)): runs the oriented triangle machinery
+    (which leaves per-vertex corner credits resident on the shards),
+    then each shard pairs its credits with its own symmetric degrees —
+    zero extra exchange. Returns Dataset(vid, triangles, cc_e6[, conv_id])."""
+    triangle_count(ctx, max_wedges)  # settles _tri_counts shard-side
+    tables = ray.get([s.tri_cc_table.remote(scale) for s in ctx.shards])
+    return _with_conv(ctx, tables)
+
+
 def _route_by_owner(ctx: GraphContext, key_vids: np.ndarray):
     """Owner grouping of driver-held vids: returns (order, cuts) such
     that order[cuts[p]:cuts[p+1]] indexes owner p's slice."""

@@ -1953,6 +1953,19 @@ class GraphShard:
             {"vid": pa.array(self.owned_vids()), "triangles": pa.array(self._tri_counts)}
         )
 
+    def tri_cc_table(self, scale: int = 1_000_000) -> pa.Table:
+        """Local clustering coefficient from the settled triangle
+        credits: (2·tri·scale) // (d·(d−1)) over the symmetric view —
+        exact integers; degree < 2 means coefficient 0."""
+        d = np.diff(self.sym_offsets)
+        tri = self._tri_counts
+        denom = d * (d - 1)
+        cc = np.zeros(self.n_local, dtype=np.int64)
+        m = denom > 0
+        cc[m] = (2 * tri[m] * np.int64(scale)) // denom[m]
+        return pa.table({"vid": pa.array(self.owned_vids()),
+                         "triangles": pa.array(tri), "cc_e6": pa.array(cc)})
+
     # ------------------------------------------------------------------
     # HITS hubs & authorities
     #

@@ -440,3 +440,23 @@ def test_resource_allocation_bruteforce(parts):
     c.shutdown()
     assert [((a, b), s) for a, b, s in
             zip(got["a"], got["b"], got["ra_e9"])] == top
+
+
+@pytest.mark.parametrize("parts", [1, 3])
+def test_clustering_coefficient(parts):
+    # K4 on 0-3 (cc=1 each) + vertex 4 joined to 0,1 only (cc: one
+    # closed pair of three -> tri=1, d=2 -> cc=1e6) + pendant 5-0
+    src = np.array([0, 0, 0, 1, 1, 2, 4, 4, 5])
+    dst = np.array([1, 2, 3, 2, 3, 3, 0, 1, 0])
+    c = GraphContext(6, parts, add_self_loops=True)
+    c.ingest_pairs(src, dst)
+    c.finalize()
+    got = (A.clustering_coefficient(c).to_pandas()
+           .sort_values("vid").reset_index(drop=True))
+    c.shutdown()
+    deg = {0: 5, 1: 4, 2: 3, 3: 3, 4: 2, 5: 1}
+    tri = {0: 4, 1: 4, 2: 3, 3: 3, 4: 1, 5: 0}
+    want = [0 if deg[v] < 2 else (2 * tri[v] * 10**6) // (deg[v] * (deg[v] - 1))
+            for v in range(6)]
+    assert got["triangles"].tolist() == [tri[v] for v in range(6)]
+    assert got["cc_e6"].tolist() == want
