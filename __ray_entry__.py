@@ -858,6 +858,16 @@ def _q_attribution_window(sf_dir: str):
     )
 
 
+def _q_rolling_sum(sf_dir: str):
+    """Per-user rolling window sum (SQL ROWS BETWEEN 3 PRECEDING AND
+    CURRENT ROW) — distributed sort + in-block cumsum-difference with an
+    O(blocks × window) head/tail fix-up; values quantized to cents so
+    the sums are exact integers."""
+    ds = _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return TP.rolling_sum(ds, key="user_id", ts="ts", order2="event_id",
+                          value="value", preceding=3)
+
+
 def _q_sessions(sf_dir: str):
     """Gap-based sessionization (30-min inactivity) of each user's
     event stream; per-session start/end/count rows."""
@@ -1265,6 +1275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_click": _q_asof_purchase_click,
         "attribution_window": _q_attribution_window,
         "sessions": _q_sessions,
+        "rolling_sum": _q_rolling_sum,
         # training-data family
         "exact_dedup": _q_exact_dedup,
         "pii_scrub": _q_pii_scrub,
@@ -2769,6 +2780,12 @@ y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
 SELECT user_id, sid::BIGINT AS session_seq, min(ts) AS session_start,
        max(ts) AS session_end, count(*)::BIGINT AS n_events
 FROM y GROUP BY 1, 2""",
+        "rolling_sum": """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_sum_c
+FROM events""",
         "exact_dedup": "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text",
         "doc_tokens": r"""
 SELECT doc_id, length(text) AS n_chars,

@@ -393,3 +393,104 @@ def sessionize(events: rd.Dataset, key: str = "user_id", ts: str = "ts",
 
     routed = events.map_batches(route, batch_format="pyarrow")
     return routed.groupby("__bucket").map_groups(kernel, batch_format="pyarrow")
+
+
+def rolling_sum(events: rd.Dataset, key: str = "user_id", ts: str = "ts",
+                order2: str = "event_id", value: str = "value",
+                preceding: int = 3, cents: bool = True) -> rd.Dataset:
+    """Per-key rolling window sum — SQL's ``SUM(v) OVER (PARTITION BY
+    key ORDER BY ts, id ROWS BETWEEN p PRECEDING AND CURRENT ROW)`` —
+    as a distributed sort + sorted-segment pass.
+
+    Values are quantized to exact integers (``floor(v*100 + 0.5)``, the
+    same IEEE-double ops numpy and DuckDB run) so block boundaries and
+    summation order cannot perturb the sums. Each block computes every
+    row whose full window is provably in-block with one vectorized
+    cumsum difference; only the first ``preceding`` rows of each
+    block's FIRST key segment are uncertain (their window may reach
+    into a neighboring block). Every block also emits its last
+    segment's ≤``preceding``-row tail; heads recompute driver-side over
+    the merged head∪tail sliver set — correct because a head's full
+    window is always contained in (its block's earlier heads) ∪ (the
+    previous blocks' tails), and O(blocks × preceding) driver state
+    regardless of data size.
+
+    Returns Dataset(order2, key, roll_sum_c) — one row per input row."""
+    cols = [key, ts, order2, value]
+    srt = events.select_columns(cols).sort([key, ts, order2]).materialize()
+
+    def quant(v: np.ndarray) -> np.ndarray:
+        return np.floor(v * 100.0 + 0.5).astype(np.int64) if cents else v.astype(np.int64)
+
+    def roll(k: np.ndarray, vc: np.ndarray) -> np.ndarray:
+        """Rolling sum with per-key resets: cumsum difference with the
+        window start clamped at each key-segment start. Vectorized."""
+        cs = np.concatenate([[0], np.cumsum(vc)])
+        n = len(vc)
+        idx = np.arange(n)
+        seg_start = np.zeros(n, dtype=np.int64)
+        new = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+        seg_start[new] = new
+        seg_start = np.maximum.accumulate(seg_start)
+        lo = np.maximum(idx - preceding, seg_start)
+        return cs[idx + 1] - cs[lo]
+
+    def _first_end(k: np.ndarray) -> int:
+        brk = np.flatnonzero(k[1:] != k[:-1])
+        return int(brk[0] + 1) if len(brk) else len(k)
+
+    def _last_start(k: np.ndarray) -> int:
+        brk = np.flatnonzero(k[1:] != k[:-1])
+        return int(brk[-1] + 1) if len(brk) else 0
+
+    def block_certain(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({order2: np.empty(0, np.int64),
+                                 key: np.empty(0, np.int64),
+                                 "roll_sum_c": np.empty(0, np.int64)})
+        k = df[key].to_numpy()
+        out = roll(k, quant(df[value].to_numpy()))
+        certain = np.ones(len(k), dtype=bool)
+        certain[:min(preceding, _first_end(k))] = False
+        return pd.DataFrame({order2: df[order2].to_numpy()[certain],
+                             key: k[certain], "roll_sum_c": out[certain]})
+
+    def block_slivers(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({key: np.empty(0, np.int64),
+                              ts: np.empty(0, "datetime64[us]"),
+                              order2: np.empty(0, np.int64),
+                              "vc": np.empty(0, np.int64),
+                              "is_head": np.empty(0, bool)})
+        if not len(df):
+            return empty
+        k = df[key].to_numpy()
+        vc = quant(df[value].to_numpy())
+        head = np.arange(0, min(preceding, _first_end(k)))
+        tail = np.arange(max(_last_start(k), len(k) - preceding), len(k))
+        sel = np.unique(np.concatenate([head, tail]))
+        return pd.DataFrame({key: k[sel], ts: df[ts].to_numpy()[sel],
+                             order2: df[order2].to_numpy()[sel], "vc": vc[sel],
+                             "is_head": np.isin(sel, head)})
+
+    certain = srt.map_batches(block_certain, batch_format="pandas",
+                              batch_size=None)
+    sl = srt.map_batches(block_slivers, batch_format="pandas",
+                         batch_size=None).to_pandas()
+    if len(sl):
+        # a row can be both a head and a tail (single-segment block):
+        # keep the head flag when collapsing duplicates
+        sl = (sl.sort_values([key, ts, order2, "is_head"])
+                .groupby([key, ts, order2], as_index=False, sort=True)
+                .agg(vc=("vc", "first"), is_head=("is_head", "any")))
+        out = roll(sl[key].to_numpy(), sl["vc"].to_numpy())
+        fix = sl[sl["is_head"].to_numpy()].copy()
+        fix["roll_sum_c"] = out[sl["is_head"].to_numpy()]
+        if len(fix):
+            import pyarrow as _pa
+
+            from ..pipelines.graph import tables_dataset
+            ft = _pa.Table.from_pandas(
+                fix[[order2, key, "roll_sum_c"]].reset_index(drop=True),
+                preserve_index=False)
+            certain = certain.union(tables_dataset([ft]))
+    return certain

@@ -281,3 +281,43 @@ def test_asof_from_pandas_string_payload():
     ).to_pandas()
     assert got["note"].tolist() == ["hello"]
     assert got["r__tag"].tolist() == ["world"]
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_rolling_sum(ev, con, parts):
+    ds = rd.from_pandas(ev).repartition(parts)
+    got = (TP.rolling_sum(ds, preceding=3).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    want = con.sql("""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS roll_sum_c
+        FROM events ORDER BY event_id""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rolling_sum_key_straddles_many_blocks():
+    """One user's run spanning many tiny blocks with a window wider than
+    a block: heads must chain through consecutive blocks' tails."""
+    n = 60
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.repeat([5, 9], n // 2).astype(np.int64),
+        "value": np.linspace(0.0, 10.0, n),
+        "ts": (np.datetime64("2024-01-01", "us")
+               + np.arange(n).astype("timedelta64[us]")),
+    })
+    got = (TP.rolling_sum(rd.from_pandas(df).repartition(15), preceding=7)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    c = duckdb.connect()
+    c.register("e", df)
+    want = c.sql("""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS roll_sum_c
+        FROM e ORDER BY event_id""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
