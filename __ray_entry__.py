@@ -868,6 +868,22 @@ def _q_rolling_sum(sf_dir: str):
                           value="value", preceding=3)
 
 
+def _q_running_total(sf_dir: str):
+    """Per-user cumulative sum (ROWS UNBOUNDED PRECEDING): two passes
+    over the distributed sort, carries O(blocks) driver-side, exact
+    integer cents."""
+    ds = _tbl(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return TP.running_total(ds, key="user_id", ts="ts", order2="event_id",
+                            value="value")
+
+
+def _q_event_gaps(sf_dir: str):
+    """Per-user gap to the previous event in exact integer µs (LAG
+    diff; -1 for each user's first event)."""
+    ds = _tbl(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return TP.lag_gap(ds, key="user_id", ts="ts", order2="event_id")
+
+
 def _q_sessions(sf_dir: str):
     """Gap-based sessionization (30-min inactivity) of each user's
     event stream; per-session start/end/count rows."""
@@ -1276,6 +1292,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution_window": _q_attribution_window,
         "sessions": _q_sessions,
         "rolling_sum": _q_rolling_sum,
+        "running_total": _q_running_total,
+        "event_gaps": _q_event_gaps,
         # training-data family
         "exact_dedup": _q_exact_dedup,
         "pii_scrub": _q_pii_scrub,
@@ -2785,6 +2803,17 @@ SELECT event_id, user_id,
        CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_sum_c
+FROM events""",
+        "running_total": """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum_c
+FROM events""",
+        "event_gaps": """
+SELECT event_id, user_id,
+       COALESCE(epoch_us(ts) - epoch_us(LAG(ts) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id)), -1)::BIGINT AS gap_us
 FROM events""",
         "exact_dedup": "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text",
         "doc_tokens": r"""

@@ -494,3 +494,157 @@ def rolling_sum(events: rd.Dataset, key: str = "user_id", ts: str = "ts",
                 preserve_index=False)
             certain = certain.union(tables_dataset([ft]))
     return certain
+
+
+def running_total(events: rd.Dataset, key: str = "user_id", ts: str = "ts",
+                  order2: str = "event_id", value: str = "value",
+                  cents: bool = True) -> rd.Dataset:
+    """Per-key cumulative sum — SQL's ``SUM(v) OVER (PARTITION BY key
+    ORDER BY ts, id ROWS UNBOUNDED PRECEDING)`` — as two passes over
+    the distributed sort, exact in quantized integers.
+
+    Pass 1 emits one tiny *carry* row per block boundary segment (the
+    block's first and last key runs — the only runs that can span
+    blocks); the driver exclusive-prefix-sums carries per key in block
+    order, an O(blocks) state independent of data size. Pass 2 redoes
+    the in-block segmented cumsum and adds the block's first-segment
+    offset. Rows of segments that start mid-block need no offset (the
+    sort makes every key run contiguous).
+
+    Returns Dataset(order2, key, run_sum_c) — one row per input row."""
+    cols = [key, ts, order2, value]
+    srt = events.select_columns(cols).sort([key, ts, order2]).materialize()
+
+    def quant(v: np.ndarray) -> np.ndarray:
+        return np.floor(v * 100.0 + 0.5).astype(np.int64) if cents else v.astype(np.int64)
+
+    def _breaks(k: np.ndarray) -> np.ndarray:
+        return np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+
+    def carries(df: pd.DataFrame) -> pd.DataFrame:
+        """One carry row per boundary segment: (key, segment-first-row
+        for per-key ordering, block-first-row as the block id, total)."""
+        empty = pd.DataFrame({"k": np.empty(0, np.int64), "sts": np.empty(0, np.int64),
+                              "sord": np.empty(0, np.int64), "bts": np.empty(0, np.int64),
+                              "bord": np.empty(0, np.int64), "tot": np.empty(0, np.int64),
+                              "is_first": np.empty(0, bool)})
+        if not len(df):
+            return empty
+        k = df[key].to_numpy()
+        vc = quant(df[value].to_numpy())
+        t = df[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        o = df[order2].to_numpy()
+        bts, bord = int(t[0]), int(o[0])
+        brk = _breaks(k)
+        fe = int(brk[1]) if len(brk) > 1 else len(k)       # first segment end
+        ls = int(brk[-1])                                   # last segment start
+        rows = {"k": [int(k[0])], "sts": [bts], "sord": [bord],
+                "bts": [bts], "bord": [bord],
+                "tot": [int(vc[:fe].sum())], "is_first": [True]}
+        if ls >= fe:  # distinct last segment also spans the boundary
+            rows["k"].append(int(k[ls]))
+            rows["sts"].append(int(t[ls])); rows["sord"].append(int(o[ls]))
+            rows["bts"].append(bts); rows["bord"].append(bord)
+            rows["tot"].append(int(vc[ls:].sum()))
+            rows["is_first"].append(False)
+        return pd.DataFrame(rows)
+
+    cr = srt.map_batches(carries, batch_format="pandas", batch_size=None).to_pandas()
+    offsets: dict[tuple[int, int, int], int] = {}
+    if len(cr):
+        # per-key block order = order of each segment's own first row
+        # (the block's first row may belong to a different key entirely)
+        cr = cr.sort_values(["k", "sts", "sord"]).reset_index(drop=True)
+        off = cr.groupby("k")["tot"].cumsum().to_numpy() - cr["tot"].to_numpy()
+        fo = cr[cr["is_first"].to_numpy()]
+        offsets = {(int(r.k), int(r.bts), int(r.bord)): int(o)
+                   for r, o in zip(fo.itertuples(), off[cr["is_first"].to_numpy()]) if o}
+
+    def add_offsets(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({order2: np.empty(0, np.int64),
+                                 key: np.empty(0, np.int64),
+                                 "run_sum_c": np.empty(0, np.int64)})
+        k = df[key].to_numpy()
+        vc = quant(df[value].to_numpy())
+        cs = np.cumsum(vc)
+        brk = _breaks(k)
+        lens = np.diff(np.append(brk, len(k)))
+        base = np.repeat(cs[brk] - vc[brk], lens)
+        cum = cs - base
+        bts = int(df[ts].to_numpy().astype("datetime64[us]").astype(np.int64)[0])
+        bord = int(df[order2].to_numpy()[0])
+        o = offsets.get((int(k[0]), bts, bord), 0)
+        if o:
+            fe = int(brk[1]) if len(brk) > 1 else len(k)
+            cum[:fe] += o
+        return pd.DataFrame({order2: df[order2].to_numpy(), key: k, "run_sum_c": cum})
+
+    return srt.map_batches(add_offsets, batch_format="pandas", batch_size=None)
+
+
+def lag_gap(events: rd.Dataset, key: str = "user_id", ts: str = "ts",
+            order2: str = "event_id") -> rd.Dataset:
+    """Per-key gap to the previous event in exact integer microseconds —
+    SQL's ``epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY key
+    ORDER BY ts, id))`` with ``-1`` for each key's first event (kept
+    non-null so the int64 column hash-compares cleanly).
+
+    Distributed sort + in-block vectorized diff; only each block's
+    FIRST row can need the previous block's last row, so the sliver
+    exchange is exactly two rows per block — O(blocks) driver state."""
+    cols = [key, ts, order2]
+    srt = events.select_columns(cols).sort([key, ts, order2]).materialize()
+
+    def _gaps(k: np.ndarray, t: np.ndarray) -> np.ndarray:
+        g = np.empty(len(k), dtype=np.int64)
+        g[0] = -1
+        if len(k) > 1:
+            same = k[1:] == k[:-1]
+            g[1:] = np.where(same, t[1:] - t[:-1], -1)
+        return g
+
+    def block_certain(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({order2: np.empty(0, np.int64),
+                                 key: np.empty(0, np.int64),
+                                 "gap_us": np.empty(0, np.int64)})
+        k = df[key].to_numpy()
+        t = df[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = _gaps(k, t)
+        return pd.DataFrame({order2: df[order2].to_numpy()[1:], key: k[1:],
+                             "gap_us": g[1:]})
+
+    def block_slivers(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({key: np.empty(0, np.int64),
+                              "t": np.empty(0, np.int64),
+                              order2: np.empty(0, np.int64),
+                              "is_head": np.empty(0, bool)})
+        if not len(df):
+            return empty
+        k = df[key].to_numpy()
+        t = df[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        o = df[order2].to_numpy()
+        sel = np.unique([0, len(k) - 1])
+        return pd.DataFrame({key: k[sel], "t": t[sel], order2: o[sel],
+                             "is_head": sel == 0})
+
+    certain = srt.map_batches(block_certain, batch_format="pandas",
+                              batch_size=None)
+    sl = srt.map_batches(block_slivers, batch_format="pandas",
+                         batch_size=None).to_pandas()
+    if len(sl):
+        sl = (sl.sort_values([key, "t", order2, "is_head"])
+                .groupby([key, "t", order2], as_index=False, sort=True)
+                .agg(is_head=("is_head", "any")))
+        g = _gaps(sl[key].to_numpy(), sl["t"].to_numpy())
+        mask = sl["is_head"].to_numpy()
+        fix = pd.DataFrame({order2: sl[order2].to_numpy()[mask],
+                            key: sl[key].to_numpy()[mask], "gap_us": g[mask]})
+        if len(fix):
+            import pyarrow as _pa
+
+            from ..pipelines.graph import tables_dataset
+            certain = certain.union(tables_dataset(
+                [_pa.Table.from_pandas(fix, preserve_index=False)]))
+    return certain

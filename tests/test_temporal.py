@@ -321,3 +321,67 @@ def test_rolling_sum_key_straddles_many_blocks():
                  AS roll_sum_c
         FROM e ORDER BY event_id""").df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_running_total(ev, con, parts):
+    ds = rd.from_pandas(ev).repartition(parts)
+    got = (TP.running_total(ds).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    want = con.sql("""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum_c
+        FROM events ORDER BY event_id""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_running_total_key_spans_whole_blocks():
+    """A key whose run covers several entire blocks must chain carries
+    through the middle blocks, not just adjacent ones."""
+    n = 40
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.repeat([3, 8], n // 2).astype(np.int64),
+        "value": np.full(n, 1.0),
+        "ts": (np.datetime64("2024-01-01", "us")
+               + np.arange(n).astype("timedelta64[us]")),
+    })
+    got = (TP.running_total(rd.from_pandas(df).repartition(10)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    # user 3: 100, 200, ... 2000; user 8 restarts at 100
+    want = np.concatenate([np.arange(1, 21), np.arange(1, 21)]) * 100
+    assert got["run_sum_c"].to_numpy().tolist() == want.tolist()
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_lag_gap(ev, con, parts):
+    ds = rd.from_pandas(ev).repartition(parts)
+    got = (TP.lag_gap(ds).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    want = con.sql("""
+        SELECT event_id, user_id,
+               COALESCE(epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id)), -1)::BIGINT
+                 AS gap_us
+        FROM events ORDER BY event_id""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_lag_gap_single_row_blocks():
+    """One-row blocks: each row is head AND tail; heads must still see
+    the true predecessor through the sliver chain."""
+    n = 12
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.array([1] * 6 + [2] * 6, dtype=np.int64),
+        "ts": (np.datetime64("2024-01-01", "us")
+               + (np.arange(n) ** 2).astype("timedelta64[us]")),
+    })
+    got = (TP.lag_gap(rd.from_pandas(df).repartition(12)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    t = (df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
+    want = np.diff(t, prepend=t[0])
+    want[[0, 6]] = -1
+    assert got["gap_us"].to_numpy().tolist() == want.tolist()
