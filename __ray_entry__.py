@@ -794,6 +794,66 @@ def _q_revenue_by_nation(sf_dir: str):
     return _rename(agg, {"sum(revenue_e4)": "revenue_e4"}).sort("n_name")
 
 
+def _q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(segment, year): the per-batch combiner pre-
+    aggregates each batch at ALL THREE rollup levels (replication at
+    the combiner, the hopping-window trick), so ONE small shuffle over
+    the ~(segments × years × 3) group universe finishes every level.
+    NULL rollup slots use sentinels ('ALL', -1) so the hash gate's
+    columns stay non-null; prices quantized to exact integer cents."""
+    from ray.data.aggregate import Sum
+
+    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust.sort_values("c_custkey")
+    seg_ref = ray.put(
+        (cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy(dtype="U"))
+    )
+    ds = _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, segs = ray.get(seg_ref)
+        seg = segs[np.searchsorted(keys, t["o_custkey"].to_numpy())]
+        yr = pc.year(t["o_orderdate"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        pc_ = np.floor(t["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        n = len(seg)
+        df = pd.DataFrame({
+            "segment": np.concatenate([seg, seg, np.full(n, "ALL", dtype="U8")]),
+            "yr": np.concatenate([yr, np.full(n, -1, np.int64),
+                                  np.full(n, -1, np.int64)]),
+            "n": np.ones(3 * n, dtype=np.int64),
+            "p": np.concatenate([pc_, pc_, pc_]),
+        })
+        g = df.groupby(["segment", "yr"], as_index=False, sort=False).agg(
+            n=("n", "sum"), p=("p", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["segment", "yr"]).aggregate(Sum("n"), Sum("p")))
+    return _rename(agg, {"sum(n)": "n_orders", "sum(p)": "sum_price_c"})
+
+
+def _q_events_pivot(sf_dir: str):
+    """Pivot event counts per user to wide columns (conditional
+    aggregation): one-hot counts combined per batch, one Sum shuffle."""
+    from ray.data.aggregate import Sum
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _tbl(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": t["user_id"].to_numpy()})
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        for ty in types:
+            df[f"n_{ty}"] = (et == ty).astype(np.int64)
+        return pa.Table.from_pandas(
+            df.groupby("user_id", as_index=False, sort=False).sum(),
+            preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("user_id").aggregate(*[Sum(f"n_{ty}") for ty in types]))
+    return _rename(agg, {f"sum(n_{ty})": f"n_{ty}" for ty in types})
+
+
 # ----------------------------------------------------------------------
 # event-time operators (stages/temporal.py): tumbling windows, as-of
 # join, interval-join aggregate, sessionization — custom operators Ray
@@ -1285,6 +1345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_users": _q_anti_join_users,
         "orders_by_segment": _q_orders_by_segment,
         "revenue_by_nation": _q_revenue_by_nation,
+        "orders_rollup": _q_orders_rollup,
+        "events_pivot": _q_events_pivot,
         # event-time family (custom operators Ray Data lacks natively)
         "windowed_events": _q_windowed_events,
         "hopping_events": _q_hopping_events,
@@ -2758,6 +2820,22 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name ORDER BY n.n_name""",
+        "orders_rollup": """
+SELECT COALESCE(c.c_mktsegment, 'ALL') AS segment,
+       COALESCE(year(o.o_orderdate), -1)::BIGINT AS yr,
+       count(*)::BIGINT AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_price_c
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY ROLLUP(c.c_mktsegment, year(o.o_orderdate))""",
+        "events_pivot": """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+       SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
+FROM events GROUP BY user_id""",
         "windowed_events": """
 SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS window_start,
        event_type, count(*)::BIGINT AS n_events,
