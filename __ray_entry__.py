@@ -116,6 +116,59 @@ def _pr_quantized(sf_dir: str) -> np.ndarray:
     return _PRQ[key]
 
 
+def _q_mis(sf_dir: str):
+    """Maximal independent set (Luby rounds, fixed splitmix64(vid)
+    priorities) over the undirected view. Fixed priorities make the
+    result the unique greedy MIS in increasing-hash order, so the SQL
+    oracle's round replay lands on the identical membership."""
+    ctx = _graph(sf_dir)
+    return A.maximal_independent_set(ctx).select_columns(["conv_id", "in_mis"])
+
+
+def _q_coloring(sf_dir: str):
+    """Jones-Plassmann greedy coloring with fixed splitmix64(vid)
+    priorities — equals the sequential greedy coloring in
+    increasing-hash order, which the SQL oracle replays round by
+    round."""
+    ctx = _graph(sf_dir)
+    return A.greedy_coloring(ctx).select_columns(["conv_id", "color"])
+
+
+WALK_LEN = 4
+
+
+def _q_walk_counts(sf_dir: str):
+    """Exact-integer truncated-Katz walk counts (length 4) — int64
+    end-to-end, so the SQL oracle's unrolled join+sum levels replay it
+    bit-for-bit."""
+    ctx = _graph(sf_dir)
+    return A.walk_count_centrality(ctx, length=WALK_LEN).select_columns(
+        ["conv_id", "walks"])
+
+
+def _q_temporal_arrival(sf_dir: str):
+    """Time-respecting earliest arrival from the hash-elected seed over
+    the directed mention log: edge (u, v, ts) usable iff ts >=
+    arrival(u), delivering arrival ts + 1 (int64 epoch-us); seed starts
+    at 0; unreached -1. The per-edge timeline is re-encoded from the
+    transcripts (the graph CSR drops timestamps) and streamed into the
+    pool's temporal adjacency."""
+    ctx = _graph(sf_dir)
+    ts = E.read_transcripts(
+        _fixture(sf_dir), columns=["conv_id", "turn_idx", "text", "tool", "ts"]
+    )
+    enc = E.encode_edges(E.extract_edges(ts), ray.put(ctx.dictionary))
+    return A.temporal_earliest_arrival(ctx, enc).select_columns(["conv_id", "arrival"])
+
+
+def _q_sssp(sf_dir: str):
+    """Weighted SSSP (Bellman-Ford BSP) from the hash-elected seed;
+    edge weights 1 + mix2(lo, hi) % SSSP_WMOD are pure functions of the
+    endpoint vids, so the SQL oracle recomputes them bit-equal."""
+    ctx = _graph(sf_dir)
+    return A.sssp_weighted(ctx, wmod=SSSP_WMOD).select_columns(["conv_id", "sdist"])
+
+
 def _vid_to_conv(ctx, ds: rd.Dataset, src_col: str, out_col: str) -> rd.Dataset:
     """Map an int64 vid-label column to its conv_id string via the
     broadcast dictionary (labels are min-vids, and the dictionary is
@@ -1095,6 +1148,16 @@ def _q_sample_per_key(sf_dir: str):
     return SP.sample_per_key(docs, PER_KEY_K, seed=2).select_columns(["doc_id", "lang"])
 
 
+TOPK_PER_USER = 3
+
+
+def _q_topk_events_per_user(sf_dir: str):
+    """Windowed top-k per group: the 3 highest-value events per user
+    (ties by event_id) via the two-phase per-block partial top-k."""
+    ev = _tbl(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    return SP.topk_per_key(ev, TOPK_PER_USER, "user_id", "value", "event_id")
+
+
 def _q_vocabulary(sf_dir: str):
     docs = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
     return SP.vocabulary(docs, top_n=VOCAB_TOP)
@@ -1323,6 +1386,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_dynamic": _q_pagerank_dynamic,
         "pagerank_dynamic_ranks": _q_pagerank_dynamic_ranks,
         "connected_components": _q_connected_components,
+        "maximal_independent_set": _q_mis,
+        "sssp_weighted": _q_sssp,
+        "greedy_coloring": _q_coloring,
+        "temporal_arrival": _q_temporal_arrival,
+        "walk_counts": _q_walk_counts,
         "core_numbers": _q_core_numbers,
         "random_walks": _q_random_walks,
         "harmonic_centrality": _q_harmonic_centrality,
@@ -1368,6 +1436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": _q_hash_split,
         "stratified_sample": _q_stratified_sample,
         "sample_per_key": _q_sample_per_key,
+        "topk_events_per_user": _q_topk_events_per_user,
         "vocabulary": _q_vocabulary,
         "inverted_index": _q_inverted_index,
         "cooccurrence_pmi": _q_cooccurrence_pmi,
@@ -1420,6 +1489,13 @@ nbr AS (SELECT src AS a, dst AS b FROM uedges WHERE src <> dst
 nbrx AS (SELECT a, b FROM nbr UNION ALL SELECT conv_id AS a, conv_id AS b FROM ids)"""
 
 CC_ORACLE_ITERS = 40   # >= diameter of any component at sf0.01 (verified in tests)
+MIS_ORACLE_ROUNDS = 8  # Luby fixpoint takes 5 rounds at sf0.01; extras are no-ops
+COLORING_ORACLE_ROUNDS = 32  # JP fixpoint takes 26 rounds at sf0.01
+COLORING_MAXC = 16           # mex search bound; engine max color is 7
+TA_ORACLE_ROUNDS = 24  # temporal-arrival unroll bound >= engine fixpoint
+SSSP_WMOD = 8          # edge weights in 1..8 (1 + mix2(lo,hi) % 8)
+SSSP_ORACLE_ROUNDS = 24  # Bellman-Ford unroll bound; engine fixpoint is 14
+                         # at sf0.01 (ctx.last_sssp_rounds; extras carry no-ops)
 BFS_ORACLE_CAP = 64    # recursion depth cap; >= source eccentricity
 LP_ITERS = 10          # matches the engine query's max_iterations
 
@@ -1752,6 +1828,162 @@ SELECT ds.vid AS seed_vid, dv.vid AS vid, f.v AS conv_id
 FROM fwd f JOIN bwd b ON b.s = f.s AND b.v = f.v
 JOIN dict ds ON ds.conv_id = f.s
 JOIN dict dv ON dv.conv_id = f.v"""
+
+
+def _sql_mis(rounds: int = None) -> str:
+    """maximal_independent_set replayed in SQL: fixed splitmix64(vid)
+    priorities over the lexicographic vid ranks, the Luby rounds
+    unrolled as a materialized CTE chain (a round = strict-local-minima
+    join + neighbor exclusion over still-active vertices; rounds past
+    the fixpoint are no-ops on both sides). Fixed distinct priorities
+    make both sides the unique greedy MIS in increasing-hash order."""
+    rounds = MIS_ORACLE_ROUNDS if rounds is None else rounds
+    hashed = _sm64(
+        "(SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS vid FROM ids)",
+        f"CAST(vid AS HUGEINT) % {_T64}",
+        "h",
+    )
+    parts = [f"st0 AS MATERIALIZED (SELECT conv_id, h, 0 AS status FROM {hashed})"]
+    for r in range(1, rounds + 1):
+        parts.append(f"""nm{r} AS MATERIALIZED (
+  SELECT s.conv_id FROM st{r - 1} s WHERE s.status = 0 AND NOT EXISTS (
+    SELECT 1 FROM nbr n JOIN st{r - 1} t ON t.conv_id = n.b
+    WHERE n.a = s.conv_id AND t.status = 0 AND t.h < s.h))""")
+        parts.append(f"""st{r} AS MATERIALIZED (
+  SELECT s.conv_id, s.h,
+    CASE WHEN s.conv_id IN (SELECT conv_id FROM nm{r}) THEN 1
+         WHEN s.status = 0 AND EXISTS (
+           SELECT 1 FROM nbr n JOIN nm{r} m ON m.conv_id = n.b
+           WHERE n.a = s.conv_id) THEN 2
+         ELSE s.status END AS status
+  FROM st{r - 1} s)""")
+    return (_GRAPH_CTE2 + ",\n" + ",\n".join(parts)
+            + f"\nSELECT conv_id, CAST(status = 1 AS BIGINT) AS in_mis FROM st{rounds}")
+
+
+def _sql_coloring(rounds: int = None, maxc: int = None) -> str:
+    """greedy_coloring replayed in SQL: fixed splitmix64(vid)
+    priorities over the lexicographic vid ranks, the Jones-Plassmann
+    rounds unrolled as a materialized CTE chain. A round: ready =
+    uncolored vertices with no uncolored smaller-hash neighbor; each
+    takes the mex of its colored neighbors' colors (computed as the
+    min unused value over a range(0, maxc) cross join — maxc must
+    exceed the chromatic bound, engine max color is 7 at sf0.01).
+    Rounds past the fixpoint (26 at sf0.01) are no-ops on both sides."""
+    rounds = COLORING_ORACLE_ROUNDS if rounds is None else rounds
+    maxc = COLORING_MAXC if maxc is None else maxc
+    hashed = _sm64(
+        "(SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS vid FROM ids)",
+        f"CAST(vid AS HUGEINT) % {_T64}",
+        "h",
+    )
+    parts = [f"st0 AS MATERIALIZED (SELECT conv_id, h, CAST(NULL AS BIGINT) AS color FROM {hashed})"]
+    for r in range(1, rounds + 1):
+        parts.append(f"""rd{r} AS MATERIALIZED (
+  SELECT s.conv_id FROM st{r - 1} s WHERE s.color IS NULL AND NOT EXISTS (
+    SELECT 1 FROM nbr n JOIN st{r - 1} t ON t.conv_id = n.b
+    WHERE n.a = s.conv_id AND t.color IS NULL AND t.h < s.h))""")
+        parts.append(f"""nc{r} AS MATERIALIZED (
+  SELECT r.conv_id, min(c.x) AS color
+  FROM rd{r} r CROSS JOIN range(0, {maxc}) c(x)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM nbr n JOIN st{r - 1} t ON t.conv_id = n.b
+    WHERE n.a = r.conv_id AND t.color = c.x)
+  GROUP BY r.conv_id)""")
+        parts.append(f"""st{r} AS MATERIALIZED (
+  SELECT s.conv_id, s.h, coalesce(s.color, m.color) AS color
+  FROM st{r - 1} s LEFT JOIN nc{r} m ON m.conv_id = s.conv_id)""")
+    return (_GRAPH_CTE2 + ",\n" + ",\n".join(parts)
+            + f"\nSELECT conv_id, color FROM st{rounds}")
+
+
+def _sql_sssp(seed: int = 0, wmod: int = None, rounds: int = None) -> str:
+    """sssp_weighted replayed in SQL: the same seed election (min
+    splitmix64(vid + seed·2^60), ties by vid), edge weights
+    1 + mix2(least(va,vb), greatest(va,vb)) % wmod recomputed from the
+    lexicographic vid ranks, and Bellman-Ford as a CC-style recursive
+    min-aggregate with an iteration counter — weight-0 self edges carry
+    every reached vertex forward, so the i = rounds slice is the
+    converged distance for any rounds >= the engine fixpoint."""
+    wmod = SSSP_WMOD if wmod is None else wmod
+    rounds = SSSP_ORACLE_ROUNDS if rounds is None else rounds
+    off = (seed << 60) % (1 << 64)
+    ranked = _sm64(
+        "(SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS vid FROM ids)",
+        f"(CAST(vid AS HUGEINT) + {off}) % {_T64}",
+        "h",
+    )
+    weighted = _mix2_sql(
+        "(SELECT n.a, n.b, least(da.vid, db.vid) AS lo, greatest(da.vid, db.vid) AS hi"
+        " FROM nbr n JOIN dict da ON da.conv_id = n.a JOIN dict db ON db.conv_id = n.b)",
+        "CAST(lo AS UBIGINT)", "hi", "wh",
+    )
+    return _GRAPH_CTE2 + f""",
+dict AS (SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS vid FROM ids),
+seedv AS (SELECT conv_id FROM {ranked} ORDER BY h, vid LIMIT 1),
+wnbrx AS (SELECT a, b, CAST(1 + wh % {wmod} AS BIGINT) AS w FROM {weighted}
+          UNION ALL SELECT conv_id, conv_id, 0 FROM ids),
+spr AS (
+  WITH RECURSIVE sp(i, v, d) AS (
+    SELECT 0, conv_id, CAST(0 AS BIGINT) FROM seedv
+    UNION ALL
+    SELECT sp.i + 1, e.b, min(sp.d + e.w) FROM sp JOIN wnbrx e ON e.a = sp.v
+    WHERE sp.i < {rounds} GROUP BY sp.i, e.b
+  ) SELECT v, d FROM sp WHERE i = {rounds}
+)
+SELECT i.conv_id, coalesce(spr.d, -1) AS sdist
+FROM ids i LEFT JOIN spr ON spr.v = i.conv_id"""
+
+
+def _sql_walk_counts(length: int = None) -> str:
+    """walk_count_centrality replayed in SQL: w0 = 1 per vertex, each
+    level an integer join+sum over the deduped directed edges (uedges,
+    incl. the structural self-loops), total = sum of all levels."""
+    length = WALK_LEN if length is None else length
+    parts = ["w0 AS MATERIALIZED (SELECT conv_id AS v, CAST(1 AS BIGINT) AS c FROM ids)"]
+    for t in range(1, length + 1):
+        parts.append(f"""w{t} AS MATERIALIZED (
+  SELECT e.dst AS v, sum(w.c) AS c FROM uedges e
+  JOIN w{t - 1} w ON w.v = e.src GROUP BY e.dst)""")
+    union = " UNION ALL ".join(f"SELECT v, c FROM w{t}" for t in range(length + 1))
+    return (_GRAPH_CTE + ",\n" + ",\n".join(parts)
+            + f",\ntot AS ({union})\n"
+            + "SELECT v AS conv_id, sum(c) AS walks FROM tot GROUP BY v")
+
+
+def _sql_temporal_arrival(seed: int = 0, rounds: int = None) -> str:
+    """temporal_arrival replayed in SQL: the same seed election, the
+    mention log re-extracted WITH epoch-us timestamps (the shared
+    mention CTE drops ts), and the time-respecting min-arrival
+    fixpoint as a CC-style recursive min-aggregate — weight-free self
+    edges (slf) carry reached vertices forward, real edges are usable
+    only when t >= the current arrival and deliver t + 1."""
+    rounds = TA_ORACLE_ROUNDS if rounds is None else rounds
+    off = (seed << 60) % (1 << 64)
+    ranked = _sm64(
+        "(SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS vid FROM ids)",
+        f"(CAST(vid AS HUGEINT) + {off}) % {_T64}",
+        "h",
+    )
+    return _GRAPH_CTE2 + f""",
+tmen AS (SELECT conv_id AS src,
+    coalesce(nullif(regexp_extract(tool, '^ref:([A-Za-z0-9_-]+)$', 1), ''),
+             nullif(regexp_extract(text, 'see:([A-Za-z0-9_-]+)', 1), '')) AS dst,
+    epoch_us(ts) AS t FROM tr),
+tedg AS (SELECT src, dst, t, FALSE AS slf FROM tmen WHERE dst IS NOT NULL
+         UNION ALL SELECT conv_id, conv_id, 0, TRUE FROM ids),
+seedv AS (SELECT conv_id FROM {ranked} ORDER BY h, vid LIMIT 1),
+tar AS (
+  WITH RECURSIVE r(i, v, a) AS (
+    SELECT 0, conv_id, CAST(0 AS BIGINT) FROM seedv
+    UNION ALL
+    SELECT r.i + 1, e.dst, min(CASE WHEN e.slf THEN r.a ELSE e.t + 1 END)
+    FROM r JOIN tedg e ON e.src = r.v AND (e.slf OR e.t >= r.a)
+    WHERE r.i < {rounds} GROUP BY r.i, e.dst
+  ) SELECT v, a FROM r WHERE i = {rounds}
+)
+SELECT i.conv_id, coalesce(tar.a, -1) AS arrival
+FROM ids i LEFT JOIN tar ON tar.v = i.conv_id"""
 
 
 def _sql_eccentricity_sample(seed: int = 0) -> str:
@@ -2620,6 +2852,11 @@ ccr AS (
   ) SELECT v, lab FROM cc WHERE i = {CC_ORACLE_ITERS}
 )
 SELECT v AS conv_id, lab AS component_id FROM ccr""",
+        "maximal_independent_set": _sql_mis(),
+        "sssp_weighted": _sql_sssp(),
+        "greedy_coloring": _sql_coloring(),
+        "temporal_arrival": _sql_temporal_arrival(),
+        "walk_counts": _sql_walk_counts(),
         # sequential Batagelj-Zaversnik peel replayed as a recursive
         # windowed edge filter: each step computes per-endpoint degrees
         # with window functions (one reference to the recursive CTE),
@@ -2744,6 +2981,12 @@ FROM terms""",
         "bloom_semi": _sql_bloom_semi(),
         "stratified_sample": _sql_stratified_sample(),
         "sample_per_key": _sql_sample_per_key(),
+        "topk_events_per_user": f"""
+SELECT event_id, user_id, value FROM (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn <= {TOPK_PER_USER}""",
         "vocabulary": f"""
 SELECT t AS token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents)

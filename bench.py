@@ -165,6 +165,18 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     A.assortativity_sums(ctx)
     extra["assortativity_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    A.maximal_independent_set(ctx).materialize()
+    extra["mis_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    A.greedy_coloring(ctx).materialize()
+    extra["coloring_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    A.sssp_weighted(ctx).materialize()
+    extra["sssp_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    A.walk_count_centrality(ctx).materialize()
+    extra["walk_counts_s"] = time.perf_counter() - t0
     ctx.shutdown()
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])

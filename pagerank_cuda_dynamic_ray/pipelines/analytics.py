@@ -935,6 +935,178 @@ def scc_of_seeds(
     return _with_conv(ctx, tables)
 
 
+def maximal_independent_set(ctx: GraphContext,
+                            max_rounds: int = 100_000) -> rd.Dataset:
+    """Luby-style maximal independent set with FIXED splitmix64
+    priorities over the undirected graph (self-loops excluded by the
+    symmetric view).
+
+    Each round runs two bulk-synchronous exchanges: (1) every active
+    vertex min-combines its hash priority into its neighbors and a
+    strict local minimum joins the set, (2) new members exclude their
+    still-active neighbors; fixpoint when no vertex is active. Fixed
+    priorities make the result the UNIQUE greedy MIS in increasing-hash
+    order — independent of round grouping, shard count or scheduling —
+    which is what the driver's SQL oracle replays. Same BSP skeleton as
+    the engine's CC/LP fixpoints (DT mark fixpoint analogue,
+    /root/reference/inc/pagerankCuda.hxx:439-456).
+
+    Returns Dataset (vid:int64, in_mis:int64[, conv_id])."""
+    _ensure_symmetric(ctx)
+    shards = ctx.shards
+    P = len(shards)
+    active = sum(ray.get([s.mis_init.remote() for s in shards]))
+    rounds = 0
+    while active and rounds < max_rounds:
+        refs = [s.mis_push_prio.options(num_returns=P + 1).remote() for s in shards]
+        ray.get([
+            shards[p].mis_decide.remote(*[refs[q][1 + p] for q in range(P)])
+            for p in range(P)
+        ])
+        refs2 = [s.mis_push_excl.options(num_returns=P + 1).remote() for s in shards]
+        active = sum(ray.get([
+            shards[p].mis_apply_excl.remote(*[refs2[q][1 + p] for q in range(P)])
+            for p in range(P)
+        ]))
+        rounds += 1
+    return _with_conv(ctx, ray.get([s.mis_table.remote() for s in shards]))
+
+
+def greedy_coloring(ctx: GraphContext, max_rounds: int = 100_000) -> rd.Dataset:
+    """Greedy graph coloring by Jones-Plassmann rounds over the
+    undirected view, with FIXED splitmix64(vid) priorities.
+
+    A round: (1) uncolored vertices push their priorities (min-combined
+    per (owner, dst)); a strict local minimum among uncolored neighbors
+    becomes ready and takes the mex of its accumulated neighbor colors;
+    (2) new colors propagate to still-uncolored neighbors. Since a
+    larger-hash neighbor can never be colored before this vertex, the
+    mex at readiness ranges over exactly the smaller-hash neighbors —
+    so the fixpoint equals the SEQUENTIAL greedy coloring in
+    increasing-hash order: deterministic, schedule- and partition-
+    invariant, and replayable by the driver's SQL oracle. Progress is
+    guaranteed (the globally smallest-hash uncolored vertex is always
+    ready). Same BSP skeleton as the MIS/CC fixpoints. Round count is
+    left on ``ctx.last_coloring_rounds``. Returns Dataset
+    (vid, color[, conv_id])."""
+    _ensure_symmetric(ctx)
+    shards = ctx.shards
+    P = len(shards)
+    remaining = sum(ray.get([s.col_init.remote() for s in shards]))
+    rounds = 0
+    while remaining and rounds < max_rounds:
+        refs = [s.col_push_prio.options(num_returns=P + 1).remote() for s in shards]
+        ray.get([
+            shards[p].col_decide.remote(*[refs[q][1 + p] for q in range(P)])
+            for p in range(P)
+        ])
+        refs2 = [s.col_push_colors.options(num_returns=P + 1).remote() for s in shards]
+        remaining = sum(ray.get([
+            shards[p].col_apply_colors.remote(*[refs2[q][1 + p] for q in range(P)])
+            for p in range(P)
+        ]))
+        rounds += 1
+    ctx.last_coloring_rounds = rounds
+    return _with_conv(ctx, ray.get([s.col_table.remote() for s in shards]))
+
+
+def sssp_weighted(ctx: GraphContext, seed: int = 0, wmod: int = 8,
+                  max_rounds: int = 100_000) -> rd.Dataset:
+    """Weighted single-source shortest paths — Bellman-Ford as BSP
+    relaxation rounds over the undirected view, from the hash-elected
+    seed (the engine's shared ``_elect_seeds`` panel, k=1).
+
+    Edge weights 1 + mix2(min(u,v), max(u,v)) % wmod are a pure
+    symmetric function of the endpoint vids: deterministic across
+    shards/runs, recomputed at relax time (never stored, never
+    shipped), and replayed bit-equal by the driver's SQL oracle. Each
+    round relaxes only the edges of the vertices improved last round
+    (the DF-style affected-only frontier), min-combines candidates per
+    (owner, dst) before the exchange, and min-folds at the owner;
+    fixpoint when no distance improves — the weighted generalization
+    of the level-synchronous BFS rounds (bfs.hxx:22-55). Unreached
+    vertices report -1. The fixpoint round count is left on
+    ``ctx.last_sssp_rounds`` (the SQL oracle's unroll bound must
+    exceed it). Returns Dataset (vid, sdist[, conv_id])."""
+    _ensure_symmetric(ctx)
+    shards = ctx.shards
+    P = len(shards)
+    src = int(_elect_seeds(ctx, 1, seed)[0])
+    active = sum(ray.get([s.sssp_init.remote(src, wmod) for s in shards]))
+    rounds = 0
+    while active and rounds < max_rounds:
+        refs = [s.sssp_push.options(num_returns=P + 1).remote() for s in shards]
+        active = sum(ray.get([
+            shards[p].sssp_apply.remote(*[refs[q][1 + p] for q in range(P)])
+            for p in range(P)
+        ]))
+        rounds += 1
+    ctx.last_sssp_rounds = rounds
+    return _with_conv(ctx, ray.get([s.sssp_table.remote() for s in shards]))
+
+
+def walk_count_centrality(ctx: GraphContext, length: int = 4) -> rd.Dataset:
+    """Exact-integer walk-count centrality: for each vertex, the number
+    of directed walks of length <= ``length`` ENDING there (the
+    truncated Katz series sum_{t<=L} (A^T)^t 1 with alpha = 1, over the
+    deduped directed edge set incl. structural self-loops). All
+    arithmetic is int64 and associative, so the result is exact and
+    partitioning-invariant — and replayed term-for-term by the SQL
+    oracle as L unrolled join+sum levels. One sum-combined BSP exchange
+    per level (the PageRank contribution push without the degree
+    normalization, /root/reference/inc/pagerankCuda.hxx:88-217 family).
+    Returns Dataset (vid, walks[, conv_id])."""
+    shards = ctx.shards
+    P = len(shards)
+    ray.get([s.wc_init.remote() for s in shards])
+    for _ in range(length):
+        refs = [s.wc_push.options(num_returns=P + 1).remote() for s in shards]
+        ray.get([
+            shards[p].wc_apply.remote(*[refs[q][1 + p] for q in range(P)])
+            for p in range(P)
+        ])
+    return _with_conv(ctx, ray.get([s.wc_table.remote() for s in shards]))
+
+
+def temporal_earliest_arrival(ctx: GraphContext, encoded_log: rd.Dataset,
+                              seed: int = 0, max_rounds: int = 100_000) -> rd.Dataset:
+    """Time-respecting directed reachability: the earliest arrival time
+    at every vertex from the hash-elected seed, where an edge
+    (u, v, ts) is traversable only when ts >= arrival(u) and delivers
+    arrival ts + 1 (strictly after its own use). The temporal analogue
+    of the reference's ordered edge replay (readTemporalDo,
+    /root/reference/main.cu:100-139): the full per-edge timeline stays
+    shard-resident (the one CSR that keeps an edge payload), and the
+    BSP rounds relax only the rows improved last round. Lowering an
+    arrival only enlarges the usable timeline, so the min-fixpoint is
+    exact. Arrival units are int64 epoch-microseconds; the seed starts
+    at 0; unreached vertices report -1.
+
+    ``encoded_log`` is a Dataset with int64 vid columns (src, dst) and
+    a timestamp ``ts`` (the output of sources.edges.encode_edges) —
+    streamed into the pool via the backpressured route_temporal, never
+    driver-materialized. Returns Dataset (vid, arrival[, conv_id])."""
+    from ..state.partitioner import route_temporal
+
+    shards = ctx.shards
+    P = len(shards)
+    ray.get([s.ta_reset.remote() for s in shards])
+    route_temporal(encoded_log, shards)
+    ray.get([s.ta_finalize.remote() for s in shards])
+    src = int(_elect_seeds(ctx, 1, seed)[0])
+    active = sum(ray.get([s.ta_init.remote(src) for s in shards]))
+    rounds = 0
+    while active and rounds < max_rounds:
+        refs = [s.ta_push.options(num_returns=P + 1).remote() for s in shards]
+        active = sum(ray.get([
+            shards[p].ta_apply.remote(*[refs[q][1 + p] for q in range(P)])
+            for p in range(P)
+        ]))
+        rounds += 1
+    ctx.last_ta_rounds = rounds
+    return _with_conv(ctx, ray.get([s.ta_table.remote() for s in shards]))
+
+
 def random_walks(ctx: GraphContext, length: int = 8, seed: int = 0) -> rd.Dataset:
     """Deterministic random walks over the directed out-CSR, one walk
     per vertex: the step choice idx = mix2(mix2(walk, cur), seed·2^60

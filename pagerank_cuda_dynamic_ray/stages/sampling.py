@@ -137,6 +137,34 @@ def sample_per_key(
     )
 
 
+def topk_per_key(
+    ds: rd.Dataset,
+    k: int,
+    key_col: str,
+    val_col: str,
+    id_col: str,
+    descending: bool = True,
+) -> rd.Dataset:
+    """Top-k rows per key by (value, id) — the windowed
+    ``row_number() OVER (PARTITION BY key ORDER BY val)`` filter as a
+    two-phase combine, same shape as sample_per_key: a per-block
+    partial top-k (<= k rows per (key, block) ever leave a block),
+    then a per-key merge. Ties break by id, so the cut is
+    partitioning-invariant. Float negation is exact, so descending
+    order via ``-val`` matches SQL's DESC bit-for-bit."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        vals = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return _topk_by_hash(t, key_col, k, -vals if descending else vals, ids)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(partial, batch_format="pyarrow")
+    )
+
+
 def vocabulary(
     ds: rd.Dataset,
     top_n: int = 100,

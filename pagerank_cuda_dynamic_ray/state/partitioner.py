@@ -59,3 +59,33 @@ def route_edges(encoded: rd.Dataset, shards: list, batch_size: int = 131_072) ->
 
     counts = encoded.map_batches(route, batch_format="pyarrow", batch_size=batch_size)
     return int(sum(r["n"] for r in counts.take_all()))
+
+
+def route_temporal(encoded: rd.Dataset, shards: list, batch_size: int = 131_072) -> int:
+    """Stream an encoded (src, dst, ts) edge log into the shard pool's
+    temporal adjacency (src-owner routed, per-edge timestamps kept as
+    int64 epoch-us). Same backpressured shape as route_edges, but the
+    routing tasks request 0.5 CPU: they mostly block on actor ingest,
+    and a full-CPU request cannot schedule next to a shard pool that
+    has reserved most of a small cluster's slots (the 4-CPU test
+    cluster deadlocks otherwise)."""
+    P = len(shards)
+
+    def route(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy()
+        dst = batch["dst"].to_numpy()
+        t = batch["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        trip = np.stack([src, dst, t])
+        outs = split_by_owner(trip, src % P, P)
+        refs = []
+        for p in range(P):
+            if outs[p].shape[1]:
+                refs.append(shards[p].ta_ingest.remote(pa.table({
+                    "src": outs[p][0], "dst": outs[p][1], "t": outs[p][2],
+                })))
+        ray.get(refs)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    counts = encoded.map_batches(route, batch_format="pyarrow", batch_size=batch_size,
+                                 num_cpus=0.5)
+    return int(sum(r["n"] for r in counts.take_all()))

@@ -1298,6 +1298,407 @@ class GraphShard:
             self.labels = self._next_labels
             self._next_labels = None
 
+    # --- maximal independent set (Luby rounds, fixed hash priorities) ---
+
+    def mis_init(self) -> int:
+        """Status 0=active, 1=in MIS, 2=excluded; priority =
+        splitmix64(vid). The finalizer is bijective on uint64, so
+        distinct vertices never tie and the parallel rounds converge to
+        the unique greedy MIS in increasing-hash order — the property
+        the SQL oracle replays. Returns the shard's active count."""
+        from ..functions.hashing import splitmix64 as _sm
+        self._mis_status = np.zeros(self.n_local, dtype=np.int8)
+        self._mis_prio = _sm(self.owned_vids().astype(np.uint64))
+        self._mis_new = np.empty(0, dtype=np.int64)
+        return self.n_local
+
+    def mis_push_prio(self) -> list[np.ndarray]:
+        """Push each ACTIVE owned vertex's priority to its undirected
+        neighbors, min-combined per (owner, dst) before the exchange.
+        Returns (k, pairs_0..pairs_{P-1}); each (2,k) int64 array is
+        [dst_local, priority-bits] (uint64 priorities shipped as int64
+        bit patterns — combined BEFORE the view, compared after)."""
+        out: list[np.ndarray] = [np.empty((2, 0), dtype=np.int64) for _ in range(self.P)]
+        act = np.flatnonzero(self._mis_status == 0)
+        if act.size:
+            edge_idx, bounds = K.gather_subset_edges(self.sym_offsets, act)
+            dsts = self.sym_adj[edge_idx]
+            prio = np.repeat(self._mis_prio[act], np.diff(bounds))
+            if dsts.size:
+                order = np.lexsort((prio, dsts))
+                dsts, prio = dsts[order], prio[order]
+                first = np.empty(len(dsts), dtype=bool)
+                first[0] = True
+                first[1:] = dsts[1:] != dsts[:-1]
+                dsts, prio = dsts[first], prio[first]
+                by_owner, cuts = K.owner_split(dsts, self.P)
+                dsts, prio = dsts[by_owner], prio[by_owner].view(np.int64)
+                out = [np.stack([dsts[cuts[q]:cuts[q + 1]] // self.P,
+                                 prio[cuts[q]:cuts[q + 1]]]) for q in range(self.P)]
+        return (sum(o.shape[1] for o in out), *out)
+
+    def mis_decide(self, *pairs: np.ndarray) -> int:
+        """An active owned vertex joins the MIS iff its priority is a
+        strict minimum over its ACTIVE neighbors' (no candidate received
+        means every neighbor is decided — join). Returns new members."""
+        mn = np.full(self.n_local, np.iinfo(np.uint64).max, dtype=np.uint64)
+        rec = np.zeros(self.n_local, dtype=bool)
+        for pr in pairs:
+            if pr is not None and pr.shape[1]:
+                d = pr[0]
+                np.minimum.at(mn, d, pr[1].view(np.uint64))
+                rec[d] = True
+        join = (self._mis_status == 0) & (~rec | (self._mis_prio < mn))
+        self._mis_new = np.flatnonzero(join)
+        self._mis_status[self._mis_new] = 1
+        return int(self._mis_new.size)
+
+    def mis_push_excl(self) -> list[np.ndarray]:
+        """Push exclusion marks from this round's new members to their
+        neighbors (deduped local rows per owner)."""
+        out: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(self.P)]
+        if self._mis_new.size:
+            edge_idx, _ = K.gather_subset_edges(self.sym_offsets, self._mis_new)
+            dsts = np.unique(self.sym_adj[edge_idx])
+            by_owner, cuts = K.owner_split(dsts, self.P)
+            dsts = dsts[by_owner]
+            out = [dsts[cuts[q]:cuts[q + 1]] // self.P for q in range(self.P)]
+        return (sum(len(o) for o in out), *out)
+
+    def mis_apply_excl(self, *arrs: np.ndarray) -> int:
+        """Exclude still-active neighbors of new members; returns the
+        shard's remaining active count (global fixpoint = sum == 0)."""
+        for a in arrs:
+            if a is not None and a.size:
+                sel = a[self._mis_status[a] == 0]
+                self._mis_status[sel] = 2
+        return int((self._mis_status == 0).sum())
+
+    def mis_table(self) -> pa.Table:
+        return pa.table({"vid": pa.array(self.owned_vids()),
+                         "in_mis": pa.array((self._mis_status == 1).astype(np.int64))})
+
+    # --- walk-count centrality (exact-integer truncated Katz) ---
+
+    def wc_init(self) -> None:
+        """w_0 = 1 per vertex; running total starts at w_0. All
+        arithmetic is int64 — walk counts are exact and associative,
+        so shard order / exchange grouping cannot change the result
+        (the float-free analogue of the Katz recurrence with alpha=1
+        truncated at a fixed length)."""
+        self._wc = np.ones(self.n_local, dtype=np.int64)
+        self._wc_total = np.ones(self.n_local, dtype=np.int64)
+
+    def wc_push(self) -> list[np.ndarray]:
+        """Push every owned vertex's walk count along its out-edges,
+        sum-combined per (owner, dst) via an exact integer segment sum
+        (np.add.reduceat — never bincount's float weights). Guards the
+        next level's partial sums against int64 overflow BEFORE they
+        can wrap."""
+        out: list[np.ndarray] = [np.empty((2, 0), dtype=np.int64) for _ in range(self.P)]
+        if self.out_dst is not None and len(self.out_dst):
+            e_shard = len(self.out_dst)
+            if int(self._wc.max(initial=0)) > (2 ** 62) // max(1, e_shard):
+                raise OverflowError(
+                    "walk counts would overflow int64; reduce the walk length")
+            w_edge = np.repeat(self._wc, np.diff(self.out_offsets))
+            order = np.argsort(self.out_dst, kind="stable")
+            dsts, w_edge = self.out_dst[order], w_edge[order]
+            starts = np.flatnonzero(np.r_[True, dsts[1:] != dsts[:-1]])
+            sums = np.add.reduceat(w_edge, starts)
+            dsts = dsts[starts]
+            by_owner, cuts = K.owner_split(dsts, self.P)
+            dsts, sums = dsts[by_owner], sums[by_owner]
+            out = [np.stack([dsts[cuts[q]:cuts[q + 1]] // self.P,
+                             sums[cuts[q]:cuts[q + 1]]]) for q in range(self.P)]
+        return (sum(o.shape[1] for o in out), *out)
+
+    def wc_apply(self, *pairs: np.ndarray) -> None:
+        """Sum incoming per-shard partials into the next level's counts
+        and fold them into the running total."""
+        s = np.zeros(self.n_local, dtype=np.int64)
+        for pr in pairs:
+            if pr is not None and pr.shape[1]:
+                np.add.at(s, pr[0], pr[1])
+        self._wc = s
+        self._wc_total += s
+
+    def wc_table(self) -> pa.Table:
+        return pa.table({"vid": pa.array(self.owned_vids()),
+                         "walks": pa.array(self._wc_total)})
+
+    # --- temporal earliest arrival (time-respecting directed reachability) ---
+
+    def ta_reset(self) -> None:
+        self._ta_chunks: list[np.ndarray] = []
+
+    def ta_ingest(self, tbl: pa.Table) -> int:
+        """Accumulate routed (src_local, dst_vid, ts_us) triples for the
+        temporal adjacency (src-owner routed; per-edge timestamps kept —
+        the one graph view where the CSR carries edge payloads)."""
+        self._ta_chunks.append(np.stack([
+            tbl["src"].to_numpy() // self.P,
+            tbl["dst"].to_numpy(),
+            tbl["t"].to_numpy(),
+        ]))
+        return tbl.num_rows
+
+    def ta_finalize(self) -> int:
+        """Build the per-shard temporal CSR: edges sorted by
+        (src_local, ts, dst) with offsets over owned rows."""
+        if self._ta_chunks:
+            all_ = np.concatenate(self._ta_chunks, axis=1)
+        else:
+            all_ = np.empty((3, 0), dtype=np.int64)
+        self._ta_chunks = []
+        s, d, t = all_[0], all_[1], all_[2]
+        order = np.lexsort((d, t, s))
+        s, self.ta_dst, self.ta_ts = s[order], d[order], t[order]
+        self.ta_off = np.zeros(self.n_local + 1, dtype=np.int64)
+        np.cumsum(np.bincount(s, minlength=self.n_local), out=self.ta_off[1:])
+        return int(len(s))
+
+    def ta_init(self, source_vid: int) -> int:
+        """arrival = +inf; the source (if owned) starts at epoch 0 (all
+        real timestamps are positive, so its full out-timeline is
+        usable)."""
+        self._ta_inf = np.iinfo(np.int64).max
+        self.ta_arr = np.full(self.n_local, self._ta_inf, dtype=np.int64)
+        self._ta_active = np.empty(0, dtype=np.int64)
+        if source_vid % self.P == self.p:
+            loc = source_vid // self.P
+            self.ta_arr[loc] = 0
+            self._ta_active = np.array([loc], dtype=np.int64)
+        return int(self._ta_active.size)
+
+    def ta_push(self) -> list[np.ndarray]:
+        """Time-respecting relaxation of the rows improved last round:
+        an edge (u, v, t) is usable iff t >= arrival(u) and delivers
+        candidate arrival t + 1; candidates min-combine per (owner, dst)
+        before the exchange. Lowering an arrival only ENLARGES the
+        usable timeline, so the BSP min-fixpoint is the exact earliest
+        arrival."""
+        out: list[np.ndarray] = [np.empty((2, 0), dtype=np.int64) for _ in range(self.P)]
+        act = self._ta_active
+        if act.size and self.ta_off[-1]:
+            edge_idx, bounds = K.gather_subset_edges(self.ta_off, act)
+            if edge_idx.size:
+                usable = self.ta_ts[edge_idx] >= np.repeat(self.ta_arr[act], np.diff(bounds))
+                sel = edge_idx[usable]
+                if sel.size:
+                    dsts = self.ta_dst[sel]
+                    cand = self.ta_ts[sel] + 1
+                    order = np.lexsort((cand, dsts))
+                    dsts, cand = dsts[order], cand[order]
+                    first = np.empty(len(dsts), dtype=bool)
+                    first[0] = True
+                    first[1:] = dsts[1:] != dsts[:-1]
+                    dsts, cand = dsts[first], cand[first]
+                    by_owner, cuts = K.owner_split(dsts, self.P)
+                    dsts, cand = dsts[by_owner], cand[by_owner]
+                    out = [np.stack([dsts[cuts[q]:cuts[q + 1]] // self.P,
+                                     cand[cuts[q]:cuts[q + 1]]]) for q in range(self.P)]
+        return (sum(o.shape[1] for o in out), *out)
+
+    def ta_apply(self, *pairs: np.ndarray) -> int:
+        """Min-fold incoming arrival candidates; improved rows become
+        the next active set."""
+        mn = np.full(self.n_local, self._ta_inf, dtype=np.int64)
+        for pr in pairs:
+            if pr is not None and pr.shape[1]:
+                np.minimum.at(mn, pr[0], pr[1])
+        imp = mn < self.ta_arr
+        self.ta_arr[imp] = mn[imp]
+        self._ta_active = np.flatnonzero(imp)
+        return int(self._ta_active.size)
+
+    def ta_table(self) -> pa.Table:
+        a = np.where(self.ta_arr == self._ta_inf, np.int64(-1), self.ta_arr)
+        return pa.table({"vid": pa.array(self.owned_vids()), "arrival": pa.array(a)})
+
+    # --- greedy coloring (Jones-Plassmann rounds, fixed hash priorities) ---
+
+    def col_init(self) -> int:
+        """color = -1 (uncolored); priority = splitmix64(vid), bijective
+        so distinct vertices never tie. A vertex colors itself the round
+        every smaller-hash neighbor is colored, with the mex of its
+        colored neighbors' colors — at that moment exactly its
+        smaller-hash neighbors (a larger-hash neighbor cannot be colored
+        first: this vertex blocks its readiness), so the fixpoint IS the
+        sequential greedy coloring in increasing-hash order —
+        schedule/partition invariant, replayed by the SQL oracle."""
+        from ..functions.hashing import splitmix64 as _sm
+        self._col = np.full(self.n_local, -1, dtype=np.int64)
+        self._col_prio = _sm(self.owned_vids().astype(np.uint64))
+        # neighbor-color marks accumulated from rounds' exchanges
+        self._col_nv = [np.empty(0, dtype=np.int64)]   # owned local rows
+        self._col_nc = [np.empty(0, dtype=np.int64)]   # their nbr colors
+        self._col_new = np.empty(0, dtype=np.int64)
+        return self.n_local
+
+    def col_push_prio(self) -> list[np.ndarray]:
+        """Push each UNCOLORED owned vertex's priority to its undirected
+        neighbors, min-combined per (owner, dst) — same exchange shape
+        as mis_push_prio."""
+        out: list[np.ndarray] = [np.empty((2, 0), dtype=np.int64) for _ in range(self.P)]
+        act = np.flatnonzero(self._col == -1)
+        if act.size:
+            edge_idx, bounds = K.gather_subset_edges(self.sym_offsets, act)
+            dsts = self.sym_adj[edge_idx]
+            prio = np.repeat(self._col_prio[act], np.diff(bounds))
+            if dsts.size:
+                order = np.lexsort((prio, dsts))
+                dsts, prio = dsts[order], prio[order]
+                first = np.empty(len(dsts), dtype=bool)
+                first[0] = True
+                first[1:] = dsts[1:] != dsts[:-1]
+                dsts, prio = dsts[first], prio[first]
+                by_owner, cuts = K.owner_split(dsts, self.P)
+                dsts, prio = dsts[by_owner], prio[by_owner].view(np.int64)
+                out = [np.stack([dsts[cuts[q]:cuts[q + 1]] // self.P,
+                                 prio[cuts[q]:cuts[q + 1]]]) for q in range(self.P)]
+        return (sum(o.shape[1] for o in out), *out)
+
+    def col_decide(self, *pairs: np.ndarray) -> int:
+        """Ready = uncolored with a strict priority minimum over its
+        UNCOLORED neighbors; color = mex over the accumulated neighbor
+        colors (exactly the smaller-hash neighbors at readiness).
+        Vectorized mex: sort the ready rows' (row, color) marks, dedupe,
+        compare each color to its within-segment rank — the mex is the
+        first mismatch (else the segment length)."""
+        mn = np.full(self.n_local, np.iinfo(np.uint64).max, dtype=np.uint64)
+        rec = np.zeros(self.n_local, dtype=bool)
+        for pr in pairs:
+            if pr is not None and pr.shape[1]:
+                d = pr[0]
+                np.minimum.at(mn, d, pr[1].view(np.uint64))
+                rec[d] = True
+        ready = np.flatnonzero((self._col == -1) & (~rec | (self._col_prio < mn)))
+        self._col_new = ready
+        if not ready.size:
+            return 0
+        mex = np.zeros(len(ready), dtype=np.int64)
+        nv = np.concatenate(self._col_nv)
+        if nv.size:
+            nc = np.concatenate(self._col_nc)
+            self._col_nv, self._col_nc = [nv], [nc]
+            is_ready = np.zeros(self.n_local, dtype=bool)
+            is_ready[ready] = True
+            sel = is_ready[nv]
+            v, c = nv[sel], nc[sel]
+            if v.size:
+                uniq = np.unique(np.stack([v, c]), axis=1)
+                v, c = uniq[0], uniq[1]
+                starts = np.flatnonzero(np.r_[True, v[1:] != v[:-1]])
+                seg_id = np.cumsum(np.r_[False, v[1:] != v[:-1]])
+                rank = np.arange(len(v)) - starts[seg_id]
+                seg_len = np.diff(np.r_[starts, len(v)])
+                # first in-segment rank where color != rank, else seg len
+                miss = np.where(c != rank, rank, np.int64(1) << 60)
+                seg_mex = np.minimum(np.minimum.reduceat(miss, starts), seg_len)
+                rows = np.searchsorted(ready, v[starts])
+                mex[rows] = seg_mex
+        self._col[ready] = mex
+        return int(ready.size)
+
+    def col_push_colors(self) -> list[np.ndarray]:
+        """Push this round's new (neighbor_local, color) marks to the
+        owners of the new members' neighbors."""
+        out: list[np.ndarray] = [np.empty((2, 0), dtype=np.int64) for _ in range(self.P)]
+        if self._col_new.size:
+            edge_idx, bounds = K.gather_subset_edges(self.sym_offsets, self._col_new)
+            dsts = self.sym_adj[edge_idx]
+            cols = np.repeat(self._col[self._col_new], np.diff(bounds))
+            if dsts.size:
+                uniq = np.unique(np.stack([dsts, cols]), axis=1)
+                dsts, cols = uniq[0], uniq[1]
+                by_owner, cuts = K.owner_split(dsts, self.P)
+                dsts, cols = dsts[by_owner], cols[by_owner]
+                out = [np.stack([dsts[cuts[q]:cuts[q + 1]] // self.P,
+                                 cols[cuts[q]:cuts[q + 1]]]) for q in range(self.P)]
+        return (sum(o.shape[1] for o in out), *out)
+
+    def col_apply_colors(self, *pairs: np.ndarray) -> int:
+        """Append incoming neighbor-color marks for still-uncolored
+        owned rows; returns the shard's remaining uncolored count."""
+        for pr in pairs:
+            if pr is not None and pr.shape[1]:
+                keep = self._col[pr[0]] == -1
+                self._col_nv.append(pr[0][keep])
+                self._col_nc.append(pr[1][keep])
+        return int((self._col == -1).sum())
+
+    def col_table(self) -> pa.Table:
+        return pa.table({"vid": pa.array(self.owned_vids()),
+                         "color": pa.array(self._col)})
+
+    # --- weighted SSSP (Bellman-Ford BSP, deterministic hash weights) ---
+
+    def sssp_init(self, source_vid: int, wmod: int) -> int:
+        """dist = +inf sentinel everywhere; the source (if owned) seeds
+        the active set. Edge weights are never stored or shipped:
+        w(u, v) = 1 + mix2(min(u,v), max(u,v)) % wmod is a pure
+        symmetric function of the endpoint vids, recomputed wherever
+        the edge is relaxed (and replayed bit-equal by the SQL oracle)."""
+        self._sssp_inf = np.iinfo(np.int64).max
+        self.sdist = np.full(self.n_local, self._sssp_inf, dtype=np.int64)
+        self._sssp_wmod = np.uint64(wmod)
+        self._sssp_active = np.empty(0, dtype=np.int64)
+        if source_vid % self.P == self.p:
+            loc = source_vid // self.P
+            self.sdist[loc] = 0
+            self._sssp_active = np.array([loc], dtype=np.int64)
+        return int(self._sssp_active.size)
+
+    def sssp_push(self) -> list[np.ndarray]:
+        """Relax the undirected edges of the rows improved last round
+        (frontier-restricted like the DF sweep's affected-only work
+        skip, /root/reference/inc/pagerankCuda.hxx:94-97): candidates
+        dist(u) + w(u, v), min-combined per (owner, dst) BEFORE the
+        exchange. Returns (k, pairs_0..pairs_{P-1}); each (2, k) int64
+        array is [dst_local, candidate_dist]."""
+        from ..functions.hashing import mix2 as _mix2
+        out: list[np.ndarray] = [np.empty((2, 0), dtype=np.int64) for _ in range(self.P)]
+        act = self._sssp_active
+        if act.size and self.sym_adj is not None and self.sym_adj.size:
+            edge_idx, bounds = K.gather_subset_edges(self.sym_offsets, act)
+            dsts = self.sym_adj[edge_idx]
+            if dsts.size:
+                lens = np.diff(bounds)
+                srcs = np.repeat(self.owned_vids()[act], lens)
+                lo = np.minimum(srcs, dsts).astype(np.uint64)
+                hi = np.maximum(srcs, dsts).astype(np.uint64)
+                w = 1 + (_mix2(lo, hi) % self._sssp_wmod).astype(np.int64)
+                cand = np.repeat(self.sdist[act], lens) + w
+                order = np.lexsort((cand, dsts))
+                dsts, cand = dsts[order], cand[order]
+                first = np.empty(len(dsts), dtype=bool)
+                first[0] = True
+                first[1:] = dsts[1:] != dsts[:-1]
+                dsts, cand = dsts[first], cand[first]
+                by_owner, cuts = K.owner_split(dsts, self.P)
+                dsts, cand = dsts[by_owner], cand[by_owner]
+                out = [np.stack([dsts[cuts[q]:cuts[q + 1]] // self.P,
+                                 cand[cuts[q]:cuts[q + 1]]]) for q in range(self.P)]
+        return (sum(o.shape[1] for o in out), *out)
+
+    def sssp_apply(self, *pairs: np.ndarray) -> int:
+        """Min-fold incoming candidates into the owned distances; the
+        strictly-improved rows become the next active set. Returns the
+        shard's improved count (global fixpoint = sum == 0)."""
+        mn = np.full(self.n_local, self._sssp_inf, dtype=np.int64)
+        for pr in pairs:
+            if pr is not None and pr.shape[1]:
+                np.minimum.at(mn, pr[0], pr[1])
+        imp = mn < self.sdist
+        self.sdist[imp] = mn[imp]
+        self._sssp_active = np.flatnonzero(imp)
+        return int(self._sssp_active.size)
+
+    def sssp_table(self) -> pa.Table:
+        d = np.where(self.sdist == self._sssp_inf, np.int64(-1), self.sdist)
+        return pa.table({"vid": pa.array(self.owned_vids()), "sdist": pa.array(d)})
+
     # --- level-synchronous BFS (bfs.hxx:22-55 as frontier rounds) ---
 
     def bfs_init(self, source_vid: int) -> np.ndarray:

@@ -460,3 +460,294 @@ def test_clustering_coefficient(parts):
             for v in range(6)]
     assert got["triangles"].tolist() == [tri[v] for v in range(6)]
     assert got["cc_e6"].tolist() == want
+
+
+# ----------------------------------------------------------------------
+# maximal independent set (Luby rounds, fixed splitmix64 priorities)
+# ----------------------------------------------------------------------
+
+def _greedy_mis(n, edges):
+    """Sequential greedy MIS in increasing splitmix64(vid) order — the
+    unique result the parallel rounds must reproduce."""
+    from pagerank_cuda_dynamic_ray.functions.hashing import splitmix64
+
+    nbrs = {v: set() for v in range(n)}
+    for a, b in edges:
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    prio = splitmix64(np.arange(n, dtype=np.uint64))
+    mis = set()
+    for v in np.argsort(prio):
+        if not (nbrs[int(v)] & mis):
+            mis.add(int(v))
+    return mis
+
+
+@pytest.mark.parametrize("parts", [1, 3])
+def test_mis_known_structure(parts):
+    # two triangles bridged by 2-3, isolated 6 and 7
+    src = np.array([0, 1, 2, 3, 4, 5, 2])
+    dst = np.array([1, 2, 0, 4, 5, 3, 3])
+    c = GraphContext(8, parts, add_self_loops=True)
+    c.ingest_pairs(src, dst)
+    c.finalize()
+    got = A.maximal_independent_set(c).to_pandas().sort_values("vid")
+    c.shutdown()
+    members = set(got[got["in_mis"] == 1]["vid"].tolist())
+    edges = set(zip(src.tolist(), dst.tolist()))
+    # independent + maximal
+    assert not any((a in members) and (b in members) for a, b in edges if a != b)
+    assert {6, 7} <= members
+    assert members == _greedy_mis(8, edges)
+
+
+def test_mis_random_graph_matches_greedy_and_partition_invariant():
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 60, 300).astype(np.int64)
+    dst = rng.randint(0, 60, 300).astype(np.int64)
+    want = _greedy_mis(60, set(zip(src.tolist(), dst.tolist())))
+    for parts in (1, 4, 7):
+        # 0.25 CPU/shard: the module-scoped 3-shard fixture may be
+        # alive; 7 x 0.5 + 1.5 would exhaust the 4-CPU test cluster
+        c = GraphContext(60, parts, add_self_loops=True,
+                         num_cpus_per_shard=0.25)
+        c.ingest_pairs(src, dst)
+        c.finalize()
+        got = A.maximal_independent_set(c).to_pandas()
+        c.shutdown()
+        assert set(got[got["in_mis"] == 1]["vid"].tolist()) == want
+
+
+# ----------------------------------------------------------------------
+# weighted SSSP (Bellman-Ford BSP, deterministic hash weights)
+# ----------------------------------------------------------------------
+
+def _dijkstra_oracle(n, edges, source, wmod):
+    """Sequential Dijkstra with the engine's weight function
+    w(u,v) = 1 + mix2(min,max) % wmod; unreached = -1."""
+    import heapq
+    from pagerank_cuda_dynamic_ray.functions.hashing import mix2
+
+    def w(a, b):
+        lo, hi = (a, b) if a < b else (b, a)
+        return 1 + int(mix2(np.uint64(lo), np.uint64(hi)) % np.uint64(wmod))
+
+    nbrs = {v: set() for v in range(n)}
+    for a, b in edges:
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    dist = {source: 0}
+    heap = [(0, source)]
+    while heap:
+        d, v = heapq.heappop(heap)
+        if d > dist.get(v, 1 << 62):
+            continue
+        for u in nbrs[v]:
+            nd = d + w(v, u)
+            if nd < dist.get(u, 1 << 62):
+                dist[u] = nd
+                heapq.heappush(heap, (nd, u))
+    return np.array([dist.get(v, -1) for v in range(n)], dtype=np.int64)
+
+
+def test_sssp_weighted_random_graph_matches_dijkstra_and_partition_invariant():
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, 50, 220).astype(np.int64)
+    dst = rng.randint(0, 50, 220).astype(np.int64)
+    edges = set(zip(src.tolist(), dst.tolist()))
+    from pagerank_cuda_dynamic_ray.pipelines.analytics import _elect_seeds
+
+    want = None
+    for parts in (1, 4, 7):
+        # 0.25 CPU/shard: the module-scoped 3-shard fixture may be
+        # alive; 7 x 0.5 + 1.5 would exhaust the 4-CPU test cluster
+        c = GraphContext(50, parts, add_self_loops=True,
+                         num_cpus_per_shard=0.25)
+        c.ingest_pairs(src, dst)
+        c.finalize()
+        if want is None:
+            seed_vid = int(_elect_seeds(c, 1, 0)[0])
+            want = _dijkstra_oracle(50, edges, seed_vid, 8)
+        got = A.sssp_weighted(c, wmod=8).to_pandas().sort_values("vid")
+        c.shutdown()
+        np.testing.assert_array_equal(got["sdist"].to_numpy(), want)
+
+
+def test_sssp_weighted_disconnected_and_wmod1():
+    # wmod=1 makes every weight 1: sdist must equal BFS hop distance
+    src = np.array([0, 1, 2, 5])
+    dst = np.array([1, 2, 3, 6])
+    c = GraphContext(8, 3, add_self_loops=True)
+    c.ingest_pairs(src, dst)
+    c.finalize()
+    from pagerank_cuda_dynamic_ray.pipelines.analytics import _elect_seeds
+    seed_vid = int(_elect_seeds(c, 1, 0)[0])
+    got = A.sssp_weighted(c, wmod=1).to_pandas().sort_values("vid")["sdist"].to_numpy()
+    bfs = A.bfs_distances(c, seed_vid).to_pandas().sort_values("vid")["distance"].to_numpy()
+    c.shutdown()
+    np.testing.assert_array_equal(got, bfs)
+
+
+# ----------------------------------------------------------------------
+# greedy coloring (Jones-Plassmann rounds, fixed splitmix64 priorities)
+# ----------------------------------------------------------------------
+
+def _greedy_coloring(n, edges):
+    """Sequential greedy coloring in increasing splitmix64(vid) order —
+    the unique result the Jones-Plassmann rounds must reproduce."""
+    from pagerank_cuda_dynamic_ray.functions.hashing import splitmix64
+
+    nbrs = {v: set() for v in range(n)}
+    for a, b in edges:
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    prio = splitmix64(np.arange(n, dtype=np.uint64))
+    color = {}
+    for v in np.argsort(prio):
+        used = {color[u] for u in nbrs[int(v)] if u in color}
+        c = 0
+        while c in used:
+            c += 1
+        color[int(v)] = c
+    return np.array([color[v] for v in range(n)], dtype=np.int64)
+
+
+def test_coloring_random_graph_matches_greedy_and_partition_invariant():
+    rng = np.random.RandomState(3)
+    src = rng.randint(0, 60, 320).astype(np.int64)
+    dst = rng.randint(0, 60, 320).astype(np.int64)
+    edges = set(zip(src.tolist(), dst.tolist()))
+    want = _greedy_coloring(60, edges)
+    for parts in (1, 4, 7):
+        # 0.25 CPU/shard: the module-scoped 3-shard fixture may be
+        # alive; 7 x 0.5 + 1.5 would exhaust the 4-CPU test cluster
+        c = GraphContext(60, parts, add_self_loops=True,
+                         num_cpus_per_shard=0.25)
+        c.ingest_pairs(src, dst)
+        c.finalize()
+        got = A.greedy_coloring(c).to_pandas().sort_values("vid")
+        c.shutdown()
+        np.testing.assert_array_equal(got["color"].to_numpy(), want)
+        # proper coloring: no edge joins equal colors
+        col = got["color"].to_numpy()
+        assert not any(col[a] == col[b] for a, b in edges if a != b)
+
+
+def test_coloring_clique_uses_exactly_k_colors():
+    # K5 + 3 isolated vertices: clique needs exactly 5 colors, isolated get 0
+    pairs = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    src = np.array([p[0] for p in pairs])
+    dst = np.array([p[1] for p in pairs])
+    c = GraphContext(8, 3, add_self_loops=True)
+    c.ingest_pairs(src, dst)
+    c.finalize()
+    got = A.greedy_coloring(c).to_pandas().sort_values("vid")["color"].to_numpy()
+    c.shutdown()
+    assert sorted(got[:5].tolist()) == [0, 1, 2, 3, 4]
+    assert got[5:].tolist() == [0, 0, 0]
+
+
+# ----------------------------------------------------------------------
+# temporal earliest arrival (time-respecting directed reachability)
+# ----------------------------------------------------------------------
+
+def _ta_oracle(n, triples, source):
+    """Label-correcting fixpoint: edge (u,v,t) usable iff t >= arr(u),
+    delivering arr(v) = min(t + 1)."""
+    INF = 1 << 62
+    arr = {source: 0}
+    changed = True
+    while changed:
+        changed = False
+        for u, v, t in triples:
+            if arr.get(u, INF) <= t and t + 1 < arr.get(v, INF):
+                arr[v] = t + 1
+                changed = True
+    return np.array([arr.get(v, -1) for v in range(n)], dtype=np.int64)
+
+
+def _ta_dataset(triples):
+    import pandas as pd
+    import ray.data as rd
+    df = pd.DataFrame({
+        "src": np.array([t[0] for t in triples], dtype=np.int64),
+        "dst": np.array([t[1] for t in triples], dtype=np.int64),
+        "ts": pd.to_datetime(np.array([t[2] for t in triples], dtype="int64"), unit="us"),
+    })
+    return rd.from_pandas(df)
+
+
+def test_temporal_arrival_respects_time_and_partition_invariant():
+    rng = np.random.RandomState(13)
+    m = 300
+    triples = list(zip(rng.randint(0, 40, m).tolist(),
+                       rng.randint(0, 40, m).tolist(),
+                       rng.randint(100, 10_000, m).tolist()))
+    from pagerank_cuda_dynamic_ray.pipelines.analytics import _elect_seeds
+    src = np.array([t[0] for t in triples])
+    dst = np.array([t[1] for t in triples])
+    want = None
+    for parts in (1, 3, 5):
+        # 0.25 CPU/shard and <= 5 parts: this test also runs a Ray Data
+        # routing job while the pool (and the module-scoped 3-shard
+        # fixture) is alive — its tasks must still find a CPU slot
+        c = GraphContext(40, parts, add_self_loops=True,
+                         num_cpus_per_shard=0.25)
+        c.ingest_pairs(src, dst)
+        c.finalize()
+        if want is None:
+            seed_vid = int(_elect_seeds(c, 1, 0)[0])
+            want = _ta_oracle(40, triples, seed_vid)
+        got = A.temporal_earliest_arrival(c, _ta_dataset(triples)).to_pandas()
+        c.shutdown()
+        np.testing.assert_array_equal(
+            got.sort_values("vid")["arrival"].to_numpy(), want)
+
+
+def test_temporal_arrival_blocks_backward_time_paths():
+    # chain 0 -t=100-> 1 -t=50-> 2: arrival at 1 is 101 > 50, so 2 is
+    # unreachable through the stale edge; a later edge 1 -t=200-> 3 works
+    triples = [(0, 1, 100), (1, 2, 50), (1, 3, 200)]
+    c = GraphContext(4, 2, add_self_loops=True)
+    c.ingest_pairs(np.array([t[0] for t in triples]),
+                   np.array([t[1] for t in triples]))
+    c.finalize()
+    from pagerank_cuda_dynamic_ray.pipelines.analytics import _elect_seeds
+    seed_vid = int(_elect_seeds(c, 1, 0)[0])
+    got = A.temporal_earliest_arrival(c, _ta_dataset(triples)).to_pandas()
+    c.shutdown()
+    want = _ta_oracle(4, triples, seed_vid)
+    np.testing.assert_array_equal(got.sort_values("vid")["arrival"].to_numpy(), want)
+    if seed_vid == 0:
+        assert want.tolist() == [0, 101, -1, 201]
+
+
+# ----------------------------------------------------------------------
+# walk-count centrality (exact-integer truncated Katz)
+# ----------------------------------------------------------------------
+
+def test_walk_counts_match_matrix_power_and_partition_invariant():
+    rng = np.random.RandomState(17)
+    n, m, L = 30, 150, 4
+    src = rng.randint(0, n, m).astype(np.int64)
+    dst = rng.randint(0, n, m).astype(np.int64)
+    # brute force over the deduped edge set + structural self-loops
+    A_ = np.zeros((n, n), dtype=np.int64)
+    for a, b in set(zip(src.tolist(), dst.tolist())):
+        A_[a, b] = 1
+    np.fill_diagonal(A_, 1)
+    w = np.ones(n, dtype=np.int64)
+    want = w.copy()
+    for _ in range(L):
+        w = A_.T @ w
+        want += w
+    for parts in (1, 3):
+        c = GraphContext(n, parts, add_self_loops=True)
+        c.ingest_pairs(src, dst)
+        c.finalize()
+        got = A.walk_count_centrality(c, length=L).to_pandas().sort_values("vid")
+        c.shutdown()
+        np.testing.assert_array_equal(got["walks"].to_numpy(), want)

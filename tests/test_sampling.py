@@ -201,3 +201,26 @@ def test_cooccurrence_pmi_bruteforce_and_partition_invariance():
             pmi = math.log((float(r["n"]) * tu * tu) / (float(uc[a]) * uc[b] * tp))
             assert r["pmi_e6"] == int(round(pmi * 1e6))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_topk_per_key_matches_window_rank_and_partition_invariant():
+    rng = np.random.RandomState(5)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 20, n).astype(np.int64),
+        "value": np.round(rng.uniform(0, 100, n), 2),
+    })
+    # brute-force window rank: top 3 per user by (value desc, event_id)
+    want = (df.sort_values(["user_id", "value", "event_id"],
+                           ascending=[True, False, True])
+              .groupby("user_id").head(3)
+              .sort_values("event_id").reset_index(drop=True))
+    outs = []
+    for parts in (1, 7):
+        got = (sampling.topk_per_key(rd.from_pandas(df).repartition(parts),
+                                     3, "user_id", "value", "event_id")
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        outs.append(got)
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
