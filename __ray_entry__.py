@@ -1158,6 +1158,13 @@ def _q_topk_events_per_user(sf_dir: str):
     return SP.topk_per_key(ev, TOPK_PER_USER, "user_id", "value", "event_id")
 
 
+def _q_mode_per_user(sf_dir: str):
+    """Grouped mode: each user's most frequent event_type (+ count),
+    ties to the lexicographically smallest type."""
+    ev = _tbl(sf_dir, "events", columns=["user_id", "event_type"])
+    return SP.mode_per_key(ev, "user_id", "event_type")
+
+
 def _q_vocabulary(sf_dir: str):
     docs = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
     return SP.vocabulary(docs, top_n=VOCAB_TOP)
@@ -1187,6 +1194,13 @@ def _q_hll_distinct(sf_dir: str):
 def _q_doc_len_quantiles(sf_dir: str):
     docs = _tbl(sf_dir, "documents", columns=["n_chars"])
     return SK.exact_quantiles_hist(docs, "n_chars", QUANTILES)
+
+
+def _q_len_quantiles_by_lang(sf_dir: str):
+    """Exact per-language n_chars quantiles (zero-indexed order
+    statistic floor((n-1)q)) — distributed histogram, per-key read-off."""
+    docs = _tbl(sf_dir, "documents", columns=["lang", "n_chars"])
+    return SK.grouped_quantiles_hist(docs, "lang", "n_chars", QUANTILES)
 
 
 CM_DEPTH, CM_WIDTH, CM_SEED = 4, 1024, 3
@@ -1437,12 +1451,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "sample_per_key": _q_sample_per_key,
         "topk_events_per_user": _q_topk_events_per_user,
+        "mode_event_per_user": _q_mode_per_user,
         "vocabulary": _q_vocabulary,
         "inverted_index": _q_inverted_index,
         "cooccurrence_pmi": _q_cooccurrence_pmi,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "hll_distinct": _q_hll_distinct,
         "doc_len_quantiles": _q_doc_len_quantiles,
+        "len_quantiles_by_lang": _q_len_quantiles_by_lang,
         "countmin_user_counts": _q_countmin_user_counts,
         "bloom_semi": _q_bloom_semi,
         "minhash_dedup": _q_minhash_dedup,
@@ -2265,6 +2281,18 @@ FROM (VALUES {vals}) t(q, f)
 JOIN s ON s.rk = CAST(floor(((SELECT n FROM nn) - 1) * t.f) AS BIGINT)"""
 
 
+def _sql_len_quantiles_by_lang() -> str:
+    vals = ", ".join(f"('{k}', {v!r})" for k, v in QUANTILES.items())
+    return f"""
+WITH s AS (SELECT lang, n_chars AS v,
+                  row_number() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS rk,
+                  count(*) OVER (PARTITION BY lang) AS n
+           FROM documents)
+SELECT s.lang, t.q, CAST(s.v AS BIGINT) AS value
+FROM (VALUES {vals}) t(q, f)
+JOIN s ON s.rk = CAST(floor((s.n - 1) * t.f) AS BIGINT)"""
+
+
 def _sql_simhash_dedup() -> str:
     """Full SimHash pipeline in SQL: whitespace tokens -> base-131 byte
     fold over the first 16 bytes mod 2^31-1 -> splitmix64 -> 64-bit
@@ -2977,6 +3005,7 @@ FROM terms""",
         "curation_pipeline": _sql_curation_pipeline(),
         "hll_distinct": _sql_hll_distinct(),
         "doc_len_quantiles": _sql_doc_len_quantiles(),
+        "len_quantiles_by_lang": _sql_len_quantiles_by_lang(),
         "countmin_user_counts": _sql_countmin(),
         "bloom_semi": _sql_bloom_semi(),
         "stratified_sample": _sql_stratified_sample(),
@@ -2987,6 +3016,12 @@ SELECT event_id, user_id, value FROM (
          row_number() OVER (PARTITION BY user_id
                             ORDER BY value DESC, event_id) AS rn
   FROM events) WHERE rn <= {TOPK_PER_USER}""",
+        "mode_event_per_user": """
+SELECT user_id, event_type, n FROM (
+  SELECT user_id, event_type, count(*) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type) WHERE rn = 1""",
         "vocabulary": f"""
 SELECT t AS token, CAST(count(*) AS BIGINT) AS n
 FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents)

@@ -165,6 +165,41 @@ def topk_per_key(
     )
 
 
+def mode_per_key(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+) -> rd.Dataset:
+    """Per-key mode: the most frequent value per key with its count
+    (ties break to the SMALLEST value, so the result is deterministic
+    and partitioning-invariant). Combiner shape: each block ships one
+    (key, val, n) partial per distinct pair — never raw rows — then a
+    per-key merge sums partials and takes the argmax (merge groups are
+    bounded by distinct-values × blocks)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        df_ = pd.DataFrame({key_col: t[key_col].to_numpy(zero_copy_only=False),
+                            val_col: t[val_col].to_numpy(zero_copy_only=False)})
+        g = df_.groupby([key_col, val_col], sort=True).size().reset_index(name="n")
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(df_: pd.DataFrame) -> pd.DataFrame:
+        s = df_.groupby(val_col, sort=True)["n"].sum()
+        arr = s.to_numpy()
+        i = int(np.argmax(arr))  # values sorted ascending: first max = smallest
+        return pd.DataFrame({key_col: [df_[key_col].iloc[0]],
+                             val_col: [s.index[i]],
+                             "n": [int(arr[i])]})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def vocabulary(
     ds: rd.Dataset,
     top_n: int = 100,

@@ -215,6 +215,42 @@ def bloom_probe(
     return ds.map_batches(probe, batch_format="pyarrow")
 
 
+def grouped_quantiles_hist(
+    ds: rd.Dataset, key_col: str, col: str, qs: dict[str, float]
+) -> rd.Dataset:
+    """Exact per-group quantiles of a bounded-cardinality integer
+    column: per-block (key, value, count) partials -> per-key merge
+    groups (rows ∝ distinct values × blocks, never raw rows) -> the
+    zero-indexed order statistic floor((n-1)·q) read off inside
+    map_groups — fully distributed, the driver never folds a histogram.
+    Returns Dataset(key, q, value), one row per (key, quantile)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        df_ = pd.DataFrame({key_col: t[key_col].to_numpy(zero_copy_only=False),
+                            "value": t[col].to_numpy().astype(np.int64)})
+        g = df_.groupby([key_col, "value"], sort=True).size().reset_index(name="cnt")
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def readoff(df_: pd.DataFrame) -> pd.DataFrame:
+        h = df_.groupby("value", sort=True)["cnt"].sum()
+        n = int(h.sum())
+        cum = h.cumsum().to_numpy()
+        values = h.index.to_numpy()
+        picks = [int(values[np.searchsorted(cum, int(np.floor((n - 1) * p)) + 1)])
+                 for p in qs.values()]
+        return pd.DataFrame({key_col: [df_[key_col].iloc[0]] * len(qs),
+                             "q": list(qs.keys()),
+                             "value": np.array(picks, dtype=np.int64)})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(readoff, batch_format="pandas")
+    )
+
+
 def exact_quantiles_hist(
     ds: rd.Dataset, col: str, qs: dict[str, float]
 ) -> rd.Dataset:

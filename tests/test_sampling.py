@@ -224,3 +224,23 @@ def test_topk_per_key_matches_window_rank_and_partition_invariant():
         outs.append(got)
         pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_mode_per_key_deterministic_ties_and_partition_invariant():
+    rng = np.random.RandomState(9)
+    n = 500
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 15, n).astype(np.int64),
+        "event_type": rng.choice(list("abcd"), n),
+    })
+    counts = df.groupby(["user_id", "event_type"]).size().reset_index(name="n")
+    want = (counts.sort_values(["user_id", "n", "event_type"],
+                               ascending=[True, False, True])
+                  .groupby("user_id").head(1).reset_index(drop=True))
+    for parts in (1, 6):
+        got = (sampling.mode_per_key(rd.from_pandas(df).repartition(parts),
+                                     "user_id", "event_type")
+               .to_pandas().sort_values("user_id").reset_index(drop=True))
+        got["n"] = got["n"].astype(np.int64)
+        pd.testing.assert_frame_equal(got[want.columns.tolist()],
+                                      want.astype({"n": np.int64}))

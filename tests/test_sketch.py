@@ -93,3 +93,29 @@ def test_bloom_no_false_negatives_and_low_fp():
     assert member <= kept_set                          # no false negatives
     fp = len(kept_set - member) / (len(probe_df) - len(member))
     assert fp < 0.02, fp                               # m/n=65 bits/key, k=4
+
+
+def test_grouped_quantiles_match_order_statistics():
+    import pandas as pd
+    import ray.data as rd
+    from pagerank_cuda_dynamic_ray.stages import sketch
+
+    rng = np.random.RandomState(21)
+    df = pd.DataFrame({
+        "lang": rng.choice(["en", "de", "fr"], 400),
+        "n": rng.randint(10, 200, 400).astype(np.int64),
+    })
+    qs = {"p25": 0.25, "p50": 0.5, "p90": 0.9}
+    for parts in (1, 5):
+        got = (sketch.grouped_quantiles_hist(
+                   rd.from_pandas(df).repartition(parts), "lang", "n", qs)
+               .to_pandas().sort_values(["lang", "q"]).reset_index(drop=True))
+        rows = []
+        for lang, sub in df.groupby("lang"):
+            v = np.sort(sub["n"].to_numpy())
+            for label, p in qs.items():
+                rows.append((lang, label, int(v[int(np.floor((len(v) - 1) * p))])))
+        want = (pd.DataFrame(rows, columns=["lang", "q", "value"])
+                .sort_values(["lang", "q"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["lang", "q", "value"]].astype({"value": np.int64}), want)
