@@ -1191,6 +1191,16 @@ def _q_hll_distinct(sf_dir: str):
     })
 
 
+def _q_hll_users_by_type(sf_dir: str):
+    """GROUPED HLL: one distinct-user sketch per event_type — the
+    per-segment cardinality query at sketch cost (per-block per-key
+    register combiner, per-key map_groups estimate; no exact distinct
+    shuffle). seed=1 = the hash stream already verified for user_id by
+    hll_distinct, so the two sketches are mutually consistent."""
+    ev = _tbl(sf_dir, "events", columns=["event_type", "user_id"])
+    return SK.hll_distinct_by_key(ev, "event_type", "user_id", p=12, seed=1)
+
+
 def _q_doc_len_quantiles(sf_dir: str):
     docs = _tbl(sf_dir, "documents", columns=["n_chars"])
     return SK.exact_quantiles_hist(docs, "n_chars", QUANTILES)
@@ -1457,6 +1467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence_pmi": _q_cooccurrence_pmi,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "hll_distinct": _q_hll_distinct,
+        "hll_users_by_type": _q_hll_users_by_type,
         "doc_len_quantiles": _q_doc_len_quantiles,
         "len_quantiles_by_lang": _q_len_quantiles_by_lang,
         "countmin_user_counts": _q_countmin_user_counts,
@@ -2202,6 +2213,37 @@ def _sql_hll_distinct() -> str:
         + "\nUNION ALL\n"
         + _sql_hll_one("user_id", 1)
     )
+
+
+def _sql_hll_by_key(key: str, col: str, seed: int) -> str:
+    """_sql_hll_one with the register fold and estimate GROUPed BY a
+    key column (the key rides through _sm64's SELECT * chain)."""
+    off = (seed << 60) % (1 << 64)
+    hsub = _sm64(
+        f"(SELECT DISTINCT {key} AS k, {col} AS v FROM events)",
+        f"(CAST(v AS HUGEINT) + {off}) % {_T64}",
+        "h",
+    )
+    mask = (1 << 52) - 1
+    k77 = float(2**77)  # m^2 * 2^(64-p+1), exact power of two
+    return f"""
+SELECT k AS {key},
+       CAST(round(CASE WHEN e <= 10240.0 AND vz > 0
+                       THEN 4096.0 * ln(4096.0 / vz) ELSE e END) AS BIGINT) AS distinct_est,
+       vz AS n_zero_regs, rs AS reg_sum_rho
+FROM (SELECT k, vz, rs, 0.7213/(1.0 + 1.079/4096.0) * {k77!r} / CAST(s AS DOUBLE) AS e
+      FROM (SELECT k, CAST(4096 - count(*) AS BIGINT) AS vz,
+                   CAST(coalesce(sum(rho), 0) AS BIGINT) AS rs,
+                   CAST(4096 - count(*) AS HUGEINT) * 9007199254740992
+                     + coalesce(SUM(CAST((CAST(1 AS BIGINT) << (53 - rho)) AS HUGEINT)), 0) AS s
+            FROM (SELECT k, bucket, max(rho) AS rho
+                  FROM (SELECT k, h >> 52 AS bucket,
+                               CASE WHEN (h & CAST({mask} AS UBIGINT)) = 0 THEN 53
+                                    ELSE 53 - length(bin(CAST((h & CAST({mask} AS UBIGINT)) AS BIGINT)))
+                               END AS rho
+                        FROM {hsub})
+                  GROUP BY k, bucket)
+            GROUP BY k))"""
 
 
 def _sql_countmin() -> str:
@@ -3004,6 +3046,7 @@ FROM terms""",
         "pii_scrub": _sql_pii_scrub(),
         "curation_pipeline": _sql_curation_pipeline(),
         "hll_distinct": _sql_hll_distinct(),
+        "hll_users_by_type": _sql_hll_by_key("event_type", "user_id", 1),
         "doc_len_quantiles": _sql_doc_len_quantiles(),
         "len_quantiles_by_lang": _sql_len_quantiles_by_lang(),
         "countmin_user_counts": _sql_countmin(),

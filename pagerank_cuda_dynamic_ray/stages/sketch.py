@@ -97,6 +97,53 @@ def hll_distinct(ds: rd.Dataset, col: str, p: int = 12, seed: int = 0) -> dict:
     return hll_estimate(rho, p)
 
 
+def hll_distinct_by_key(
+    ds: rd.Dataset, key_col: str, col: str, p: int = 12, seed: int = 0
+) -> rd.Dataset:
+    """GROUPED HyperLogLog: one distinct-count sketch per key (the
+    "distinct users per segment" query at sketch cost).
+
+    Scale shape: each block folds its rows into per-(key, bucket)
+    register maxima BEFORE the exchange — a block ships at most
+    |keys in block| × m rows however many raw rows it holds — and the
+    per-key estimate is read off inside ``map_groups`` (merge-group
+    rows ∝ m × blocks), never on the driver. Same bit-deterministic
+    construction as :func:`hll_distinct`, so a SQL replay of the
+    sketch verifies estimates AND integer register digests per key.
+
+    Returns Dataset(key, distinct_est, n_zero_regs, reg_sum_rho).
+    """
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy()
+        with np.errstate(over="ignore"):
+            h = splitmix64(vals.astype(np.uint64) + np.uint64(seed) * _SEED_STRIDE)
+        bucket, rho = _hll_rho(h, p)
+        df_ = pd.DataFrame({
+            key_col: t[key_col].to_numpy(zero_copy_only=False),
+            "bucket": bucket, "rho": rho,
+        })
+        g = df_.groupby([key_col, "bucket"], sort=True)["rho"].max().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def readoff(df_: pd.DataFrame) -> pd.DataFrame:
+        rho = df_.groupby("bucket")["rho"].max().to_numpy()
+        est = hll_estimate(rho, p)
+        return pd.DataFrame({
+            key_col: [df_[key_col].iloc[0]],
+            "distinct_est": np.array([est["distinct_est"]], dtype=np.int64),
+            "n_zero_regs": np.array([est["n_zero_regs"]], dtype=np.int64),
+            "reg_sum_rho": np.array([est["reg_sum_rho"]], dtype=np.int64),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(readoff, batch_format="pandas")
+    )
+
+
 def countmin_registers(
     ds: rd.Dataset,
     col: str,

@@ -37,6 +37,31 @@ def test_hll_accuracy_and_partition_invariance():
         assert abs(est - true_n) / true_n < 0.05, (true_n, est)
 
 
+def test_hll_grouped_matches_per_key_filter():
+    """hll_distinct_by_key(k) must equal hll_distinct run on each key's
+    filtered subset (same seed ⇒ identical registers), and be
+    partition-invariant (registers are a pure max-fold)."""
+    rng = np.random.RandomState(7)
+    keys = rng.choice(["a", "b", "c"], 6000)
+    vals = rng.randint(0, 900, 6000).astype(np.int64)
+    df = pd.DataFrame({"k": keys, "v": vals})
+    got = {}
+    for parts in (1, 7):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = sketch.hll_distinct_by_key(ds, "k", "v", p=12, seed=3).to_pandas()
+        got[parts] = out.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[1], got[7])
+    for k in ("a", "b", "c"):
+        sub = rd.from_pandas(df[df["k"] == k][["v"]])
+        want = sketch.hll_distinct(sub, "v", p=12, seed=3)
+        row = got[1][got[1]["k"] == k].iloc[0]
+        assert row["distinct_est"] == want["distinct_est"]
+        assert row["n_zero_regs"] == want["n_zero_regs"]
+        assert row["reg_sum_rho"] == want["reg_sum_rho"]
+        true_n = df[df["k"] == k]["v"].nunique()
+        assert abs(row["distinct_est"] - true_n) / true_n < 0.05
+
+
 def test_hll_empty_and_single():
     assert sketch.hll_distinct(
         rd.from_pandas(pd.DataFrame({"v": np.array([], dtype=np.int64)})), "v"
