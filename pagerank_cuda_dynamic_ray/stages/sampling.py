@@ -369,6 +369,78 @@ def inverted_index(
     return partials.groupby("token").map_groups(merge, batch_format="pandas")
 
 
+def global_rank_ntile(
+    ds: rd.Dataset,
+    value_col: str,
+    id_col: str,
+    tiles: int = 10,
+    out_cols: tuple[str, str] = ("rn", "tile"),
+) -> rd.Dataset:
+    """Exact GLOBAL window functions ``row_number() OVER (ORDER BY
+    value, id)`` and ``NTILE(k)`` over the same order — without a
+    global sort-then-sequential-number pass.
+
+    Two-level design (the reference's scan pattern, `_vector.hxx:
+    1364-1538`, lifted to a cluster): (1) a per-block (value, count)
+    combiner builds the tiny distinct-value histogram whose exclusive
+    cumsum gives every value's global base rank — broadcast once via
+    ``ray.put``; (2) rows shuffle ONCE keyed by value and each
+    ``map_groups`` group ranks its ids locally (argsort) on top of the
+    broadcast base. Shuffle bytes ∝ rows (same as any global sort) but
+    the only sequential state — the offset table — is O(distinct
+    values), so the numbering itself never serializes. NTILE uses the
+    SQL split: with n rows and k tiles the first n%k tiles take
+    ceil(n/k) rows (1-based tile ids).
+
+    Requires unique ids within a value group for a deterministic
+    total order (true for primary-key id columns). Returns
+    Dataset(id, value, rn [1-based], tile).
+    """
+    import pandas as pd
+    import ray
+
+    rn_col, tile_col = out_cols
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        vals, cnt = np.unique(t[value_col].to_numpy(), return_counts=True)
+        return pa.table({"value": pa.array(vals.astype(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("value").sum("cnt").rename_columns({"sum(cnt)": "cnt"})
+        .to_pandas().sort_values("value")
+    )
+    values = hist["value"].to_numpy(np.int64)
+    counts = hist["cnt"].to_numpy(np.int64)
+    n_total = int(counts.sum())
+    base = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    base_ref = ray.put((values, base))
+    q, r = divmod(n_total, max(tiles, 1))
+    cut = r * (q + 1)
+
+    def rank_group(df_: pd.DataFrame) -> pd.DataFrame:
+        vals_b, base_b = ray.get(base_ref)
+        v = np.int64(df_[value_col].iloc[0])
+        b = int(base_b[np.searchsorted(vals_b, v)])
+        order = np.argsort(df_[id_col].to_numpy(), kind="stable")
+        rk = np.empty(len(df_), dtype=np.int64)
+        rk[order] = b + np.arange(len(df_), dtype=np.int64)
+        if q == 0:
+            tile = rk + 1  # more tiles than rows: SQL gives 1 row/tile
+        else:
+            tile = np.where(rk < cut, rk // (q + 1), r + (rk - cut) // q) + 1
+        out = pd.DataFrame({
+            id_col: df_[id_col].to_numpy(),
+            value_col: df_[value_col].to_numpy(),
+            rn_col: rk + 1,
+            tile_col: tile.astype(np.int64),
+        })
+        return out
+
+    return ds.groupby(value_col).map_groups(rank_group, batch_format="pandas")
+
+
 def token_counts(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     """Global whitespace-token occurrence counts (the un-limited form of
     ``vocabulary``): per-block np.unique combiner -> groupby sum.

@@ -244,3 +244,43 @@ def test_mode_per_key_deterministic_ties_and_partition_invariant():
         got["n"] = got["n"].astype(np.int64)
         pd.testing.assert_frame_equal(got[want.columns.tolist()],
                                       want.astype({"n": np.int64}))
+
+
+def _ntile_oracle(n: int, k: int) -> np.ndarray:
+    """SQL NTILE over ranks 0..n-1: first n%k tiles take ceil(n/k)."""
+    q, r = divmod(n, k)
+    out = np.empty(n, dtype=np.int64)
+    pos = 0
+    for t in range(k):
+        size = q + 1 if t < r else q
+        out[pos:pos + size] = t + 1
+        pos += size
+    return out[:pos]
+
+
+def test_global_rank_ntile_matches_sql_semantics():
+    rng = np.random.RandomState(11)
+    n = 997  # deliberately not divisible by 10
+    df = pd.DataFrame({
+        "doc_id": rng.permutation(n).astype(np.int64),
+        "n_chars": rng.randint(0, 40, n).astype(np.int64),  # heavy ties
+    })
+    order = df.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+    want_rn = pd.Series(np.arange(1, n + 1, dtype=np.int64), index=order["doc_id"])
+    want_tile = pd.Series(_ntile_oracle(n, 10), index=order["doc_id"])
+    for parts in (1, 8):
+        got = (sampling.global_rank_ntile(
+                   rd.from_pandas(df).repartition(parts), "n_chars", "doc_id", tiles=10)
+               .to_pandas().set_index("doc_id"))
+        assert (got["rn"] == want_rn.reindex(got.index)).all()
+        assert (got["tile"] == want_tile.reindex(got.index)).all()
+
+
+def test_global_rank_ntile_more_tiles_than_rows():
+    df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                       "n_chars": np.array([5, 5, 1], dtype=np.int64)})
+    got = (sampling.global_rank_ntile(rd.from_pandas(df), "n_chars", "doc_id", tiles=10)
+           .to_pandas().sort_values("rn").reset_index(drop=True))
+    # order: (1,2), (5,0), (5,1); NTILE(10) over 3 rows = 1 row per tile
+    assert got["doc_id"].tolist() == [2, 0, 1]
+    assert got["tile"].tolist() == [1, 2, 3]
