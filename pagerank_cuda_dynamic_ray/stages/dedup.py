@@ -95,6 +95,114 @@ def exact_dedup(docs: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
     return complete
 
 
+def ngram_exact_dedup(docs: rd.Dataset, k: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id") -> rd.Dataset:
+    """Exact n-gram duplication profile (the doc-level form of
+    exact-substring dedup a la Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): for every document, how many of its
+    DISTINCT word k-grams also occur in at least one other document.
+
+    Shape: shingle-hash rows (sh, doc_id) -> distributed sort on sh ->
+    sorted-segment pass (the exact_dedup machinery): a k-gram shared
+    within one block credits its docs locally; only runs touching a
+    block edge defer to a driver fix-up, and those ship ONE partial row
+    per (block, edge run) — (sh, local count, the doc id only when the
+    local count is 1) — so a k-gram duplicated across the whole corpus
+    still costs O(blocks), never O(occurrences). Per-doc totals merge
+    through one combiner groupby, not a join. Returns
+    Dataset(doc_id, n_ngrams, dup_ngrams), one row per document.
+    """
+
+    def emit(batch: pd.DataFrame) -> pd.DataFrame:
+        flat, offs = _shingles_flat(batch[text_col].tolist(), k)
+        ids = np.repeat(batch[id_col].to_numpy(), np.diff(offs))
+        return pd.DataFrame({"sh": flat.astype(np.int64),
+                             id_col: ids.astype(np.int64)})
+
+    def totals(batch: pd.DataFrame) -> pd.DataFrame:
+        _, offs = _shingles_flat(batch[text_col].tolist(), k)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy().astype(np.int64),
+            "n_ngrams": np.diff(offs).astype(np.int64),
+            "dup_ngrams": np.zeros(len(batch), dtype=np.int64),
+        })
+
+    srt = docs.map_batches(emit, batch_format="pandas").sort("sh").materialize()
+
+    def credit(part: pd.DataFrame) -> pd.DataFrame:
+        """Per-block dup credits for rows whose run qualifies locally."""
+        g = part.groupby(id_col).size().reset_index(name="dup_ngrams")
+        return pd.DataFrame({
+            id_col: g[id_col].astype(np.int64),
+            "n_ngrams": np.zeros(len(g), dtype=np.int64),
+            "dup_ngrams": g["dup_ngrams"].astype(np.int64),
+        })
+
+    def block_complete(batch: pd.DataFrame) -> pd.DataFrame:
+        sh = batch["sh"].to_numpy()
+        bounds = np.flatnonzero(np.diff(sh)) + 1
+        if len(bounds) == 0:
+            # single run spanning the whole block: an edge run, but a
+            # local count >= 2 already qualifies — credit here
+            return credit(batch if len(batch) >= 2 else batch.iloc[0:0])
+        inner = batch.iloc[bounds[0]:bounds[-1]]
+        ish = inner["sh"].to_numpy()
+        _, inv, cnt = np.unique(ish, return_inverse=True, return_counts=True)
+        qual = inner[cnt[inv] >= 2]
+        # edge runs with local count >= 2 also qualify regardless of
+        # what neighboring blocks hold — credit them here, not driver-side
+        first = batch.iloc[:bounds[0]]
+        last = batch.iloc[bounds[-1]:]
+        edges = [e for e in (first, last) if len(e) >= 2]
+        return credit(pd.concat([qual] + edges) if edges else qual)
+
+    def block_boundary(batch: pd.DataFrame) -> pd.DataFrame:
+        sh = batch["sh"].to_numpy()
+        bounds = np.flatnonzero(np.diff(sh)) + 1
+        if len(bounds) == 0:
+            runs = [batch]
+        else:
+            runs = [batch.iloc[:bounds[0]], batch.iloc[bounds[-1]:]]
+        rows = []
+        for run in runs:
+            if not len(run):
+                continue
+            rows.append({
+                "sh": np.int64(run["sh"].iloc[0]),
+                "cnt": np.int64(len(run)),
+                # only a locally-single doc still needs the global verdict
+                id_col: np.int64(run[id_col].iloc[0]) if len(run) == 1 else np.int64(-1),
+            })
+        return pd.DataFrame(rows, columns=["sh", "cnt", id_col]).astype(np.int64)
+
+    complete = srt.map_batches(block_complete, batch_format="pandas", batch_size=None)
+    bnd = srt.map_batches(block_boundary, batch_format="pandas", batch_size=None).to_pandas()
+    parts = [docs.map_batches(totals, batch_format="pandas"), complete]
+    if len(bnd):
+        tot = bnd.groupby("sh")["cnt"].transform("sum")
+        fix = bnd[(bnd[id_col] >= 0) & (tot >= 2)]
+        if len(fix):
+            g = fix.groupby(id_col).size().reset_index(name="dup_ngrams")
+            parts.append(rd.from_pandas(pd.DataFrame({
+                id_col: g[id_col].astype(np.int64),
+                "n_ngrams": np.zeros(len(g), dtype=np.int64),
+                "dup_ngrams": g["dup_ngrams"].astype(np.int64),
+            })))
+    out = parts[0].union(*parts[1:])
+
+    def fin(df_: pd.DataFrame) -> pd.DataFrame:
+        # rename via pandas: rename_columns chokes on the pandas-format
+        # blocks a union of from_pandas datasets flows into the groupby
+        return df_.rename(columns={"sum(n_ngrams)": "n_ngrams",
+                                   "sum(dup_ngrams)": "dup_ngrams"})
+
+    return (
+        out.groupby(id_col)
+        .sum(["n_ngrams", "dup_ngrams"])
+        .map_batches(fin, batch_format="pandas")
+    )
+
+
 # ----------------------------------------------------------------------
 # shingling helpers (shared by minhash / jaccard)
 # ----------------------------------------------------------------------

@@ -488,3 +488,34 @@ def test_kmeans_empty_cluster_keeps_centroid():
            .to_pandas().sort_values("vec_id"))
     want = _ref_kmeans(np.arange(4), mat, 3, 2, clustering.KMEANS_SCALE)
     assert got["cluster"].tolist() == want.tolist()
+
+
+def test_ngram_exact_dedup_vs_bruteforce_and_boundaries():
+    """Doc-level exact n-gram dup profile vs a brute-force oracle, with
+    a k-gram duplicated across MANY docs (one sorted run spanning block
+    boundaries) and several partitionings."""
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, 15)) for _ in range(40)]
+    texts += ["shared boiler plate line"] * 25      # corpus-dominant run
+    texts.append(texts[7])                          # exact dup of 7
+    texts.append("zz qq " + texts[3])               # shares 3's tail grams
+
+    from pagerank_cuda_dynamic_ray.stages.dedup import _word_shingles
+    sh = _word_shingles(texts, 3)
+    counts = {}
+    for s in sh:
+        for h in s.tolist():
+            counts[h] = counts.get(h, 0) + 1
+    want = {
+        i: (len(s), sum(1 for h in s.tolist() if counts[h] >= 2))
+        for i, s in enumerate(sh)
+    }
+    for parts in (1, 9):
+        out = (dedup.ngram_exact_dedup(_docs(texts).repartition(parts), k=3)
+               .to_pandas().sort_values("doc_id"))
+        got = {int(r.doc_id): (int(r.n_ngrams), int(r.dup_ngrams))
+               for r in out.itertuples()}
+        assert got == want, parts
+    # sanity on the planted structure: every boilerplate copy fully dup'd
+    assert want[45][0] == want[45][1] > 0
