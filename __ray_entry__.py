@@ -298,6 +298,24 @@ def _q_random_batch(sf_dir: str):
     })
 
 
+def _q_batch_tidy(sf_dir: str):
+    """tidyBatchUpdateU (M7-M9) surfaced as a query: canonicalize the
+    seed-11 random batch — existence filter against the live shards
+    (deletions must exist; insertions must not, which also drops
+    random self-loop pairs since the graph self-loops every vertex),
+    sort, exact dedup. The oracle replays the generator AND the tidy
+    relationally (IN / NOT IN against the deduped edge set)."""
+    ctx = _graph(sf_dir)
+    d = ctx.dictionary
+    dels, inss = ctx.random_batch(64, 64, seed=11)
+    tdel, tins = ctx.tidy_batch(dels, inss)
+    return pa.table({
+        "kind": pa.array(["del"] * tdel.shape[1] + ["ins"] * tins.shape[1]),
+        "src": pa.array(d[np.concatenate([tdel[0], tins[0]])]),
+        "dst": pa.array(d[np.concatenate([tdel[1], tins[1]])]),
+    })
+
+
 def _q_self_loops(sf_dir: str):
     return pa.table({"self_loops": pa.array([_graph(sf_dir).count_self_loops()], pa.int64())})
 
@@ -907,6 +925,25 @@ def _q_events_pivot(sf_dir: str):
     return _rename(agg, {f"sum(n_{ty})": f"n_{ty}" for ty in types})
 
 
+def _q_events_unpivot(sf_dir: str):
+    """Pivot -> UNPIVOT roundtrip: melt the wide per-user counts back
+    to sparse long rows (stages/reshape.unpivot, a pure row-local
+    map_batches — no shuffle beyond the pivot's own). Equals the plain
+    grouped count, which is exactly what the oracle asserts."""
+    from pagerank_cuda_dynamic_ray.stages import reshape as RS
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = _q_events_pivot(sf_dir)
+    long = RS.unpivot(wide, ["user_id"], [f"n_{ty}" for ty in types],
+                      var_name="event_type", value_name="n", drop_zero=True)
+
+    def strip(df_: pd.DataFrame) -> pd.DataFrame:
+        df_["event_type"] = df_["event_type"].str.removeprefix("n_")
+        return df_
+
+    return long.map_batches(strip, batch_format="pandas")
+
+
 # ----------------------------------------------------------------------
 # event-time operators (stages/temporal.py): tumbling windows, as-of
 # join, interval-join aggregate, sessionization — custom operators Ray
@@ -1201,6 +1238,15 @@ def _q_hll_users_by_type(sf_dir: str):
     return SK.hll_distinct_by_key(ev, "event_type", "user_id", p=12, seed=1)
 
 
+def _q_doc_ntile(sf_dir: str):
+    """Exact global row_number + NTILE(10) over (n_chars, doc_id) —
+    the distributed window-function pattern: O(distinct values)
+    broadcast offset table + one value-keyed shuffle; numbering never
+    runs through a single sequential pass."""
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return SP.global_rank_ntile(docs, "n_chars", "doc_id", tiles=10)
+
+
 def _q_doc_len_quantiles(sf_dir: str):
     docs = _tbl(sf_dir, "documents", columns=["n_chars"])
     return SK.exact_quantiles_hist(docs, "n_chars", QUANTILES)
@@ -1272,6 +1318,13 @@ def _q_ngram_jaccard(sf_dir: str):
     return D.ngram_jaccard_pairs(
         _tbl(sf_dir, "documents", ["doc_id", "text"]), threshold=0.7
     )
+
+
+def _q_ngram_dup_profile(sf_dir: str):
+    """Exact n-gram duplication profile (doc-level exact-substring
+    dedup): distinct word-3-gram sets, sorted-segment shared-shingle
+    counting with O(blocks) boundary accounting."""
+    return D.ngram_exact_dedup(_tbl(sf_dir, "documents", ["doc_id", "text"]), k=3)
 
 
 def _q_simhash_dedup(sf_dir: str):
@@ -1398,6 +1451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": _q_degree_assortativity,
         "self_loops": _q_self_loops,
         "random_batch": _q_random_batch,
+        "batch_tidy": _q_batch_tidy,
         "triangle_total": _q_triangle_total,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "triangles_incremental": _q_triangles_incremental,
@@ -1439,6 +1493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "orders_rollup": _q_orders_rollup,
         "events_pivot": _q_events_pivot,
+        "events_unpivot": _q_events_unpivot,
         # event-time family (custom operators Ray Data lacks natively)
         "windowed_events": _q_windowed_events,
         "hopping_events": _q_hopping_events,
@@ -1468,12 +1523,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "hll_distinct": _q_hll_distinct,
         "hll_users_by_type": _q_hll_users_by_type,
+        "doc_ntile": _q_doc_ntile,
         "doc_len_quantiles": _q_doc_len_quantiles,
         "len_quantiles_by_lang": _q_len_quantiles_by_lang,
         "countmin_user_counts": _q_countmin_user_counts,
         "bloom_semi": _q_bloom_semi,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard": _q_ngram_jaccard,
+        "ngram_dup_profile": _q_ngram_dup_profile,
         "simhash_dedup": _q_simhash_dedup,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
@@ -2415,7 +2472,8 @@ def _mix2_sql(sub: str, a_expr: str, b_col: str, out: str) -> str:
     return f"(SELECT * EXCLUDE (__mx) FROM {s})"
 
 
-def _sql_random_batch(size: int = 64, seed: int = 11, retries: int = 5) -> str:
+def _sql_random_batch(size: int = 64, seed: int = 11, retries: int = 5,
+                      tail: str | None = None) -> str:
     """The counter-mode splitmix64 batch generator in SQL — recomputes
     every draw of GraphContext.random_batch exactly: insertion
     endpoints, the 5-attempt deletion vertex pick (first attempt with
@@ -2434,6 +2492,7 @@ def _sql_random_batch(size: int = 64, seed: int = 11, retries: int = 5) -> str:
                  f"CROSS JOIN range(0, {retries}) a(j) CROSS JOIN nn)",
                  f"{seed}*1000003 + {s_del} + {retries}*l + j", "hc")
     dvi = _sm64("(SELECT l, uvid, dg FROM du)", f"{seed}*1000003 + {s_pick} + l", "hp")
+    tail = _RB_TAIL_RAW if tail is None else tail
     return _GRAPH_CTE + f""",
 dict AS (SELECT conv_id, CAST(row_number() OVER (ORDER BY conv_id) - 1 AS BIGINT) AS vid FROM ids),
 nn AS (SELECT count(*) AS n FROM ids),
@@ -2448,6 +2507,10 @@ du AS (SELECT c.l, c.uvid, v.dg FROM pick p JOIN cand c ON c.l = p.l AND c.j = p
 dvi AS (SELECT l, uvid, CAST(hp % CAST(dg AS UBIGINT) AS BIGINT) AS vi FROM {dvi}),
 adj AS (SELECT e.src, e.dst, row_number() OVER (PARTITION BY e.src ORDER BY e.dst) - 1 AS rk
         FROM dedges e)
+{tail}"""
+
+
+_RB_TAIL_RAW = """
 SELECT x.l, 'del' AS kind, dc.conv_id AS src, a.dst AS dst
 FROM dvi x JOIN dict dc ON dc.vid = x.uvid
 JOIN adj a ON a.src = dc.conv_id AND a.rk = x.vi
@@ -2455,6 +2518,22 @@ UNION ALL
 SELECT i.l, 'ins' AS kind, da.conv_id AS src, db.conv_id AS dst
 FROM insr i JOIN dict da ON da.vid = i.uvid JOIN dict db ON db.vid = i.vvid
 ORDER BY kind, l"""
+
+# tidyBatchUpdateU replay: dedup each side, keep deletions that exist /
+# insertions that don't (vs the deduped directed edge set incl. the
+# structural self-loops, = the shards' live edge sets)
+_RB_TAIL_TIDY = """,
+rbd AS (SELECT DISTINCT dc.conv_id AS src, a.dst AS dst
+        FROM dvi x JOIN dict dc ON dc.vid = x.uvid
+        JOIN adj a ON a.src = dc.conv_id AND a.rk = x.vi),
+rbi AS (SELECT DISTINCT da.conv_id AS src, db.conv_id AS dst
+        FROM insr i JOIN dict da ON da.vid = i.uvid JOIN dict db ON db.vid = i.vvid)
+SELECT 'del' AS kind, src, dst FROM rbd
+WHERE (src, dst) IN (SELECT (src, dst) FROM uedges)
+UNION ALL
+SELECT 'ins' AS kind, src, dst FROM rbi
+WHERE (src, dst) NOT IN (SELECT (src, dst) FROM uedges)
+ORDER BY kind, src, dst"""
 
 
 def _sql_dsh_ctes() -> str:
@@ -2813,6 +2892,7 @@ SELECT count(*)::BIGINT AS m,
        CAST(sum(y.d * y.d) AS BIGINT) AS syy
 FROM uedges e JOIN od x ON x.v = e.src JOIN idg y ON y.v = e.dst""",
         "random_batch": _sql_random_batch(),
+        "batch_tidy": _sql_random_batch(tail=_RB_TAIL_TIDY),
         "self_loops": _GRAPH_CTE
         + "\nSELECT count(*) AS self_loops FROM uedges WHERE src = dst",
         "triangle_total": _GRAPH_CTE
@@ -3041,12 +3121,32 @@ FROM terms""",
         "knn_ivf": _sql_knn_ivf(),
         "minhash_dedup": _sql_minhash_dedup(),
         "ngram_jaccard": _sql_ngram_jaccard(),
+        # same dsh shingle sets; dup = k-grams whose corpus count >= 2.
+        # LEFT JOIN keeps zero-shingle docs (none in testdata, engine
+        # emits them with n_ngrams=0)
+        "ngram_dup_profile": f"""
+WITH {_sql_dsh_ctes()},
+cnt AS (SELECT sh, count(*) AS n FROM dsh GROUP BY sh),
+prof AS (
+  SELECT d.doc_id,
+         CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(coalesce(sum(CASE WHEN c.n >= 2 THEN 1 END), 0) AS BIGINT) AS dup_ngrams
+  FROM dsh d JOIN cnt c ON c.sh = d.sh GROUP BY d.doc_id
+)
+SELECT dd.doc_id, coalesce(p.n_ngrams, 0) AS n_ngrams,
+       coalesce(p.dup_ngrams, 0) AS dup_ngrams
+FROM documents dd LEFT JOIN prof p ON p.doc_id = dd.doc_id""",
         "doc_fingerprint": _sql_fingerprint(),
         "hash_split": _sql_hash_split(),
         "pii_scrub": _sql_pii_scrub(),
         "curation_pipeline": _sql_curation_pipeline(),
         "hll_distinct": _sql_hll_distinct(),
         "hll_users_by_type": _sql_hll_by_key("event_type", "user_id", 1),
+        "doc_ntile": """
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+       NTILE(10) OVER (ORDER BY n_chars, doc_id) AS tile
+FROM documents""",
         "doc_len_quantiles": _sql_doc_len_quantiles(),
         "len_quantiles_by_lang": _sql_len_quantiles_by_lang(),
         "countmin_user_counts": _sql_countmin(),
@@ -3157,6 +3257,10 @@ SELECT user_id,
        SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
 FROM events GROUP BY user_id""",
+        # pivot -> melt(drop_zero) roundtrip == the sparse grouped count
+        "events_unpivot": """
+SELECT user_id, event_type, count(*)::BIGINT AS n
+FROM events GROUP BY user_id, event_type""",
         "windowed_events": """
 SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS window_start,
        event_type, count(*)::BIGINT AS n_events,
