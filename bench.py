@@ -209,12 +209,23 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     TS.scrub_pii(docs).materialize()
     extra["pii_scrub_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    D.ngram_exact_dedup(docs, k=3).materialize()
+    extra["ngram_dup_profile_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    SP.global_rank_ntile(docs_full, "n_chars", "doc_id", tiles=10).materialize()
+    extra["doc_ntile_s"] = time.perf_counter() - t0
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id"])
     t0 = time.perf_counter()
     SK.hll_distinct(ev, "event_id")
     SK.exact_quantiles_hist(docs_full, "n_chars",
                             {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9, "p99": 0.99})
     q["sketches"] = time.perf_counter() - t0
+    evt = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                          columns=["event_type", "user_id"])
+    t0 = time.perf_counter()
+    SK.hll_distinct_by_key(evt, "event_type", "user_id", seed=1).materialize()
+    extra["hll_by_key_s"] = time.perf_counter() - t0
 
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
     queries = emb.to_pandas().sort_values("vec_id").head(16).reset_index(drop=True)

@@ -37,10 +37,14 @@ def exact_dedup(docs: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
     groupby per block; only segments straddling block boundaries (≤ 2
     per block) merge driver-side."""
 
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch[[id_col, text_col]].copy()
-        out["h"] = H.hash_strings(batch[text_col].tolist()).astype(np.int64)
-        return out
+    def add_hash(batch: pd.DataFrame) -> pa.Table:
+        # Arrow output: Ray's sort on pandas blocks is several times
+        # slower than on Arrow blocks (same finding as ngram_exact_dedup)
+        return pa.table({
+            id_col: pa.array(batch[id_col].to_numpy(np.int64)),
+            text_col: pa.array(batch[text_col], type=pa.string(), from_pandas=True),
+            "h": pa.array(H.hash_strings(batch[text_col].tolist()).astype(np.int64)),
+        })
 
     srt = docs.map_batches(add_hash, batch_format="pandas").sort("h").materialize()
 
@@ -113,29 +117,31 @@ def ngram_exact_dedup(docs: rd.Dataset, k: int = 3, text_col: str = "text",
     Dataset(doc_id, n_ngrams, dup_ngrams), one row per document.
     """
 
-    def emit(batch: pd.DataFrame) -> pd.DataFrame:
+    def emit(batch: pd.DataFrame) -> "pa.Table":
+        # Arrow outputs everywhere below: Ray's sort/groupby on pandas
+        # blocks is ~12x slower than on Arrow blocks (measured sf0.1)
         flat, offs = _shingles_flat(batch[text_col].tolist(), k)
         ids = np.repeat(batch[id_col].to_numpy(), np.diff(offs))
-        return pd.DataFrame({"sh": flat.astype(np.int64),
-                             id_col: ids.astype(np.int64)})
+        return pa.table({"sh": pa.array(flat.astype(np.int64)),
+                         id_col: pa.array(ids.astype(np.int64))})
 
-    def totals(batch: pd.DataFrame) -> pd.DataFrame:
+    def totals(batch: pd.DataFrame) -> "pa.Table":
         _, offs = _shingles_flat(batch[text_col].tolist(), k)
-        return pd.DataFrame({
-            id_col: batch[id_col].to_numpy().astype(np.int64),
-            "n_ngrams": np.diff(offs).astype(np.int64),
-            "dup_ngrams": np.zeros(len(batch), dtype=np.int64),
+        return pa.table({
+            id_col: pa.array(batch[id_col].to_numpy().astype(np.int64)),
+            "n_ngrams": pa.array(np.diff(offs).astype(np.int64)),
+            "dup_ngrams": pa.array(np.zeros(len(batch), dtype=np.int64)),
         })
 
     srt = docs.map_batches(emit, batch_format="pandas").sort("sh").materialize()
 
-    def credit(part: pd.DataFrame) -> pd.DataFrame:
+    def credit(part: pd.DataFrame) -> "pa.Table":
         """Per-block dup credits for rows whose run qualifies locally."""
         g = part.groupby(id_col).size().reset_index(name="dup_ngrams")
-        return pd.DataFrame({
-            id_col: g[id_col].astype(np.int64),
-            "n_ngrams": np.zeros(len(g), dtype=np.int64),
-            "dup_ngrams": g["dup_ngrams"].astype(np.int64),
+        return pa.table({
+            id_col: pa.array(g[id_col].to_numpy(np.int64)),
+            "n_ngrams": pa.array(np.zeros(len(g), dtype=np.int64)),
+            "dup_ngrams": pa.array(g["dup_ngrams"].to_numpy(np.int64)),
         })
 
     def block_complete(batch: pd.DataFrame) -> pd.DataFrame:
@@ -183,23 +189,24 @@ def ngram_exact_dedup(docs: rd.Dataset, k: int = 3, text_col: str = "text",
         fix = bnd[(bnd[id_col] >= 0) & (tot >= 2)]
         if len(fix):
             g = fix.groupby(id_col).size().reset_index(name="dup_ngrams")
-            parts.append(rd.from_pandas(pd.DataFrame({
-                id_col: g[id_col].astype(np.int64),
-                "n_ngrams": np.zeros(len(g), dtype=np.int64),
-                "dup_ngrams": g["dup_ngrams"].astype(np.int64),
+            parts.append(rd.from_arrow(pa.table({
+                id_col: pa.array(g[id_col].to_numpy(np.int64)),
+                "n_ngrams": pa.array(np.zeros(len(g), dtype=np.int64)),
+                "dup_ngrams": pa.array(g["dup_ngrams"].to_numpy(np.int64)),
             })))
     out = parts[0].union(*parts[1:])
 
-    def fin(df_: pd.DataFrame) -> pd.DataFrame:
-        # rename via pandas: rename_columns chokes on the pandas-format
-        # blocks a union of from_pandas datasets flows into the groupby
-        return df_.rename(columns={"sum(n_ngrams)": "n_ngrams",
-                                   "sum(dup_ngrams)": "dup_ngrams"})
+    def fin(t: pa.Table) -> pa.Table:
+        # format-agnostic rename: rename_columns breaks on pandas-format
+        # blocks (which a from_pandas input propagates into the groupby)
+        return pa.table({id_col: t[id_col],
+                         "n_ngrams": t["sum(n_ngrams)"],
+                         "dup_ngrams": t["sum(dup_ngrams)"]})
 
     return (
         out.groupby(id_col)
         .sum(["n_ngrams", "dup_ngrams"])
-        .map_batches(fin, batch_format="pandas")
+        .map_batches(fin, batch_format="pyarrow")
     )
 
 
