@@ -329,7 +329,14 @@ def bucket_pairs(keyed: rd.Dataset, max_bucket: int = MAX_BUCKET) -> rd.Dataset:
     verification and union-find clustering are idempotent, so a global
     all-to-all distinct would buy nothing but a shuffle.
     Shared by MinHash-LSH and SimHash blocking."""
-    srt = keyed.sort("bkey").materialize()
+    def to_arrow(b: pd.DataFrame) -> pa.Table:
+        # normalize to Arrow blocks before the shuffle: Ray's sort over
+        # pandas blocks is several times slower (measured sf0.1)
+        return pa.table({"bkey": pa.array(b["bkey"].to_numpy(np.int64)),
+                         "doc_id": pa.array(b["doc_id"].to_numpy(np.int64))})
+
+    srt = (keyed.map_batches(to_arrow, batch_format="pandas")
+           .sort("bkey").materialize())
 
     def block_pairs(batch: pd.DataFrame) -> pd.DataFrame:
         k = batch["bkey"].to_numpy()
