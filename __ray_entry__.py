@@ -925,6 +925,33 @@ def _q_events_pivot(sf_dir: str):
     return _rename(agg, {f"sum(n_{ty})": f"n_{ty}" for ty in types})
 
 
+def _q_supplier_region(sf_dir: str):
+    """Broadcast dimension join (stages/relational.broadcast_join):
+    nation⨝region (tiny) ships once via ray.put; the supplier side
+    streams through map_batches with ZERO shuffle — the named scale
+    pattern for dimension-table joins."""
+    from pagerank_cuda_dynamic_ray.stages import relational as R
+
+    sup = _tbl(sf_dir, "supplier", columns=["s_suppkey", "s_name", "s_nationkey"])
+    nat = _tbl(sf_dir, "nation").to_pandas()
+    reg = _tbl(sf_dir, "region").to_pandas()
+    dim = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    dim = dim.rename(columns={"n_nationkey": "s_nationkey"})[
+        ["s_nationkey", "n_name", "r_name"]]
+    out = R.broadcast_join(sup, dim, on="s_nationkey", how="inner")
+    return out.select_columns(["s_suppkey", "s_name", "n_name", "r_name"])
+
+
+def _q_salted_event_counts(sf_dir: str):
+    """Two-phase salted groupby (stages/relational.salted_groupby_count)
+    over the 5-hot-key event_type column — explicit skew handling for
+    the reduce fan-in; result is the plain grouped count."""
+    from pagerank_cuda_dynamic_ray.stages import relational as R
+
+    ev = _tbl(sf_dir, "events", columns=["event_type"])
+    return R.salted_groupby_count(ev, "event_type", salt=8)
+
+
 def _q_events_unpivot(sf_dir: str):
     """Pivot -> UNPIVOT roundtrip: melt the wide per-user counts back
     to sparse long rows (stages/reshape.unpivot, a pure row-local
@@ -1247,6 +1274,18 @@ def _q_doc_ntile(sf_dir: str):
     return SP.global_rank_ntile(docs, "n_chars", "doc_id", tiles=10)
 
 
+VQ_LO, VQ_HI, VQ_BINS = 0.0, 200.0, 1000
+VQ_QS = {"p50": 0.5, "p90": 0.9, "p99": 0.99, "p999": 0.999}
+
+
+def _q_value_quantiles_binned(sf_dir: str):
+    """Histogram-sketch quantiles for the UNBOUNDED double events.value
+    (the deterministic t-digest stand-in): fixed-width bins, per-block
+    bincount combiner, order-statistic read-off — error <= 1 bin."""
+    ev = _tbl(sf_dir, "events", columns=["value"])
+    return SK.binned_quantiles(ev, "value", VQ_QS, VQ_LO, VQ_HI, VQ_BINS)
+
+
 def _q_doc_len_quantiles(sf_dir: str):
     docs = _tbl(sf_dir, "documents", columns=["n_chars"])
     return SK.exact_quantiles_hist(docs, "n_chars", QUANTILES)
@@ -1494,6 +1533,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": _q_orders_rollup,
         "events_pivot": _q_events_pivot,
         "events_unpivot": _q_events_unpivot,
+        "supplier_region": _q_supplier_region,
+        "salted_event_counts": _q_salted_event_counts,
         # event-time family (custom operators Ray Data lacks natively)
         "windowed_events": _q_windowed_events,
         "hopping_events": _q_hopping_events,
@@ -1525,6 +1566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_by_type": _q_hll_users_by_type,
         "doc_ntile": _q_doc_ntile,
         "doc_len_quantiles": _q_doc_len_quantiles,
+        "value_quantiles_binned": _q_value_quantiles_binned,
         "len_quantiles_by_lang": _q_len_quantiles_by_lang,
         "countmin_user_counts": _q_countmin_user_counts,
         "bloom_semi": _q_bloom_semi,
@@ -2270,6 +2312,29 @@ def _sql_hll_distinct() -> str:
         + "\nUNION ALL\n"
         + _sql_hll_one("user_id", 1)
     )
+
+
+def _sql_value_quantiles_binned() -> str:
+    """binned_quantiles replayed: identical double bin expression
+    (floor((v-lo)/w), clipped), windowed cumulative counts, smallest
+    bin at cum >= floor((n-1)*q)+1, edges = the same lo + bin*w
+    products. Quantile fractions CAST to DOUBLE so DuckDB doesn't run
+    (n-1)*q in DECIMAL."""
+    w = (VQ_HI - VQ_LO) / VQ_BINS
+    vals = ", ".join(f"('{k}', {v!r})" for k, v in VQ_QS.items())
+    return f"""
+WITH h AS (SELECT CAST(least(greatest(floor((value - {VQ_LO!r}) / {w!r}), 0), {VQ_BINS - 1}) AS BIGINT) AS bin,
+                  count(*)::BIGINT AS cnt FROM events GROUP BY 1),
+c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM h),
+nt AS (SELECT sum(cnt)::BIGINT AS n FROM h),
+qq AS (SELECT v.q, CAST(v.p AS DOUBLE) AS p FROM (VALUES {vals}) v(q, p)),
+r AS (SELECT q, CAST(floor((nt.n - 1) * p) AS BIGINT) AS rank FROM qq, nt)
+SELECT r.q, min(c.bin) AS bin,
+       {VQ_LO!r} + min(c.bin) * {w!r} AS lo_edge,
+       {VQ_LO!r} + (min(c.bin) + 1) * {w!r} AS hi_edge,
+       r.rank
+FROM r JOIN c ON c.cum >= r.rank + 1
+GROUP BY r.q, r.rank"""
 
 
 def _sql_hll_by_key(key: str, col: str, seed: int) -> str:
@@ -3148,6 +3213,7 @@ SELECT doc_id, n_chars,
        NTILE(10) OVER (ORDER BY n_chars, doc_id) AS tile
 FROM documents""",
         "doc_len_quantiles": _sql_doc_len_quantiles(),
+        "value_quantiles_binned": _sql_value_quantiles_binned(),
         "len_quantiles_by_lang": _sql_len_quantiles_by_lang(),
         "countmin_user_counts": _sql_countmin(),
         "bloom_semi": _sql_bloom_semi(),
@@ -3261,6 +3327,12 @@ FROM events GROUP BY user_id""",
         "events_unpivot": """
 SELECT user_id, event_type, count(*)::BIGINT AS n
 FROM events GROUP BY user_id, event_type""",
+        "supplier_region": """
+SELECT s.s_suppkey, s.s_name, n.n_name, r.r_name
+FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey""",
+        "salted_event_counts": """
+SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY event_type""",
         "windowed_events": """
 SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS window_start,
        event_type, count(*)::BIGINT AS n_events,

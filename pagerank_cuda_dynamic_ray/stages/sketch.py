@@ -298,6 +298,56 @@ def grouped_quantiles_hist(
     )
 
 
+def binned_quantiles(
+    ds: rd.Dataset,
+    col: str,
+    qs: dict[str, float],
+    lo: float,
+    hi: float,
+    nbins: int = 1000,
+) -> "pa.Table":
+    """Approximate quantiles for an UNBOUNDED double column via a
+    fixed-width histogram sketch (the deterministic, SQL-replayable
+    stand-in for a t-digest): bin = clip(floor((v-lo)/w), 0, nbins-1),
+    per-block bincount partials -> groupby sum (<= nbins rows per
+    block, ever), order-statistic read-off per quantile. Out-of-range
+    values clip into the edge bins. Error <= one bin width; both edges
+    of the winning bin are reported. Bin arithmetic is the same double
+    expression on both engines, so results hash-match exactly."""
+    w = (hi - lo) / nbins
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy().astype(np.float64)
+        b = np.clip(np.floor((v - lo) / w), 0, nbins - 1).astype(np.int64)
+        bins, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bin": pa.array(bins), "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin").sum("cnt").rename_columns({"sum(cnt)": "cnt"})
+        .to_pandas().sort_values("bin")
+    )
+    n = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum().to_numpy()
+    bins = hist["bin"].to_numpy()
+    out_q, out_b, out_lo, out_hi, out_rank = [], [], [], [], []
+    for label, q in qs.items():
+        rank = int(np.floor((n - 1) * float(q)))
+        b = int(bins[np.searchsorted(cum, rank + 1)])
+        out_q.append(label)
+        out_b.append(b)
+        out_lo.append(lo + b * w)
+        out_hi.append(lo + (b + 1) * w)
+        out_rank.append(rank)
+    return pa.table({
+        "q": pa.array(out_q, type=pa.string()),
+        "bin": pa.array(out_b, type=pa.int64()),
+        "lo_edge": pa.array(out_lo, type=pa.float64()),
+        "hi_edge": pa.array(out_hi, type=pa.float64()),
+        "rank": pa.array(out_rank, type=pa.int64()),
+    })
+
+
 def exact_quantiles_hist(
     ds: rd.Dataset, col: str, qs: dict[str, float]
 ) -> rd.Dataset:

@@ -1,0 +1,52 @@
+"""Broadcast join + salted two-phase groupby."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from pagerank_cuda_dynamic_ray.stages import relational
+
+
+def test_broadcast_join_inner_and_left():
+    big = pd.DataFrame({"k": np.array([1, 2, 3, 4, 2], dtype=np.int64),
+                        "x": np.arange(5, dtype=np.int64)})
+    small = pd.DataFrame({"k": np.array([1, 2], dtype=np.int64),
+                          "name": ["a", "b"]})
+    for parts in (1, 3):
+        ds = rd.from_pandas(big).repartition(parts)
+        inner = (relational.broadcast_join(ds, small, on="k", how="inner")
+                 .to_pandas().sort_values("x").reset_index(drop=True))
+        want = (big.merge(small, on="k", how="inner")
+                .sort_values("x").reset_index(drop=True))
+        pd.testing.assert_frame_equal(inner, want)
+        left = (relational.broadcast_join(ds, small, on="k", how="left")
+                .to_pandas().sort_values("x").reset_index(drop=True))
+        wantl = (big.merge(small, on="k", how="left")
+                 .sort_values("x").reset_index(drop=True))
+        pd.testing.assert_frame_equal(left, wantl)
+
+
+def test_salted_groupby_count_matches_plain_count():
+    rng = np.random.RandomState(3)
+    # two hot keys + a long tail — the skew shape salting exists for
+    keys = np.concatenate([
+        np.repeat(["hot_a", "hot_b"], 3000),
+        rng.choice([f"t{i}" for i in range(40)], 800),
+    ])
+    rng.shuffle(keys)
+    df = pd.DataFrame({"k": keys})
+    want = df.groupby("k").size()
+    for parts in (1, 7):
+        for salt in (1, 8):
+            got = (relational.salted_groupby_count(
+                       rd.from_pandas(df).repartition(parts), "k", salt=salt)
+                   .to_pandas().set_index("k")["n"])
+            assert (got.sort_index() == want.sort_index()).all(), (parts, salt)
+
+
+def test_salted_groupby_weighted():
+    df = pd.DataFrame({"k": ["a", "a", "b"], "w": np.array([2, 3, 5], dtype=np.int64)})
+    got = (relational.salted_groupby_count(rd.from_pandas(df), "k",
+                                           salt=4, weight_col="w")
+           .to_pandas().set_index("k")["n"])
+    assert got["a"] == 5 and got["b"] == 5

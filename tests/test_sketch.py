@@ -144,3 +144,23 @@ def test_grouped_quantiles_match_order_statistics():
                 .sort_values(["lang", "q"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(
             got[["lang", "q", "value"]].astype({"value": np.int64}), want)
+
+
+def test_binned_quantiles_bracket_and_partition_invariance():
+    rng = np.random.RandomState(21)
+    vals = np.concatenate([
+        rng.exponential(40.0, 5000),
+        np.array([-5.0, 1e9]),          # out-of-range -> edge bins
+    ])
+    qs = {"p50": 0.5, "p90": 0.9, "p99": 0.99}
+    got = {}
+    for parts in (1, 7):
+        ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(parts)
+        got[parts] = sketch.binned_quantiles(ds, "v", qs, 0.0, 200.0, 400).to_pandas()
+    pd.testing.assert_frame_equal(got[1], got[7])
+    s = np.sort(vals)
+    for row in got[1].itertuples():
+        true_q = s[int(np.floor((len(s) - 1) * qs[row.q]))]
+        # true order statistic lies in (or clips into) the reported bin
+        assert row.lo_edge <= max(min(true_q, 200.0 - 1e-9), 0.0) <= row.hi_edge + 1e-9
+    assert (got[1]["hi_edge"] - got[1]["lo_edge"]).max() <= 0.5 + 1e-12
