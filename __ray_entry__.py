@@ -641,6 +641,15 @@ def _q_harmonic_centrality(sf_dir: str):
     return ds.select_columns(["conv_id", "harmonic"])
 
 
+def _q_closeness_sample(sf_dir: str):
+    """Sampled closeness sufficient statistics (reached-seed count +
+    integer distance sum) over the same 8-seed panel as harmonic —
+    pure-integer output, bit-exact vs the recursive BFS oracle."""
+    ctx = _graph(sf_dir)
+    ds = A.closeness_centrality(ctx, num_seeds=HARM_SEEDS, max_depth=HARM_MAXD, seed=0)
+    return ds.select_columns(["conv_id", "n_reached", "sum_dist"])
+
+
 def _q_random_walks(sf_dir: str):
     """One deterministic walk per vertex, 8 steps over the out-CSR;
     every (walk, step, position) row is a pure function of the hash
@@ -1511,6 +1520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "core_numbers": _q_core_numbers,
         "random_walks": _q_random_walks,
         "harmonic_centrality": _q_harmonic_centrality,
+        "closeness_sample": _q_closeness_sample,
         "scc_of_seeds": _q_scc_of_seeds,
         "eccentricity_sample": _q_eccentricity_sample,
         "sp_counts": _q_sp_counts,
@@ -1922,6 +1932,32 @@ hsum AS (SELECT v, CAST(sum({HARM_LCM} // d) AS BIGINT) AS harmonic
          FROM hw WHERE d > 0 GROUP BY v)
 SELECT i.conv_id, coalesce(h.harmonic, 0) AS harmonic
 FROM ids i LEFT JOIN hsum h ON h.v = i.conv_id"""
+
+
+def _sql_closeness_sample(seed: int = 0) -> str:
+    """Same seed panel + depth-capped recursive BFS as harmonic;
+    reports count(reached seeds) and sum(min distance) per vertex."""
+    off = (seed << 60) % (1 << 64)
+    ranked = _sm64(
+        "(SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS vid FROM ids)",
+        f"(CAST(vid AS HUGEINT) + {off}) % {_T64}",
+        "h",
+    )
+    return _GRAPH_CTE2 + f""",
+seeds AS (SELECT conv_id FROM {ranked} ORDER BY h, vid LIMIT {HARM_SEEDS}),
+hw AS (
+  WITH RECURSIVE w(s, v, d) AS (
+    SELECT conv_id, conv_id, 0 FROM seeds
+    UNION
+    SELECT w.s, e.b, w.d + 1 FROM w JOIN nbr e ON e.a = w.v WHERE w.d < {HARM_MAXD}
+  ) SELECT s, v, min(d) AS d FROM w GROUP BY s, v
+),
+csum AS (SELECT v, CAST(count(*) AS BIGINT) AS n_reached,
+                CAST(sum(d) AS BIGINT) AS sum_dist
+         FROM hw WHERE d > 0 GROUP BY v)
+SELECT i.conv_id, coalesce(c.n_reached, 0) AS n_reached,
+       coalesce(c.sum_dist, 0) AS sum_dist
+FROM ids i LEFT JOIN csum c ON c.v = i.conv_id"""
 
 
 def _sql_scc_of_seeds(seed: int = 0) -> str:
@@ -3108,6 +3144,7 @@ FROM ids i LEFT JOIN corev c ON c.v = i.conv_id""",
         # nested mix2 chain, next = the adj row at idx = r % deg
         "random_walks": _sql_random_walks(),
         "harmonic_centrality": _sql_harmonic_centrality(),
+        "closeness_sample": _sql_closeness_sample(),
         "scc_of_seeds": _sql_scc_of_seeds(),
         "eccentricity_sample": _sql_eccentricity_sample(),
         "sp_counts": _sql_sp_counts(),

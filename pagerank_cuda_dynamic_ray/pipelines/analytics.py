@@ -757,6 +757,46 @@ def harmonic_centrality(
     return _with_conv(ctx, tables)
 
 
+def closeness_centrality(
+    ctx: GraphContext,
+    num_seeds: int = 8,
+    max_depth: int = 12,
+    seed: int = 0,
+) -> rd.Dataset:
+    """Sampled closeness centrality sufficient statistics: for each
+    vertex v, over the same deterministic seed panel as
+    ``harmonic_centrality`` (shared `_elect_seeds` election), the count
+    of seeds reached within ``max_depth`` and the INTEGER sum of BFS
+    distances — closeness(v) ≈ n_reached / sum_dist is left to the
+    caller so the engine output stays pure-integer (no float summation
+    order to disagree about; the Eppstein-Wang estimator shape). One
+    level-synchronous BFS per seed on the undirected view; accumulators
+    live on the shards. Returns Dataset(vid, n_reached, sum_dist
+    [, conv_id])."""
+    import numpy as np  # noqa: F401  (parity with sibling pipelines)
+
+    _ensure_symmetric(ctx)
+    P, shards = ctx.P, ctx.shards
+    seeds = _elect_seeds(ctx, num_seeds, seed)
+    ray.get([s.clo_init.remote() for s in shards])
+    for sv in seeds:
+        frontier = ray.get([s.bfs_init.remote(int(sv)) for s in shards])
+        level = 0
+        while any(f.size for f in frontier) and level < max_depth:
+            level += 1
+            refs = [
+                shards[p].expand_sym_neighbors.options(num_returns=P + 1).remote(frontier[p])
+                for p in range(P)
+            ]
+            frontier = ray.get([
+                shards[p].bfs_apply.remote(level, *[refs[q][1 + p] for q in range(P)])
+                for p in range(P)
+            ])
+        ray.get([s.clo_accum.remote(max_depth) for s in shards])
+    tables = ray.get([s.clo_table.remote() for s in shards])
+    return _with_conv(ctx, tables)
+
+
 def _elect_seeds(ctx: GraphContext, num_seeds: int, seed: int) -> np.ndarray:
     """The engine's ONE deterministic seed panel (shared by harmonic /
     eccentricity / SCC / betweenness and replayed by their SQL oracles

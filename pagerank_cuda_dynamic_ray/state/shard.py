@@ -1909,6 +1909,23 @@ class GraphShard:
     def harm_table(self) -> pa.Table:
         return pa.table({"vid": pa.array(self.owned_vids()), "harmonic": pa.array(self._harm)})
 
+    # --- sampled closeness: integer sufficient statistics (reached
+    # seed count + distance sum) over the same per-seed BFS distances ---
+
+    def clo_init(self) -> None:
+        self._clo_sum = np.zeros(self.n_local, dtype=np.int64)
+        self._clo_n = np.zeros(self.n_local, dtype=np.int64)
+
+    def clo_accum(self, max_depth: int) -> None:
+        m = (self.dist > 0) & (self.dist <= max_depth)
+        self._clo_sum[m] += self.dist[m]
+        self._clo_n[m] += 1
+
+    def clo_table(self) -> pa.Table:
+        return pa.table({"vid": pa.array(self.owned_vids()),
+                         "n_reached": pa.array(self._clo_n),
+                         "sum_dist": pa.array(self._clo_sum)})
+
     # --- k-core decomposition (parallel peel over the symmetric CSR;
     # same frontier-exchange shape as BFS but decrements carry
     # multiplicity: each removed vertex costs every alive neighbor one

@@ -396,3 +396,47 @@ def test_neighborhood_jaccard(num_parts):
     got = [(int(r.jaccard_e6), int(r.a), int(r.b), int(r.common)) for r in out.itertuples()]
     assert got == want
     ctx.shutdown()
+
+
+@pytest.mark.parametrize("num_parts", [1, 3])
+def test_closeness_centrality(num_parts):
+    """Integer closeness sufficient stats vs a brute-force BFS oracle."""
+    from pagerank_cuda_dynamic_ray.functions.hashing import splitmix64
+
+    n = 50
+    src, dst = _graph(23, n, 110)
+    ctx = GraphContext(n, num_parts)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    out = (analytics.closeness_centrality(ctx, num_seeds=6, max_depth=12, seed=2)
+           .to_pandas().sort_values("vid"))
+    adj = [set() for _ in range(n)]
+    for u, v in zip(src, dst):
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    off = (2 << 60) % (1 << 64)
+    h = splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(off))
+    seeds = np.lexsort((np.arange(n), h))[:6]
+    want_n = np.zeros(n, dtype=np.int64)
+    want_s = np.zeros(n, dtype=np.int64)
+    for s in seeds:
+        dist = {int(s): 0}
+        frontier = [int(s)]
+        d = 0
+        while frontier and d < 12:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = d
+                        nxt.append(w)
+            frontier = nxt
+        for v, dv in dist.items():
+            if dv > 0:
+                want_n[v] += 1
+                want_s[v] += dv
+    np.testing.assert_array_equal(out["n_reached"].to_numpy(), want_n)
+    np.testing.assert_array_equal(out["sum_dist"].to_numpy(), want_s)
+    ctx.shutdown()
