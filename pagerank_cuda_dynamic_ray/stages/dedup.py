@@ -532,15 +532,79 @@ def _uf_roots(pairs_df: pd.DataFrame) -> dict[int, int]:
     return {x: find(x) for x in list(parent)}
 
 
+def cluster_pairs_cc(pairs, num_parts: int = 4) -> tuple[np.ndarray, np.ndarray]:
+    """Distributed min-label clustering of a verified pair set via the
+    engine's connected-components machinery — the scale path when the
+    pair set outgrows the driver's sequential union-find.
+
+    Pair endpoints are dictionary-encoded (order-insensitive
+    ``np.unique`` merge of per-block uniques, the same construction as
+    the graph dictionary), ingested as an undirected graph into a
+    GraphContext, and clustered with the frontier-optimized min-label
+    CC. The dictionary is sorted, so vid order == id order and the
+    min-vid component label decodes to the min-id root — EXACTLY the
+    union-find contract, so both paths are interchangeable. Returns the
+    (sorted keys, roots) mapping arrays ``assign_clusters`` broadcasts
+    (one entry per id occurring in any pair — same size either way).
+    """
+    from ..pipelines import analytics as _A
+    from ..pipelines.graph import GraphContext
+
+    if isinstance(pairs, pd.DataFrame):
+        pairs = rd.from_arrow(pa.table({
+            "a": pa.array(pairs["a"].to_numpy(np.int64)),
+            "b": pa.array(pairs["b"].to_numpy(np.int64)),
+        })) if len(pairs) else None
+    if pairs is None:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+
+    def uniq(t: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            t["a"].to_numpy().astype(np.int64), t["b"].to_numpy().astype(np.int64)
+        ]))
+        return pa.table({"id": pa.array(u)})
+
+    chunks = [b["id"].to_numpy() for b in
+              pairs.map_batches(uniq, batch_format="pyarrow")
+                   .iter_batches(batch_format="pyarrow")]
+    ids = (np.unique(np.concatenate(chunks)) if chunks
+           else np.empty(0, dtype=np.int64))
+    if ids.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+
+    ctx = GraphContext(int(ids.size), num_parts)
+    try:
+        for b in pairs.iter_batches(batch_format="pyarrow"):
+            a = np.searchsorted(ids, b["a"].to_numpy().astype(np.int64))
+            c = np.searchsorted(ids, b["b"].to_numpy().astype(np.int64))
+            ctx.ingest_pairs(a, c)
+        ctx.finalize()
+        cc = _A.connected_components(ctx).to_pandas()
+    finally:
+        ctx.shutdown()
+    vid = cc["vid"].to_numpy(np.int64)
+    comp = cc["component"].to_numpy(np.int64)
+    order = np.argsort(vid)
+    keys, vals = ids[vid[order]], ids[comp[order]]
+    keep = keys != vals  # identity entries add nothing to the broadcast
+    return keys[keep], vals[keep]
+
+
 def assign_clusters(docs: rd.Dataset, pairs_df: pd.DataFrame,
-                    id_col: str = "doc_id") -> rd.Dataset:
+                    id_col: str = "doc_id",
+                    mapping: tuple[np.ndarray, np.ndarray] | None = None) -> rd.Dataset:
     """Distributed cluster assignment: union-find runs driver-side over
     the tiny verified pair set only; the root map is broadcast (sorted
     key/value arrays) and every doc maps itself in a streaming
-    ``map_batches`` — the corpus is never collected."""
-    roots = _uf_roots(pairs_df)
-    keys = np.array(sorted(roots), dtype=np.int64)
-    vals = np.array([roots[k] for k in keys], dtype=np.int64)
+    ``map_batches`` — the corpus is never collected. Pass ``mapping``
+    (from :func:`cluster_pairs_cc`) to skip the union-find — the
+    distributed-CC scale path for huge pair sets."""
+    if mapping is not None:
+        keys, vals = mapping
+    else:
+        roots = _uf_roots(pairs_df)
+        keys = np.array(sorted(roots), dtype=np.int64)
+        vals = np.array([roots[k] for k in keys], dtype=np.int64)
     mref = ray.put((keys, vals))
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
@@ -560,14 +624,19 @@ def assign_clusters(docs: rd.Dataset, pairs_df: pd.DataFrame,
 
 
 def minhash_dedup(docs: rd.Dataset, threshold: float = 0.7, num_perm: int = 64,
-                  bands: int = 16, shingle_k: int = 3) -> rd.Dataset:
+                  bands: int = 16, shingle_k: int = 3,
+                  cluster_pairs_limit: int = 200_000) -> rd.Dataset:
     """Full MinHash-LSH near-dup pipeline -> Dataset(doc_id, cluster_id,
     keep). Candidate generation, verification input fetch and the final
     cluster assignment are all distributed; only the verified pair set
-    (tiny by construction) touches the driver."""
+    touches the driver. Past ``cluster_pairs_limit`` pairs, clustering
+    routes through the engine's distributed CC (:func:`cluster_pairs_cc`
+    — identical min-id roots) instead of sequential union-find."""
     cands = minhash_candidates(docs, num_perm, bands, shingle_k)
     verified = verify_jaccard(cands, docs, threshold, shingle_k).to_pandas()
-    return assign_clusters(docs.select_columns(["doc_id"]), verified)
+    mapping = (cluster_pairs_cc(verified)
+               if len(verified) > cluster_pairs_limit else None)
+    return assign_clusters(docs.select_columns(["doc_id"]), verified, mapping=mapping)
 
 
 # ----------------------------------------------------------------------

@@ -519,3 +519,28 @@ def test_ngram_exact_dedup_vs_bruteforce_and_boundaries():
         assert got == want, parts
     # sanity on the planted structure: every boilerplate copy fully dup'd
     assert want[45][0] == want[45][1] > 0
+
+
+def test_cluster_pairs_cc_matches_union_find():
+    """The distributed-CC clustering scale path must produce EXACTLY the
+    union-find mapping (min-id roots) on a random pair graph with
+    chains, cliques and singleton-free structure."""
+    rng = np.random.RandomState(13)
+    a = rng.randint(0, 400, 300).astype(np.int64) * 7  # sparse id space
+    b = rng.randint(0, 400, 300).astype(np.int64) * 7
+    m = a != b
+    pairs = pd.DataFrame({"a": np.minimum(a[m], b[m]), "b": np.maximum(a[m], b[m])})
+    keys, vals = dedup.cluster_pairs_cc(pairs, num_parts=3)
+    roots = dedup._uf_roots(pairs)
+    want_keys = np.array(sorted(roots), dtype=np.int64)
+    want_vals = np.array([roots[k] for k in want_keys], dtype=np.int64)
+    np.testing.assert_array_equal(keys, want_keys)
+    np.testing.assert_array_equal(vals, want_vals)
+    # end-to-end: forcing the CC path through minhash changes nothing
+    docs = _docs(["alpha beta gamma delta"] * 6 + ["x y z w"] * 2)
+    via_uf = dedup.minhash_dedup(docs, threshold=0.7).to_pandas()
+    via_cc = dedup.minhash_dedup(docs, threshold=0.7,
+                                 cluster_pairs_limit=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        via_uf.sort_values("doc_id").reset_index(drop=True),
+        via_cc.sort_values("doc_id").reset_index(drop=True))
