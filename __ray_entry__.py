@@ -961,6 +961,27 @@ def _q_salted_event_counts(sf_dir: str):
     return R.salted_groupby_count(ev, "event_type", salt=8)
 
 
+FUNNEL_STAGES = ["signup", "click", "purchase"]
+
+
+def _q_funnel_events(sf_dir: str):
+    """Ordered funnel (stages/temporal.funnel): first signup, first
+    click strictly after it, first purchase strictly after that —
+    greedy min-time semantics, -1 for missing, pure-integer output."""
+    from pagerank_cuda_dynamic_ray.stages import temporal as TP
+
+    ev = _tbl(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    return TP.funnel(ev, FUNNEL_STAGES)
+
+
+def _q_label_centroids(sf_dir: str):
+    """Grouped embedding centroids (similarity.grouped_centroid_sums):
+    exact-integer per-label component sums at the PCA quantization —
+    the vector-pooling combiner; centroid = s/(n*scale) in rationals."""
+    emb = _tbl(sf_dir, "embeddings", columns=["label", "embedding"])
+    return S.grouped_centroid_sums(emb, "label")
+
+
 def _q_events_unpivot(sf_dir: str):
     """Pivot -> UNPIVOT roundtrip: melt the wide per-user counts back
     to sparse long rows (stages/reshape.unpivot, a pure row-local
@@ -1544,6 +1565,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "events_unpivot": _q_events_unpivot,
         "supplier_region": _q_supplier_region,
+        "funnel_events": _q_funnel_events,
+        "label_centroids": _q_label_centroids,
         "salted_event_counts": _q_salted_event_counts,
         # event-time family (custom operators Ray Data lacks natively)
         "windowed_events": _q_windowed_events,
@@ -3370,6 +3393,37 @@ FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
 JOIN region r ON r.r_regionkey = n.n_regionkey""",
         "salted_event_counts": """
 SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY event_type""",
+        # greedy min-time funnel: each stage's first event strictly
+        # after the previous stage's time; -1 = stage not reached
+        "funnel_events": """
+WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+       JOIN s1 ON s1.user_id = e.user_id
+       WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
+       JOIN s2 ON s2.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2 GROUP BY e.user_id)
+SELECT u.user_id,
+       (CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+        + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS stages_completed,
+       coalesce(s1.t1, -1)::BIGINT AS t_signup_us,
+       coalesce(s2.t2, -1)::BIGINT AS t_click_us,
+       coalesce(s3.t3, -1)::BIGINT AS t_purchase_us
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 ON s1.user_id = u.user_id
+LEFT JOIN s2 ON s2.user_id = u.user_id
+LEFT JOIN s3 ON s3.user_id = u.user_id""",
+        # same quantization as embedding_covariance; one row per (label, dim)
+        "label_centroids": """
+WITH el AS (SELECT label, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS i FROM embeddings),
+q AS (SELECT label::BIGINT AS label, i - 1 AS dim,
+             CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS q FROM el)
+SELECT label, dim::BIGINT AS dim, CAST(sum(q) AS BIGINT) AS s,
+       count(*)::BIGINT AS n
+FROM q GROUP BY label, dim""",
         "windowed_events": """
 SELECT make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS window_start,
        event_type, count(*)::BIGINT AS n_events,

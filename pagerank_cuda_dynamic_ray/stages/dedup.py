@@ -181,9 +181,14 @@ def ngram_exact_dedup(docs: rd.Dataset, k: int = 3, text_col: str = "text",
             })
         return pd.DataFrame(rows, columns=["sh", "cnt", id_col]).astype(np.int64)
 
-    complete = srt.map_batches(block_complete, batch_format="pandas", batch_size=None)
+    # materialize the two combiner branches (rows ∝ documents, the same
+    # magnitude as the final result): a union of LAZY branches schedules
+    # pathologically under the downstream groupby (measured 17s vs 2.4s
+    # at sf0.1 — both branches re-execute with task-pool contention)
+    complete = srt.map_batches(block_complete, batch_format="pandas",
+                               batch_size=None).materialize()
     bnd = srt.map_batches(block_boundary, batch_format="pandas", batch_size=None).to_pandas()
-    parts = [docs.map_batches(totals, batch_format="pandas"), complete]
+    parts = [docs.map_batches(totals, batch_format="pandas").materialize(), complete]
     if len(bnd):
         tot = bnd.groupby("sh")["cnt"].transform("sum")
         fix = bnd[(bnd[id_col] >= 0) & (tot >= 2)]

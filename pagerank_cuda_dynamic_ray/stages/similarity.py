@@ -380,3 +380,47 @@ def embedding_pca(embeddings: rd.Dataset, n_components: int = 2,
         return out
 
     return embeddings.map_batches(proj, batch_format="pandas")
+
+
+def grouped_centroid_sums(embeddings: rd.Dataset, key_col: str = "label",
+                          scale: int = PCA_SCALE,
+                          col: str = "embedding") -> rd.Dataset:
+    """Per-key embedding centroid sufficient statistics — the grouped
+    vector-pooling operator (cluster centroids, per-language means):
+    q = round(float64(x)·scale) per component (the same quantization as
+    embedding_covariance_sums, so any engine quantizes identical
+    doubles), per-block per-key int64 component sums via np.add.at, a
+    (key, dim)-keyed combiner merge. The centroid is s/(n·scale) in
+    exact rationals — left to the caller so the engine output stays
+    pure-integer. Each block ships |keys in block|·d rows regardless of
+    row count. Returns Dataset(key, dim, s, n)."""
+    import pyarrow as pa
+
+    def part(pdf: pd.DataFrame) -> "pa.Table":
+        q = np.round(
+            np.stack(pdf[col].to_list()).astype(np.float64) * scale
+        ).astype(np.int64)
+        keys = pdf[key_col].to_numpy()
+        uk, inv = np.unique(keys, return_inverse=True)
+        d = q.shape[1]
+        sums = np.zeros((len(uk), d), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table({
+            key_col: pa.array(np.repeat(uk.astype(np.int64), d)),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), len(uk))),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(cnt, d)),
+        })
+
+    def fin(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        return pa.table({key_col: t[key_col], "dim": t["dim"],
+                         "s": t["sum(s)"], "n": t["sum(n)"]})
+
+    return (
+        embeddings.map_batches(part, batch_format="pandas")
+        .groupby([key_col, "dim"])
+        .sum(["s", "n"])
+        .map_batches(fin, batch_format="pyarrow")
+    )

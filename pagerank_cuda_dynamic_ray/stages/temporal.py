@@ -648,3 +648,64 @@ def lag_gap(events: rd.Dataset, key: str = "user_id", ts: str = "ts",
             certain = certain.union(tables_dataset(
                 [_pa.Table.from_pandas(fix, preserve_index=False)]))
     return certain
+
+
+_TS_MISSING = np.int64(-1)
+
+
+def funnel(events: rd.Dataset, stages: list[str], key: str = "user_id",
+           ts: str = "ts", type_col: str = "event_type",
+           num_buckets: int = 32) -> rd.Dataset:
+    """Ordered funnel analysis: per key, the FIRST completion time of
+    each stage STRICTLY after the previous stage's completion (greedy
+    min-time semantics — the standard funnel definition, exactly
+    replayable as chained min() SQL subqueries).
+
+    One hash shuffle co-locates each key's events; the per-bucket
+    kernel is one lexsort-free vectorized pass per stage: qualifying
+    rows are masked against the previous stage's per-key time (mapped
+    back to rows through np.unique's inverse) and folded with
+    np.minimum.at — no per-key Python. Missing stages report -1, so
+    the output is pure-integer deterministic. Returns
+    Dataset(key, stages_completed, t_<stage>_us ...).
+    """
+    def route(t: pa.Table) -> pa.Table:
+        k = pc.cast(t[key], pa.int64()).to_numpy()
+        b = (splitmix64(k.astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table({
+            "__bucket": pa.array(b),
+            key: t[key],
+            "__ts": _ts_us(t[ts]),
+            "__type": t[type_col],
+        })
+
+    int64_max = np.iinfo(np.int64).max
+
+    def kernel(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        k = g[key].to_numpy(zero_copy_only=False)
+        tsv = g["__ts"].to_numpy(zero_copy_only=False)
+        tyv = g["__type"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        cols: dict[str, np.ndarray] = {}
+        prev = None
+        done = np.zeros(len(uk), dtype=np.int64)
+        for j, st in enumerate(stages):
+            m = tyv == st
+            if j > 0:
+                pr = prev[inv]
+                m &= (pr != _TS_MISSING) & (tsv > pr)
+            cur = np.full(len(uk), int64_max, dtype=np.int64)
+            if m.any():
+                np.minimum.at(cur, inv[m], tsv[m])
+            cur = np.where(cur == int64_max, _TS_MISSING, cur)
+            done += (cur != _TS_MISSING).astype(np.int64)
+            cols[f"t_{st}_us"] = cur
+            prev = cur
+        out = {key: pa.array(uk.astype(np.int64)),
+               "stages_completed": pa.array(done)}
+        out.update({c: pa.array(v) for c, v in cols.items()})
+        return pa.table(out)
+
+    routed = events.map_batches(route, batch_format="pyarrow")
+    return routed.groupby("__bucket").map_groups(kernel, batch_format="pyarrow")

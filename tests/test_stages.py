@@ -544,3 +544,21 @@ def test_cluster_pairs_cc_matches_union_find():
     pd.testing.assert_frame_equal(
         via_uf.sort_values("doc_id").reset_index(drop=True),
         via_cc.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_grouped_centroid_sums_exact():
+    rng = np.random.RandomState(4)
+    n, d = 300, 6
+    emb = rng.randn(n, d).astype(np.float32)
+    labels = rng.randint(0, 4, n).astype(np.int32)
+    df = pd.DataFrame({"label": labels, "embedding": [v for v in emb]})
+    q = np.round(emb.astype(np.float64) * 10_000).astype(np.int64)
+    for parts in (1, 6):
+        got = (similarity.grouped_centroid_sums(
+                   rd.from_pandas(df).repartition(parts), "label")
+               .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True))
+        for lab in range(4):
+            m = labels == lab
+            sub = got[got["label"] == lab]
+            np.testing.assert_array_equal(sub["s"].to_numpy(), q[m].sum(0))
+            assert (sub["n"] == m.sum()).all()

@@ -385,3 +385,45 @@ def test_lag_gap_single_row_blocks():
     want = np.diff(t, prepend=t[0])
     want[[0, 6]] = -1
     assert got["gap_us"].to_numpy().tolist() == want.tolist()
+
+
+@pytest.mark.parametrize("parts", [1, 5])
+def test_funnel_greedy_min_time_semantics(parts):
+    rng = np.random.RandomState(9)
+    n, users = 3000, 30
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, users, n).astype(np.int64),
+        "event_type": rng.choice(["signup", "click", "purchase", "view"], n),
+        "ts": (np.datetime64("2024-01-01", "us")
+               + rng.randint(0, 10 * 86_400_000_000, n).astype("timedelta64[us]")),
+    })
+    # user 29: a click BEFORE any signup plus one after — the classic
+    # trap where min-click-per-user would be wrong
+    df.loc[df["user_id"] == 29, "event_type"] = "view"
+    extra = pd.DataFrame({
+        "user_id": np.array([29, 29, 29], dtype=np.int64),
+        "event_type": ["click", "signup", "click"],
+        "ts": np.array(["2024-01-01T00", "2024-01-02T00", "2024-01-03T00"],
+                       dtype="datetime64[us]"),
+    })
+    df = pd.concat([df, extra], ignore_index=True)
+    got = (TP.funnel(rd.from_pandas(df).repartition(parts),
+                     ["signup", "click", "purchase"])
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    us = np.int64(1)
+    epoch = np.datetime64("1970-01-01", "us")
+    for u, sub in df.groupby("user_id"):
+        tsu = ((sub["ts"].to_numpy() - epoch) / us).astype(np.int64)
+        ty = sub["event_type"].to_numpy()
+        t1 = tsu[ty == "signup"].min() if (ty == "signup").any() else -1
+        m2 = (ty == "click") & (tsu > t1) if t1 != -1 else np.zeros(len(ty), bool)
+        t2 = tsu[m2].min() if m2.any() else -1
+        m3 = (ty == "purchase") & (tsu > t2) if t2 != -1 else np.zeros(len(ty), bool)
+        t3 = tsu[m3].min() if m3.any() else -1
+        row = got[got["user_id"] == u].iloc[0]
+        assert (row["t_signup_us"], row["t_click_us"], row["t_purchase_us"]) == (t1, t2, t3), u
+        assert row["stages_completed"] == sum(t != -1 for t in (t1, t2, t3))
+    # the trap user completed signup -> later click
+    trap = got[got["user_id"] == 29].iloc[0]
+    assert trap["stages_completed"] == 2
+    assert trap["t_click_us"] > trap["t_signup_us"]
