@@ -982,6 +982,27 @@ def _q_label_centroids(sf_dir: str):
     return S.grouped_centroid_sums(emb, "label")
 
 
+def _q_value_stats_by_type(sf_dir: str):
+    """Exact grouped mean/variance sufficient statistics (n, Σcents,
+    Σcents²) — integer-exact, fold-order-free (relational.
+    grouped_stats_cents)."""
+    from pagerank_cuda_dynamic_ray.stages import relational as R
+
+    ev = _tbl(sf_dir, "events", columns=["event_type", "value"])
+    return R.grouped_stats_cents(ev, "event_type", "value")
+
+
+def _q_distinct_users_by_type(sf_dir: str):
+    """EXACT distinct users per event type (relational.
+    distinct_count_by_key) — the sketch-free complement of
+    hll_users_by_type; duplicate mass collapses in a per-block
+    combiner before the pair dedup shuffle."""
+    from pagerank_cuda_dynamic_ray.stages import relational as R
+
+    ev = _tbl(sf_dir, "events", columns=["event_type", "user_id"])
+    return R.distinct_count_by_key(ev, "event_type", "user_id")
+
+
 def _q_events_unpivot(sf_dir: str):
     """Pivot -> UNPIVOT roundtrip: melt the wide per-user counts back
     to sparse long rows (stages/reshape.unpivot, a pure row-local
@@ -1568,6 +1589,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": _q_funnel_events,
         "label_centroids": _q_label_centroids,
         "salted_event_counts": _q_salted_event_counts,
+        "value_stats_by_type": _q_value_stats_by_type,
+        "distinct_users_by_type": _q_distinct_users_by_type,
         # event-time family (custom operators Ray Data lacks natively)
         "windowed_events": _q_windowed_events,
         "hopping_events": _q_hopping_events,
@@ -3393,6 +3416,15 @@ FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
 JOIN region r ON r.r_regionkey = n.n_regionkey""",
         "salted_event_counts": """
 SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY event_type""",
+        "value_stats_by_type": """
+SELECT event_type, count(*)::BIGINT AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_c,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_sq_c
+FROM events GROUP BY event_type""",
+        "distinct_users_by_type": """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
+FROM events GROUP BY event_type""",
         # greedy min-time funnel: each stage's first event strictly
         # after the previous stage's time; -1 = stage not reached
         "funnel_events": """

@@ -45,6 +45,73 @@ def broadcast_join(
     return ds.map_batches(merge, batch_format="pandas")
 
 
+def grouped_stats_cents(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+) -> rd.Dataset:
+    """Exact grouped numeric statistics sufficient for mean/variance:
+    n, Σv, Σv² per key with v quantized to integer cents
+    (``floor(v·100 + 0.5)``, the engine's money convention) — so the
+    sums are exact int64 and hash-match any engine regardless of fold
+    order. Per-block combiner ships one row per key per block.
+    Returns Dataset(key, n, sum_c, sum_sq_c)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        c = np.floor(t[value_col].to_numpy().astype(np.float64) * 100 + 0.5).astype(np.int64)
+        df_ = pd.DataFrame({key_col: keys, "n": np.int64(1),
+                            "sum_c": c, "sum_sq_c": c * c})
+        g = df_.groupby(key_col, sort=True, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({key_col: t[key_col], "n": t["sum(n)"],
+                         "sum_c": t["sum(sum_c)"], "sum_sq_c": t["sum(sum_sq_c)"]})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .sum(["n", "sum_c", "sum_sq_c"])
+        .map_batches(fin, batch_format="pyarrow")
+    )
+
+
+def distinct_count_by_key(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+) -> rd.Dataset:
+    """EXACT distinct-value count per key (the sketch-free complement
+    of hll_distinct_by_key): per-block unique (key, value) pairs — the
+    combiner that collapses duplicate mass before any exchange — then
+    one pair-keyed dedup groupby and a per-key count. Shuffle rows ∝
+    distinct pairs, never raw rows. Returns Dataset(key, n_distinct)."""
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df_ = pd.DataFrame({key_col: t[key_col].to_numpy(zero_copy_only=False),
+                            value_col: t[value_col].to_numpy(zero_copy_only=False)})
+        u = df_.drop_duplicates()
+        return pa.Table.from_pandas(u, preserve_index=False)
+
+    def per_key(t: pa.Table) -> pa.Table:
+        df_ = t.to_pandas()
+        g = df_.groupby(key_col, sort=True).size().reset_index(name="n_distinct")
+        g["n_distinct"] = g["n_distinct"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dedup = (ds.map_batches(pairs, batch_format="pyarrow")
+             .groupby([key_col, value_col]).count()
+             .drop_columns(["count()"]))
+    # second combiner: per-block per-key partial counts -> tiny merge
+    return (
+        dedup.map_batches(per_key, batch_format="pyarrow")
+        .groupby(key_col).sum("n_distinct")
+        .map_batches(lambda t: t.rename_columns([key_col, "n_distinct"]),
+                     batch_format="pyarrow")
+    )
+
+
 def salted_groupby_count(
     ds: rd.Dataset,
     key_col: str,

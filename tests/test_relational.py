@@ -50,3 +50,31 @@ def test_salted_groupby_weighted():
                                            salt=4, weight_col="w")
            .to_pandas().set_index("k")["n"])
     assert got["a"] == 5 and got["b"] == 5
+
+
+def test_grouped_stats_cents_exact():
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], 500),
+                       "v": rng.rand(500) * 200})
+    c = np.floor(df["v"].to_numpy() * 100 + 0.5).astype(np.int64)
+    for parts in (1, 6):
+        got = (relational.grouped_stats_cents(
+                   rd.from_pandas(df).repartition(parts), "k", "v")
+               .to_pandas().set_index("k"))
+        for k in ("a", "b"):
+            m = (df["k"] == k).to_numpy()
+            assert got.loc[k, "n"] == m.sum()
+            assert got.loc[k, "sum_c"] == c[m].sum()
+            assert got.loc[k, "sum_sq_c"] == (c[m] * c[m]).sum()
+
+
+def test_distinct_count_by_key_exact():
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame({"k": rng.choice(["x", "y", "z"], 2000),
+                       "v": rng.randint(0, 50, 2000).astype(np.int64)})
+    want = df.groupby("k")["v"].nunique()
+    for parts in (1, 7):
+        got = (relational.distinct_count_by_key(
+                   rd.from_pandas(df).repartition(parts), "k", "v")
+               .to_pandas().set_index("k")["n_distinct"])
+        assert (got.sort_index() == want.sort_index()).all()
