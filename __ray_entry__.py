@@ -982,6 +982,44 @@ def _q_label_centroids(sf_dir: str):
     return S.grouped_centroid_sums(emb, "label")
 
 
+# late cutoff so a meaningful cohort is H1-exclusive (40/150 churned at
+# sf0.01) — the full-outer join's exclusive-row semantics get exercised
+CHURN_CUTOFF = "2024-01-30T12:00:00"
+
+
+def _q_user_churn(sf_dir: str):
+    """Churn analysis via Ray's NATIVE hash full-outer join: per-user
+    event counts in the two halves of the time range, full-outer
+    joined so half-exclusive users surface as churned/new; nulls
+    coalesced to 0 and a status column derived row-locally."""
+    ev = _tbl(sf_dir, "events", columns=["user_id", "ts"])
+    cut = np.datetime64(CHURN_CUTOFF, "us")
+
+    def half_counts(name):
+        def part(t: pa.Table) -> pa.Table:
+            tsv = t["ts"].to_numpy()
+            keep = tsv < cut if name == "n_h1" else tsv >= cut
+            u, c = np.unique(t["user_id"].to_numpy()[keep], return_counts=True)
+            return pa.table({"user_id": pa.array(u.astype(np.int64)),
+                             name: pa.array(c.astype(np.int64))})
+        return (ev.map_batches(part, batch_format="pyarrow")
+                .groupby("user_id").sum(name)
+                .map_batches(lambda t, n=name: t.rename_columns(["user_id", n]),
+                             batch_format="pyarrow"))
+
+    j = half_counts("n_h1").join(half_counts("n_h2"), "full_outer", 8,
+                                 on=("user_id",))
+
+    def fin(df_: pd.DataFrame) -> pd.DataFrame:
+        h1 = df_["n_h1"].fillna(0).astype(np.int64)
+        h2 = df_["n_h2"].fillna(0).astype(np.int64)
+        status = np.where(h1 > 0, np.where(h2 > 0, "retained", "churned"), "new")
+        return pd.DataFrame({"user_id": df_["user_id"].astype(np.int64),
+                             "n_h1": h1, "n_h2": h2, "status": status})
+
+    return j.map_batches(fin, batch_format="pandas")
+
+
 def _q_value_stats_by_type(sf_dir: str):
     """Exact grouped mean/variance sufficient statistics (n, Σcents,
     Σcents²) — integer-exact, fold-order-free (relational.
@@ -1589,6 +1627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": _q_funnel_events,
         "label_centroids": _q_label_centroids,
         "salted_event_counts": _q_salted_event_counts,
+        "user_churn": _q_user_churn,
         "value_stats_by_type": _q_value_stats_by_type,
         "distinct_users_by_type": _q_distinct_users_by_type,
         # event-time family (custom operators Ray Data lacks natively)
@@ -3416,6 +3455,16 @@ FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
 JOIN region r ON r.r_regionkey = n.n_regionkey""",
         "salted_event_counts": """
 SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY event_type""",
+        "user_churn": f"""
+WITH h1 AS (SELECT user_id, count(*)::BIGINT AS n_h1 FROM events
+            WHERE ts < TIMESTAMP '{CHURN_CUTOFF.replace("T", " ")}' GROUP BY user_id),
+h2 AS (SELECT user_id, count(*)::BIGINT AS n_h2 FROM events
+       WHERE ts >= TIMESTAMP '{CHURN_CUTOFF.replace("T", " ")}' GROUP BY user_id)
+SELECT coalesce(h1.user_id, h2.user_id) AS user_id,
+       coalesce(h1.n_h1, 0)::BIGINT AS n_h1, coalesce(h2.n_h2, 0)::BIGINT AS n_h2,
+       CASE WHEN h1.user_id IS NOT NULL AND h2.user_id IS NOT NULL THEN 'retained'
+            WHEN h1.user_id IS NOT NULL THEN 'churned' ELSE 'new' END AS status
+FROM h1 FULL OUTER JOIN h2 ON h1.user_id = h2.user_id""",
         "value_stats_by_type": """
 SELECT event_type, count(*)::BIGINT AS n,
        CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_c,
