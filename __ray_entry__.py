@@ -699,6 +699,56 @@ def _q_label_propagation(sf_dir: str):
     return _vid_to_conv(ctx, ds, "label", "label_id")
 
 
+def _q_community_graph(sf_dir: str):
+    """Graph contraction (coarsening): collapse LP communities into a
+    weighted community->community quotient graph — undirected distinct
+    vertex pairs labeled via two NATIVE hash joins against the LP label
+    Dataset (the 100 TB shape: edges never leave the cluster, labels
+    join by hash, contraction is a grouped count), community ids
+    decoded to conv strings at the end (min-vid == least conv_id)."""
+    ctx = _graph(sf_dir)
+    lab = (A.label_propagation(ctx, max_iterations=10)
+           .select_columns(["vid", "label"]))
+    out_dir = os.path.join(
+        "/tmp/graft_export_cg", os.path.basename(os.path.abspath(sf_dir)))
+    ctx.export_edges_parquet(out_dir)
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        m = s != d
+        return pa.table({"lo": pa.array(np.minimum(s[m], d[m])),
+                         "hi": pa.array(np.maximum(s[m], d[m]))})
+
+    und = (rd.read_parquet(out_dir).map_batches(canon, batch_format="pyarrow")
+           .groupby(["lo", "hi"]).count().drop_columns(["count()"]))
+    la = lab.map_batches(lambda t: t.rename_columns(["vid", "la"]),
+                         batch_format="pyarrow")
+    lb = lab.map_batches(lambda t: t.rename_columns(["vid", "lb"]),
+                         batch_format="pyarrow")
+    j = (und.join(la, "inner", 8, on=("lo",), right_on=("vid",))
+         .join(lb, "inner", 8, on=("hi",), right_on=("vid",)))
+
+    def pair(t: pa.Table) -> pa.Table:
+        a = t["la"].to_numpy()
+        b = t["lb"].to_numpy()
+        return pa.table({"ca_v": pa.array(np.minimum(a, b)),
+                         "cb_v": pa.array(np.maximum(a, b)),
+                         "weight": pa.array(np.ones(len(a), dtype=np.int64))})
+
+    g = (j.map_batches(pair, batch_format="pyarrow")
+         .groupby(["ca_v", "cb_v"]).sum("weight"))
+    dict_ref = ray.put(ctx.dictionary)
+
+    def decode(t: pa.Table) -> pa.Table:
+        d = ray.get(dict_ref)
+        return pa.table({"ca": pa.array(d[t["ca_v"].to_numpy()]),
+                         "cb": pa.array(d[t["cb_v"].to_numpy()]),
+                         "weight": pa.array(t["sum(weight)"].to_numpy())})
+
+    return g.map_batches(decode, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------------------
 # relational-family queries (TPC-H-ish driver tables)
 # ----------------------------------------------------------------------
@@ -1610,6 +1660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resource_allocation": _q_resource_allocation,
         "cc_incremental": _q_cc_incremental,
         "label_propagation": _q_label_propagation,
+        "community_graph": _q_community_graph,
         "bfs_distances": _q_bfs_distances,
         "modularity": _q_modularity,
         # relational family (SURVEY.md §2.6)
@@ -3279,6 +3330,12 @@ ccr AS (
 SELECT v AS conv_id, lab AS component_id FROM ccr""",
         "label_propagation": _GRAPH_CTE2 + _LP_CTE
         + "\nSELECT v AS conv_id, lab AS label_id FROM lpr",
+        # quotient graph over distinct unordered non-loop vertex pairs
+        "community_graph": _GRAPH_CTE2 + _LP_CTE + """
+SELECT least(l1.lab, l2.lab) AS ca, greatest(l1.lab, l2.lab) AS cb,
+       count(*)::BIGINT AS weight
+FROM und e JOIN lpr l1 ON l1.v = e.a JOIN lpr l2 ON l2.v = e.b
+GROUP BY 1, 2""",
         "bfs_distances": _GRAPH_CTE2 + f""",
 bfsw AS (
   WITH RECURSIVE w(v, d) AS (
