@@ -1070,6 +1070,45 @@ def _q_user_churn(sf_dir: str):
     return j.map_batches(fin, batch_format="pandas")
 
 
+PROFILE_INT = ["l_orderkey", "l_partkey", "l_suppkey"]
+PROFILE_FLOAT = ["l_quantity", "l_extendedprice", "l_discount"]
+PROFILE_STR = ["l_returnflag", "l_linestatus"]
+
+
+def _q_lineitem_profile(sf_dir: str):
+    """Data-profiling pass (relational.profile_table): per-column row
+    count, null count, min, max over lineitem in ONE streaming scan —
+    per-block per-column partials, tiny merge; floats as exact cents."""
+    from pagerank_cuda_dynamic_ray.stages import relational as R
+
+    li = _tbl(sf_dir, "lineitem", columns=PROFILE_INT + PROFILE_FLOAT + PROFILE_STR)
+    return R.profile_table(li, PROFILE_INT, PROFILE_FLOAT, PROFILE_STR)
+
+
+def _q_props_sum(sf_dir: str):
+    """JSON-ish property extraction: pull the integer `k` out of the
+    events.props JSON string with a compiled vectorized regex and sum
+    per event_type — the schema-on-read pattern for semi-structured
+    columns."""
+    ev = _tbl(sf_dir, "events", columns=["event_type", "props"])
+
+    def part(batch: pd.DataFrame) -> pa.Table:
+        k = (batch["props"].str.extract(r'"k":\s*(\d+)', expand=False)
+             .fillna(0).astype(np.int64))
+        df_ = pd.DataFrame({"event_type": batch["event_type"], "k": k})
+        g = df_.groupby("event_type", sort=True, as_index=False)["k"].agg(["sum", "count"])
+        g.columns = ["event_type", "sum_k", "n"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "sum_k": t["sum(sum_k)"], "n": t["sum(n)"]})
+
+    return (ev.map_batches(part, batch_format="pandas")
+            .groupby("event_type").sum(["sum_k", "n"])
+            .map_batches(fin, batch_format="pyarrow"))
+
+
 def _q_value_stats_by_type(sf_dir: str):
     """Exact grouped mean/variance sufficient statistics (n, Σcents,
     Σcents²) — integer-exact, fold-order-free (relational.
@@ -1679,6 +1718,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "salted_event_counts": _q_salted_event_counts,
         "user_churn": _q_user_churn,
+        "lineitem_profile": _q_lineitem_profile,
+        "props_sum": _q_props_sum,
         "value_stats_by_type": _q_value_stats_by_type,
         "distinct_users_by_type": _q_distinct_users_by_type,
         # event-time family (custom operators Ray Data lacks natively)
@@ -2068,6 +2109,33 @@ hsum AS (SELECT v, CAST(sum({HARM_LCM} // d) AS BIGINT) AS harmonic
          FROM hw WHERE d > 0 GROUP BY v)
 SELECT i.conv_id, coalesce(h.harmonic, 0) AS harmonic
 FROM ids i LEFT JOIN hsum h ON h.v = i.conv_id"""
+
+
+def _sql_lineitem_profile() -> str:
+    """profile_table replayed: one UNION ALL leg per column with the
+    same min/max rendering (ints verbatim, floats as exact cents,
+    strings lexicographic; all rendered VARCHAR)."""
+    legs = []
+    for c in PROFILE_INT:
+        legs.append(f"""
+SELECT '{c}' AS "column", count(*)::BIGINT AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_null,
+       CAST(min({c}) AS VARCHAR) AS min_v, CAST(max({c}) AS VARCHAR) AS max_v
+FROM lineitem""")
+    for c in PROFILE_FLOAT:
+        legs.append(f"""
+SELECT '{c}' AS "column", count(*)::BIGINT AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_null,
+       CAST(min(CAST(FLOOR({c} * 100 + 0.5) AS BIGINT)) AS VARCHAR) AS min_v,
+       CAST(max(CAST(FLOOR({c} * 100 + 0.5) AS BIGINT)) AS VARCHAR) AS max_v
+FROM lineitem""")
+    for c in PROFILE_STR:
+        legs.append(f"""
+SELECT '{c}' AS "column", count(*)::BIGINT AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_null,
+       min({c}) AS min_v, max({c}) AS max_v
+FROM lineitem""")
+    return "\nUNION ALL\n".join(legs)
 
 
 def _sql_closeness_sample(seed: int = 0) -> str:
@@ -3512,6 +3580,13 @@ FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
 JOIN region r ON r.r_regionkey = n.n_regionkey""",
         "salted_event_counts": """
 SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY event_type""",
+        "lineitem_profile": _sql_lineitem_profile(),
+        "props_sum": r"""
+SELECT event_type,
+       SUM(CAST(coalesce(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), ''), '0')
+                AS BIGINT))::BIGINT AS sum_k,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type""",
         "user_churn": f"""
 WITH h1 AS (SELECT user_id, count(*)::BIGINT AS n_h1 FROM events
             WHERE ts < TIMESTAMP '{CHURN_CUTOFF.replace("T", " ")}' GROUP BY user_id),

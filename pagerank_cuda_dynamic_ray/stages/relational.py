@@ -24,6 +24,72 @@ import ray
 import ray.data as rd
 
 
+def profile_table(
+    ds: rd.Dataset,
+    int_cols: list[str] = (),
+    float_cols: list[str] = (),
+    str_cols: list[str] = (),
+) -> rd.Dataset:
+    """Data-profiling pass: per column, row count, null count, min and
+    max — one streaming scan, per-block partials (one row per column
+    per block) merged by a tiny groupby. Numeric extremes are exact;
+    float min/max are reported as integer cents (the engine's money
+    convention) so the result is hash-deterministic; string min/max are
+    lexicographic. Returns Dataset(column, n_rows, n_null, min_v,
+    max_v) with min/max rendered as strings for a uniform schema."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = []
+        n = len(t)
+        for c in int_cols:
+            v = t[c].to_numpy(zero_copy_only=False)
+            null = int(pd.isna(v).sum())
+            ok = v[~pd.isna(v)].astype(np.int64) if null else v.astype(np.int64)
+            rows.append((c, n, null,
+                         str(int(ok.min())) if len(ok) else "",
+                         str(int(ok.max())) if len(ok) else ""))
+        for c in float_cols:
+            v = t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            m = np.isnan(v)
+            ok = np.floor(v[~m] * 100 + 0.5).astype(np.int64)
+            rows.append((c, n, int(m.sum()),
+                         str(int(ok.min())) if len(ok) else "",
+                         str(int(ok.max())) if len(ok) else ""))
+        for c in str_cols:
+            s = pd.Series(t[c].to_pandas())
+            null = int(s.isna().sum())
+            ok = s.dropna()
+            rows.append((c, n, null,
+                         ok.min() if len(ok) else "", ok.max() if len(ok) else ""))
+        df_ = pd.DataFrame(rows, columns=["column", "n_rows", "n_null",
+                                          "min_v", "max_v"])
+        return pa.Table.from_pandas(df_, preserve_index=False)
+
+    def merge(df_: pd.DataFrame) -> pd.DataFrame:
+        ok_min = df_["min_v"][df_["min_v"] != ""]
+        ok_max = df_["max_v"][df_["max_v"] != ""]
+        col = df_["column"].iloc[0]
+        numeric = col not in str_cols
+        if numeric:
+            mn = str(min(int(x) for x in ok_min)) if len(ok_min) else ""
+            mx = str(max(int(x) for x in ok_max)) if len(ok_max) else ""
+        else:
+            mn = ok_min.min() if len(ok_min) else ""
+            mx = ok_max.max() if len(ok_max) else ""
+        return pd.DataFrame({
+            "column": [col],
+            "n_rows": np.array([df_["n_rows"].sum()], dtype=np.int64),
+            "n_null": np.array([df_["n_null"].sum()], dtype=np.int64),
+            "min_v": [mn], "max_v": [mx],
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("column")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def broadcast_join(
     ds: rd.Dataset,
     small: pd.DataFrame,

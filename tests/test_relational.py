@@ -78,3 +78,20 @@ def test_distinct_count_by_key_exact():
                    rd.from_pandas(df).repartition(parts), "k", "v")
                .to_pandas().set_index("k")["n_distinct"])
         assert (got.sort_index() == want.sort_index()).all()
+
+
+def test_profile_table_with_nulls():
+    df = pd.DataFrame({
+        "i": pd.array([5, None, 2, 9], dtype="Int64"),
+        "f": [1.25, np.nan, -3.5, 0.0],
+        "s": ["b", None, "a", "c"],
+    })
+    for parts in (1, 3):
+        got = (relational.profile_table(
+                   rd.from_pandas(df).repartition(parts),
+                   int_cols=["i"], float_cols=["f"], str_cols=["s"])
+               .to_pandas().set_index("column"))
+        assert (got["n_rows"] == 4).all()
+        assert got.loc["i", "n_null"] == 1 and got.loc["i", "min_v"] == "2" and got.loc["i", "max_v"] == "9"
+        assert got.loc["f", "n_null"] == 1 and got.loc["f", "min_v"] == "-350" and got.loc["f", "max_v"] == "125"
+        assert got.loc["s", "n_null"] == 1 and got.loc["s", "min_v"] == "a" and got.loc["s", "max_v"] == "c"
