@@ -962,6 +962,42 @@ def _q_orders_rollup(sf_dir: str):
     return _rename(agg, {"sum(n)": "n_orders", "sum(p)": "sum_price_c"})
 
 
+def _q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE(segment, year): orders_rollup's combiner-level
+    replication with the fourth grouping set (ALL, yr) — all four
+    levels finish in ONE small shuffle."""
+    from ray.data.aggregate import Sum
+
+    cust = _tbl(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust.sort_values("c_custkey")
+    seg_ref = ray.put(
+        (cust["c_custkey"].to_numpy(), cust["c_mktsegment"].to_numpy(dtype="U"))
+    )
+    ds = _tbl(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, segs = ray.get(seg_ref)
+        seg = segs[np.searchsorted(keys, t["o_custkey"].to_numpy())]
+        yr = pc.year(t["o_orderdate"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        pc_ = np.floor(t["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        n = len(seg)
+        alls = np.full(n, "ALL", dtype="U8")
+        m1 = np.full(n, -1, np.int64)
+        df = pd.DataFrame({
+            "segment": np.concatenate([seg, seg, alls, alls]),
+            "yr": np.concatenate([yr, m1, yr, m1]),
+            "n": np.ones(4 * n, dtype=np.int64),
+            "p": np.concatenate([pc_, pc_, pc_, pc_]),
+        })
+        g = df.groupby(["segment", "yr"], as_index=False, sort=False).agg(
+            n=("n", "sum"), p=("p", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["segment", "yr"]).aggregate(Sum("n"), Sum("p")))
+    return _rename(agg, {"sum(n)": "n_orders", "sum(p)": "sum_price_c"})
+
+
 def _q_events_pivot(sf_dir: str):
     """Pivot event counts per user to wide columns (conditional
     aggregation): one-hot counts combined per batch, one Sum shuffle."""
@@ -1711,6 +1747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": _q_orders_by_segment,
         "revenue_by_nation": _q_revenue_by_nation,
         "orders_rollup": _q_orders_rollup,
+        "orders_cube": _q_orders_cube,
         "events_pivot": _q_events_pivot,
         "events_unpivot": _q_events_unpivot,
         "supplier_region": _q_supplier_region,
@@ -3562,6 +3599,14 @@ SELECT COALESCE(c.c_mktsegment, 'ALL') AS segment,
          AS sum_price_c
 FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
 GROUP BY ROLLUP(c.c_mktsegment, year(o.o_orderdate))""",
+        "orders_cube": """
+SELECT COALESCE(c.c_mktsegment, 'ALL') AS segment,
+       COALESCE(year(o.o_orderdate), -1)::BIGINT AS yr,
+       count(*)::BIGINT AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_price_c
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY CUBE(c.c_mktsegment, year(o.o_orderdate))""",
         "events_pivot": """
 SELECT user_id,
        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
