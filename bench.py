@@ -226,6 +226,18 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     SK.hll_distinct_by_key(evt, "event_type", "user_id", seed=1).materialize()
     extra["hll_by_key_s"] = time.perf_counter() - t0
+    from pagerank_cuda_dynamic_ray.stages import temporal as TPS
+    evf = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                          columns=["user_id", "event_type", "ts"])
+    t0 = time.perf_counter()
+    TPS.funnel(evf, ["signup", "click", "purchase"]).materialize()
+    extra["funnel_s"] = time.perf_counter() - t0
+    from pagerank_cuda_dynamic_ray.stages import relational as RL
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_quantity", "l_returnflag"])
+    t0 = time.perf_counter()
+    RL.profile_table(li, ["l_orderkey"], ["l_quantity"], ["l_returnflag"]).materialize()
+    extra["profile_s"] = time.perf_counter() - t0
 
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
     queries = emb.to_pandas().sort_values("vec_id").head(16).reset_index(drop=True)
