@@ -1111,6 +1111,20 @@ PROFILE_FLOAT = ["l_quantity", "l_extendedprice", "l_discount"]
 PROFILE_STR = ["l_returnflag", "l_linestatus"]
 
 
+def _q_copurchase_pairs(sf_dir: str):
+    """Bipartite projection (relational.copair_counts): customers
+    ranked by how many distinct parts they co-purchased — native hash
+    join to (part, customer), sorted-segment pair emission with
+    O(blocks·run) boundary fix-up, one (a,b) merge. Top-100 cut
+    deterministic by (shared desc, a, b)."""
+    from pagerank_cuda_dynamic_ray.stages import relational as R
+
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    od = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = li.join(od, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",))
+    return R.copair_counts(j, "l_partkey", "o_custkey", top=100)
+
+
 def _q_lineitem_profile(sf_dir: str):
     """Data-profiling pass (relational.profile_table): per-column row
     count, null count, min, max over lineitem in ONE streaming scan —
@@ -1755,6 +1769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "salted_event_counts": _q_salted_event_counts,
         "user_churn": _q_user_churn,
+        "copurchase_pairs": _q_copurchase_pairs,
         "lineitem_profile": _q_lineitem_profile,
         "props_sum": _q_props_sum,
         "value_stats_by_type": _q_value_stats_by_type,
@@ -3625,6 +3640,13 @@ FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
 JOIN region r ON r.r_regionkey = n.n_regionkey""",
         "salted_event_counts": """
 SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY event_type""",
+        "copurchase_pairs": """
+WITH cp AS (SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+SELECT a.c AS a, b.c AS b, count(*)::BIGINT AS shared
+FROM cp a JOIN cp b ON b.p = a.p AND a.c < b.c
+GROUP BY 1, 2
+ORDER BY shared DESC, a, b LIMIT 100""",
         "lineitem_profile": _sql_lineitem_profile(),
         "props_sum": r"""
 SELECT event_type,

@@ -218,3 +218,102 @@ def salted_groupby_count(
         .map_batches(lambda t: t.rename_columns([key_col, "n"]),
                      batch_format="pyarrow")
     )
+
+
+def copair_counts(
+    ds: rd.Dataset,
+    group_col: str,
+    member_col: str,
+    top: int = 100,
+) -> "pa.Table":
+    """EXACT bipartite projection (co-occurrence join): for every
+    unordered pair of members sharing a group, the number of groups
+    they co-occur in — the co-purchase / co-citation workload.
+
+    Input rows are (group, member); duplicates collapse first (per-block
+    combiner + pair-dedup groupby), then the deduped rows SORT by group
+    and a sorted-segment pass emits each intra-block group's pairs
+    vectorized; groups straddling a block edge ship their (small)
+    edge-run members to the driver, which pairs them exactly — the same
+    O(blocks·run) boundary contract as exact_dedup. Pair weights merge
+    in one (a, b) groupby; the top cut is deterministic
+    (weight desc, a, b). Returns a pa.Table of (a, b, shared).
+
+    Scale note: a group with M members emits M(M-1)/2 pairs — this is
+    inherent to the exact projection (the SQL self-join pays the same);
+    cap the group fan-out upstream for power-law group sizes.
+    """
+    def dedup_part(t: pa.Table) -> pa.Table:
+        df_ = pd.DataFrame({group_col: t[group_col].to_numpy(zero_copy_only=False),
+                            member_col: t[member_col].to_numpy(zero_copy_only=False)})
+        u = df_.drop_duplicates()
+        return pa.Table.from_pandas(u, preserve_index=False)
+
+    distinct = (ds.map_batches(dedup_part, batch_format="pyarrow")
+                .groupby([group_col, member_col]).count()
+                .drop_columns(["count()"]))
+    srt = distinct.sort(group_col).materialize()
+
+    def seg_pairs(g: np.ndarray, m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """All unordered member pairs within each group run of (g, m)."""
+        out_a, out_b = [], []
+        bounds = np.concatenate([[0], np.flatnonzero(np.diff(g)) + 1, [len(g)]])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            k = e - s
+            if k < 2:
+                continue
+            mem = np.sort(m[s:e])
+            iu = np.triu_indices(k, 1)
+            out_a.append(mem[iu[0]])
+            out_b.append(mem[iu[1]])
+        if not out_a:
+            z = np.empty(0, dtype=np.int64)
+            return z, z
+        return np.concatenate(out_a), np.concatenate(out_b)
+
+    def block_pairs(batch: pd.DataFrame) -> pa.Table:
+        g = batch[group_col].to_numpy()
+        m = batch[member_col].to_numpy()
+        bounds = np.flatnonzero(np.diff(g)) + 1
+        if len(bounds) == 0:  # single run: all boundary
+            a = b = np.empty(0, dtype=np.int64)
+        else:
+            a, b = seg_pairs(g[bounds[0]:bounds[-1]], m[bounds[0]:bounds[-1]])
+        return pa.table({"a": pa.array(a.astype(np.int64)),
+                         "b": pa.array(b.astype(np.int64))})
+
+    def block_edge_runs(batch: pd.DataFrame) -> pa.Table:
+        g = batch[group_col].to_numpy()
+        m = batch[member_col].to_numpy()
+        bounds = np.flatnonzero(np.diff(g)) + 1
+        if len(bounds) == 0:
+            idx = np.arange(len(g))
+        else:
+            idx = np.concatenate([np.arange(bounds[0]),
+                                  np.arange(bounds[-1], len(g))])
+        return pa.table({group_col: pa.array(g[idx]),
+                         member_col: pa.array(m[idx].astype(np.int64))})
+
+    pairs = srt.map_batches(block_pairs, batch_format="pandas", batch_size=None)
+    edge = (srt.map_batches(block_edge_runs, batch_format="pandas", batch_size=None)
+            .to_pandas())
+    if len(edge):
+        eg = edge[group_col].to_numpy()
+        order = np.argsort(eg, kind="stable")
+        a, b = seg_pairs(eg[order], edge[member_col].to_numpy()[order])
+        if len(a):
+            pairs = pairs.union(rd.from_arrow(pa.table({
+                "a": pa.array(a.astype(np.int64)), "b": pa.array(b.astype(np.int64)),
+            })))
+    agg = (pairs.map_batches(
+               lambda t: pa.table({"a": t["a"], "b": t["b"],
+                                   "shared": pa.array(np.ones(len(t), np.int64))}),
+               batch_format="pyarrow")
+           .groupby(["a", "b"]).sum("shared"))
+    top_pdf = (agg.map_batches(
+                   lambda t: pa.table({"a": t["a"], "b": t["b"],
+                                       "shared": t["sum(shared)"]}),
+                   batch_format="pyarrow")
+               .sort(["shared", "a", "b"], descending=[True, False, False])
+               .limit(top).to_pandas())
+    return pa.Table.from_pandas(top_pdf, preserve_index=False)

@@ -397,6 +397,11 @@ def grouped_centroid_sums(embeddings: rd.Dataset, key_col: str = "label",
     import pyarrow as pa
 
     def part(pdf: pd.DataFrame) -> "pa.Table":
+        if not len(pdf):  # np.stack rejects an empty list
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
         q = np.round(
             np.stack(pdf[col].to_list()).astype(np.float64) * scale
         ).astype(np.int64)

@@ -95,3 +95,27 @@ def test_profile_table_with_nulls():
         assert got.loc["i", "n_null"] == 1 and got.loc["i", "min_v"] == "2" and got.loc["i", "max_v"] == "9"
         assert got.loc["f", "n_null"] == 1 and got.loc["f", "min_v"] == "-350" and got.loc["f", "max_v"] == "125"
         assert got.loc["s", "n_null"] == 1 and got.loc["s", "min_v"] == "a" and got.loc["s", "max_v"] == "c"
+
+
+def test_copair_counts_vs_bruteforce():
+    rng = np.random.RandomState(6)
+    n = 4000
+    df = pd.DataFrame({"g": rng.randint(0, 60, n).astype(np.int64),
+                       "m": rng.randint(0, 40, n).astype(np.int64)})
+    cp = df.drop_duplicates()
+    want = {}
+    for _, grp in cp.groupby("g"):
+        mem = np.sort(grp["m"].unique())
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                want[(mem[i], mem[j])] = want.get((mem[i], mem[j]), 0) + 1
+    wdf = (pd.DataFrame([(a, b, c) for (a, b), c in want.items()],
+                        columns=["a", "b", "shared"])
+           .sort_values(["shared", "a", "b"], ascending=[False, True, True])
+           .head(50).reset_index(drop=True))
+    for parts in (1, 9):
+        got = (relational.copair_counts(
+                   rd.from_pandas(df).repartition(parts), "g", "m", top=50)
+               .to_pandas())
+        got = got.astype({"a": np.int64, "b": np.int64, "shared": np.int64})
+        pd.testing.assert_frame_equal(got, wdf.astype({"shared": np.int64}))
