@@ -1514,6 +1514,34 @@ def _q_value_quantiles_binned(sf_dir: str):
     return SK.binned_quantiles(ev, "value", VQ_QS, VQ_LO, VQ_HI, VQ_BINS)
 
 
+def _q_doc_window_ranks(sf_dir: str):
+    """The remaining global window functions over (n_chars, doc_id):
+    dense_rank (searchsorted into the broadcast distinct-value table —
+    O(distinct) state) and percent_rank as the exact integer
+    ((rn-1)·1e9)//(N-1), riding global_rank_ntile's row numbers."""
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    ranked = SP.global_rank_ntile(docs, "n_chars", "doc_id", tiles=10)
+    hist = (ranked.map_batches(
+                lambda t: pa.table({"value": pa.array(
+                    np.unique(t["n_chars"].to_numpy()))}),
+                batch_format="pyarrow")
+            .groupby("value").count().to_pandas())
+    values = np.sort(hist["value"].to_numpy(np.int64))
+    n_total = docs.count()
+    vref = ray.put(values)
+
+    def fin(t: pa.Table) -> pa.Table:
+        vals = ray.get(vref)
+        rn = t["rn"].to_numpy()
+        dr = np.searchsorted(vals, t["n_chars"].to_numpy()) + 1
+        pr = (rn - 1) * np.int64(1_000_000_000) // max(n_total - 1, 1)
+        return pa.table({"doc_id": t["doc_id"], "rn": t["rn"],
+                         "dense_rank": pa.array(dr.astype(np.int64)),
+                         "pr_e9": pa.array(pr.astype(np.int64))})
+
+    return ranked.map_batches(fin, batch_format="pyarrow")
+
+
 def _q_doc_len_quantiles(sf_dir: str):
     docs = _tbl(sf_dir, "documents", columns=["n_chars"])
     return SK.exact_quantiles_hist(docs, "n_chars", QUANTILES)
@@ -1804,6 +1832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct": _q_hll_distinct,
         "hll_users_by_type": _q_hll_users_by_type,
         "doc_ntile": _q_doc_ntile,
+        "doc_window_ranks": _q_doc_window_ranks,
         "doc_len_quantiles": _q_doc_len_quantiles,
         "value_quantiles_binned": _q_value_quantiles_binned,
         "len_quantiles_by_lang": _q_len_quantiles_by_lang,
@@ -3511,6 +3540,15 @@ SELECT doc_id, n_chars,
        row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
        NTILE(10) OVER (ORDER BY n_chars, doc_id) AS tile
 FROM documents""",
+        "doc_window_ranks": """
+WITH r AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+                  dense_rank() OVER (ORDER BY n_chars) AS dr,
+                  count(*) OVER () AS n
+           FROM documents)
+SELECT doc_id, rn::BIGINT AS rn, dr::BIGINT AS dense_rank,
+       (((rn - 1) * 1000000000) // greatest(n - 1, 1))::BIGINT AS pr_e9
+FROM r""",
         "doc_len_quantiles": _sql_doc_len_quantiles(),
         "value_quantiles_binned": _sql_value_quantiles_binned(),
         "len_quantiles_by_lang": _sql_len_quantiles_by_lang(),
