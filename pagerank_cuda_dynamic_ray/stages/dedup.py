@@ -28,28 +28,34 @@ MAX_BUCKET = 64  # candidate-pair cap per LSH bucket (quadratic guard; logged)
 # ----------------------------------------------------------------------
 
 def exact_dedup(docs: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
-    """Exact dedup: distributed sort on content hash, keep min id per
-    distinct text (collision-safe: grouping is by exact text within each
-    hash segment). Returns (doc_id, n_dups) — one row per distinct text.
+    """Exact dedup: distributed sort on a 128-bit content hash (two
+    independent splitmix64 lanes), keep min id per distinct hash pair.
+    Returns (doc_id, n_dups) — one row per distinct text.
+
+    The all-to-all sort ships only (doc_id, h, h2) — 24 bytes/row —
+    never the text payload, so at 100 TB the shuffle moves ~0.1% of the
+    corpus instead of all of it. Collision risk for the 128-bit pair is
+    n²/2¹²⁹ — far below hardware error rates at any feasible corpus.
 
     A sorted-segment pass instead of groupby().map_groups: every hash
     segment fully inside a block aggregates with one vectorized pandas
     groupby per block; only segments straddling block boundaries (≤ 2
-    per block) merge driver-side."""
+    per block) merge driver-side as per-block partials."""
 
     def add_hash(batch: pd.DataFrame) -> pa.Table:
         # Arrow output: Ray's sort on pandas blocks is several times
         # slower than on Arrow blocks (same finding as ngram_exact_dedup)
+        txts = batch[text_col].tolist()
         return pa.table({
             id_col: pa.array(batch[id_col].to_numpy(np.int64)),
-            text_col: pa.array(batch[text_col], type=pa.string(), from_pandas=True),
-            "h": pa.array(H.hash_strings(batch[text_col].tolist()).astype(np.int64)),
+            "h": pa.array(H.hash_strings(txts, seed=0).astype(np.int64)),
+            "h2": pa.array(H.hash_strings(txts, seed=1).astype(np.int64)),
         })
 
     srt = docs.map_batches(add_hash, batch_format="pandas").sort("h").materialize()
 
-    def agg_texts(pdf: pd.DataFrame) -> pd.DataFrame:
-        agg = pdf.groupby(text_col, sort=True)[id_col].agg(["min", "count"]).reset_index(drop=True)
+    def agg_keys(pdf: pd.DataFrame) -> pd.DataFrame:
+        agg = pdf.groupby(["h", "h2"], sort=True)[id_col].agg(["min", "count"]).reset_index(drop=True)
         return pd.DataFrame({"doc_id": agg["min"].astype(np.int64),
                              "n_dups": agg["count"].astype(np.int64)})
 
@@ -57,12 +63,12 @@ def exact_dedup(docs: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
         k = batch["h"].to_numpy()
         bounds = np.flatnonzero(np.diff(k)) + 1
         if len(bounds) == 0:  # single segment: all boundary
-            return agg_texts(batch.iloc[0:0])
-        return agg_texts(batch.iloc[bounds[0]:bounds[-1]])
+            return agg_keys(batch.iloc[0:0])
+        return agg_keys(batch.iloc[bounds[0]:bounds[-1]])
 
     def block_boundary(batch: pd.DataFrame) -> pd.DataFrame:
         # PARTIAL-AGGREGATE the boundary slice before it leaves the
-        # block: one (text, min_id, cnt) row per distinct boundary text,
+        # block: one (h, h2, min_id, cnt) row per distinct boundary key,
         # NOT the raw rows — a hash run spanning many blocks (a text
         # duplicated across most of the corpus) would otherwise ship an
         # unbounded number of rows to the driver
@@ -72,21 +78,22 @@ def exact_dedup(docs: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
         last_start = bounds[-1] if len(bounds) else 0
         idx = np.unique(np.concatenate([np.arange(first_end), np.arange(last_start, len(k))]))
         part = batch.iloc[idx]
-        g = part.groupby(text_col, sort=True)[id_col].agg(["min", "count"]).reset_index()
+        g = part.groupby(["h", "h2"], sort=True)[id_col].agg(["min", "count"]).reset_index()
         return pd.DataFrame({
-            text_col: g[text_col],
+            "h": g["h"].astype(np.int64),
+            "h2": g["h2"].astype(np.int64),
             "min_id": g["min"].astype(np.int64),
             "cnt": g["count"].astype(np.int64),
         })
 
     # complete segments stay a DISTRIBUTED Dataset; the boundary set
     # merges driver-side as per-block PARTIALS (one row per distinct
-    # boundary text per block — bounded by block count, never by corpus
+    # boundary key per block — bounded by block count, never by corpus
     # skew) and is unioned back in
     complete = srt.map_batches(block_complete, batch_format="pandas", batch_size=None)
     bnd = srt.map_batches(block_boundary, batch_format="pandas", batch_size=None).to_pandas()
     if len(bnd):
-        g = (bnd.groupby(text_col, sort=True)
+        g = (bnd.groupby(["h", "h2"], sort=True)
              .agg(min_id=("min_id", "min"), cnt=("cnt", "sum")).reset_index())
         fixup = pd.DataFrame({"doc_id": g["min_id"].astype(np.int64),
                               "n_dups": g["cnt"].astype(np.int64)})
@@ -412,60 +419,104 @@ def minhash_candidates(docs: rd.Dataset, num_perm: int = 64, bands: int = 16,
     return bucket_pairs(bands_ds.map_batches(add_key, batch_format="pandas"))
 
 
-def _candidate_texts(pairs_pdf: pd.DataFrame, docs: rd.Dataset,
-                     text_col: str = "text", id_col: str = "doc_id") -> dict:
-    """Fetch ONLY the candidate docs' texts: broadcast the (small)
-    candidate-id set, semi-join it against the streaming docs Dataset,
-    collect just the matching rows. The corpus itself never reaches the
-    driver — the candidate set is the small side by construction."""
-    ids = np.unique(np.concatenate([
-        pairs_pdf["a"].to_numpy(np.int64), pairs_pdf["b"].to_numpy(np.int64)
-    ])) if len(pairs_pdf) else np.empty(0, dtype=np.int64)
-    idref = ray.put(ids)
+def doc_shingle_blobs(docs: rd.Dataset, shingle_k: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      out_col: str = "sh") -> rd.Dataset:
+    """Per-doc unique shingle-hash set, packed as ONE binary blob per
+    doc (uint64 little-endian) — the verification payload that replaces
+    shipping raw text. Blob, not list<uint64>: Acero hash joins carry
+    binary non-key fields but reject list columns."""
 
-    def semi(batch: pd.DataFrame) -> pd.DataFrame:
-        keep = np.isin(batch[id_col].to_numpy(), ray.get(idref))
-        return batch.loc[keep, [id_col, text_col]]
+    def f(batch: pd.DataFrame) -> pa.Table:
+        flat, offs = _shingles_flat(batch[text_col].tolist(), shingle_k)
+        blobs = [flat[offs[i]:offs[i + 1]].tobytes() for i in range(len(offs) - 1)]
+        return pa.table({
+            id_col: pa.array(batch[id_col].to_numpy(np.int64)),
+            out_col: pa.array(blobs, pa.binary()),
+        })
 
-    cand = docs.map_batches(semi, batch_format="pandas").to_pandas()
-    return dict(zip(cand[id_col].tolist(), cand[text_col].tolist()))
+    return docs.map_batches(f, batch_format="pandas")
+
+
+def _join_safe(ds: rd.Dataset, num_partitions: int) -> rd.Dataset:
+    """Ray 2.49's hash-shuffle ``Dataset.join`` infers each side's
+    schema from its FIRST block and raises ``ArrowInvalid: No match
+    ... FieldRef`` when that block is empty (minimal repro in
+    tests/test_stages.py::test_join_empty_leading_block). Materialize
+    and, only when the dataset actually leads with an empty block
+    (metadata check — no block fetch), coalesce via ``repartition`` so
+    rows front-load into block 0. Remove once Ray's join handles empty
+    leading blocks."""
+    ds = ds.materialize()
+    for bundle in ds.iter_internal_ref_bundles():
+        for _, md in bundle.blocks:
+            if md.num_rows and md.num_rows > 0:
+                return ds
+            return ds.repartition(num_partitions).materialize()
+    return ds  # no blocks at all — caller guards the fully-empty case
+
+
+def _attach_payload(pairs: rd.Dataset, payload: rd.Dataset, out_a: str, out_b: str,
+                    num_partitions: int = 8, id_col: str = "doc_id") -> rd.Dataset:
+    """Attach a per-doc payload column (the payload Dataset's second
+    column) to BOTH endpoints of a candidate-pair Dataset via two
+    distributed hash joins on the id — candidate pairs and payloads
+    never route through the driver. (a, b) -> (a, b, out_a, out_b)."""
+    payload = _join_safe(payload, num_partitions)
+    src_col = [c for c in payload.columns() if c != id_col][0]
+
+    def ren(name):
+        def f(t: pa.Table, name=name) -> pa.Table:
+            return pa.table({id_col: t[id_col], name: t[src_col]})
+        return payload.map_batches(f, batch_format="pyarrow")
+
+    j = _join_safe(pairs, num_partitions).join(
+        ren(out_a), "inner", num_partitions, on=("a",), right_on=(id_col,))
+    return _join_safe(j, num_partitions).join(
+        ren(out_b), "inner", num_partitions, on=("b",), right_on=(id_col,))
 
 
 def verify_jaccard(pairs: rd.Dataset, docs: rd.Dataset, threshold: float = 0.7,
-                   shingle_k: int = 3) -> rd.Dataset:
-    """Exact shingle-set Jaccard for candidate pairs.
+                   shingle_k: int = 3, num_partitions: int = 8) -> rd.Dataset:
+    """Exact shingle-set Jaccard for candidate pairs — fully distributed.
 
-    Only the CANDIDATE docs' texts are fetched (semi-join against the
-    streaming corpus) and broadcast once via ``ray.put`` — the full
-    corpus is never materialized driver-side. Returns (a, b, jaccard)
-    for pairs meeting the threshold.
+    Candidate pairs STAY a Dataset end-to-end: each endpoint's unique
+    shingle-hash set arrives via a distributed hash join on doc_id
+    (:func:`_attach_payload`), and the exact Jaccard evaluates inside
+    ``map_batches``. Nothing corpus- or candidate-cardinality-dependent
+    ever routes through the driver — the round-2 design collected the
+    pair set and broadcast a driver-built candidate-text dict, which
+    breaks when a 100 TB corpus is 1% near-dup.
+
+    Returns Dataset(a, b, jaccard) for pairs meeting the threshold. A
+    pair surfacing from LSH buckets in different blocks may appear once
+    per bucket (bucket_pairs dedups per block only); downstream
+    clustering is idempotent and exact-pair-set consumers dedup the
+    (small) verified output.
     """
-    pairs_pdf = pairs.to_pandas().drop_duplicates(["a", "b"])  # small side
-    texts_ref = ray.put(_candidate_texts(pairs_pdf, docs))
-
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        # stateless task (not an actor pool): the candidate texts arrive
-        # via one broadcast ObjectRef, fetched zero-copy per task — pair
-        # batches are few, so actor spin-up would dominate
-        texts = ray.get(texts_ref)
-        a_sh = _word_shingles([texts[i] for i in batch["a"]], shingle_k)
-        b_sh = _word_shingles([texts[i] for i in batch["b"]], shingle_k)
-        jac = np.array([
-            len(np.intersect1d(x, y)) / max(1, len(np.union1d(x, y)))
-            for x, y in zip(a_sh, b_sh)
-        ])
-        out = batch.copy()
-        out["jaccard"] = jac
-        return out[out["jaccard"] >= threshold]
-
-    if len(pairs_pdf) == 0:
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
         return rd.from_pandas(pd.DataFrame({
             "a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64),
             "jaccard": pd.Series([], dtype=np.float64),
         }))
-    return rd.from_pandas(pairs_pdf).map_batches(
-        verify, batch_format="pandas", batch_size=4096
-    )
+    sh = doc_shingle_blobs(docs, shingle_k).materialize()
+    j = _attach_payload(pairs, sh, "sh_a", "sh_b", num_partitions)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        a_sh = [np.frombuffer(x, dtype=np.uint64) for x in batch["sh_a"]]
+        b_sh = [np.frombuffer(x, dtype=np.uint64) for x in batch["sh_b"]]
+        jac = np.array([
+            len(np.intersect1d(x, y)) / max(1, len(np.union1d(x, y)))
+            for x, y in zip(a_sh, b_sh)
+        ]) if len(batch) else np.empty(0, dtype=np.float64)
+        out = pd.DataFrame({
+            "a": batch["a"].to_numpy(np.int64), "b": batch["b"].to_numpy(np.int64),
+            "jaccard": jac,
+        })
+        return out[out["jaccard"] >= threshold]
+
+    return j.map_batches(verify, batch_format="pandas", batch_size=4096)
 
 
 def ngram_jaccard_candidates(docs: rd.Dataset, threshold: float = 0.7,
@@ -517,6 +568,9 @@ def ngram_jaccard_pairs(docs: rd.Dataset, threshold: float = 0.7,
     prefix fraction of every doc's shingles through one shuffle."""
     cands = ngram_jaccard_candidates(docs, threshold, shingle_k)
     out = verify_jaccard(cands, docs, threshold, shingle_k).to_pandas()
+    # verify no longer pre-dedups candidates (it keeps them a Dataset);
+    # cross-bucket duplicates carry identical jaccard, drop here
+    out = out.drop_duplicates(["a", "b"])
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
@@ -634,14 +688,18 @@ def minhash_dedup(docs: rd.Dataset, threshold: float = 0.7, num_perm: int = 64,
     """Full MinHash-LSH near-dup pipeline -> Dataset(doc_id, cluster_id,
     keep). Candidate generation, verification input fetch and the final
     cluster assignment are all distributed; only the verified pair set
-    touches the driver. Past ``cluster_pairs_limit`` pairs, clustering
-    routes through the engine's distributed CC (:func:`cluster_pairs_cc`
-    — identical min-id roots) instead of sequential union-find."""
+    touches the driver, and only when it fits under
+    ``cluster_pairs_limit`` — past that, clustering routes through the
+    engine's distributed CC (:func:`cluster_pairs_cc` — identical
+    min-id roots) with the pair set staying a Dataset end-to-end."""
     cands = minhash_candidates(docs, num_perm, bands, shingle_k)
-    verified = verify_jaccard(cands, docs, threshold, shingle_k).to_pandas()
-    mapping = (cluster_pairs_cc(verified)
-               if len(verified) > cluster_pairs_limit else None)
-    return assign_clusters(docs.select_columns(["doc_id"]), verified, mapping=mapping)
+    verified = verify_jaccard(cands, docs, threshold, shingle_k).materialize()
+    if verified.count() > cluster_pairs_limit:
+        mapping = cluster_pairs_cc(verified.select_columns(["a", "b"]))
+        return assign_clusters(docs.select_columns(["doc_id"]),
+                               pd.DataFrame({"a": [], "b": []}), mapping=mapping)
+    pairs_df = verified.to_pandas().drop_duplicates(["a", "b"])
+    return assign_clusters(docs.select_columns(["doc_id"]), pairs_df)
 
 
 # ----------------------------------------------------------------------
@@ -673,21 +731,25 @@ class SimHashStage:
         return out
 
 
-def simhash_dedup(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
+def simhash_dedup(docs: rd.Dataset, max_hamming: int = 3,
+                  cluster_pairs_limit: int = 200_000,
+                  num_partitions: int = 8) -> rd.Dataset:
     """SimHash near-dup: 4×16-bit chunk blocking (pigeonhole: hamming≤3
     guarantees one identical chunk), verify hamming, cluster.
 
     Fully distributed shape: signatures are an actor-pool stage, chunk
     blocking reuses the MinHash sorted-segment ``bucket_pairs`` pass,
-    hamming verification fetches only the CANDIDATE docs' signatures
-    (semi-join), and cluster assignment streams over the corpus — the
-    driver touches pair-sized data only."""
+    hamming verification joins each endpoint's signature onto the pair
+    Dataset (distributed hash join — the candidate set never routes
+    through the driver), and cluster assignment streams over the
+    corpus. Only the VERIFIED pair set may touch the driver, and only
+    under ``cluster_pairs_limit`` — past that, the distributed-CC
+    clustering path takes over."""
     sigs = docs.map_batches(
         SimHashStage, batch_format="pandas", batch_size=4096, concurrency=2
     ).materialize()
 
     def chunk_keys(batch: pd.DataFrame) -> pd.DataFrame:
-        n = len(batch)
         ck = np.concatenate([
             batch[f"chunk{c}"].to_numpy(np.int64) * 4 + c for c in range(4)
         ])
@@ -695,26 +757,34 @@ def simhash_dedup(docs: rd.Dataset, max_hamming: int = 3) -> rd.Dataset:
             "bkey": ck, "doc_id": np.tile(batch["doc_id"].to_numpy(np.int64), 4),
         })
 
-    cand_pdf = bucket_pairs(
+    cand = bucket_pairs(
         sigs.map_batches(chunk_keys, batch_format="pandas")
-    ).to_pandas().drop_duplicates(["a", "b"])
-    # hamming verify: fetch signatures for candidate ids only
-    if len(cand_pdf):
-        ids = np.unique(np.concatenate([
-            cand_pdf["a"].to_numpy(np.int64), cand_pdf["b"].to_numpy(np.int64)
-        ]))
-        idref = ray.put(ids)
+    ).materialize()
+    if cand.count() == 0:
+        return assign_clusters(docs.select_columns(["doc_id"]),
+                               pd.DataFrame({"a": [], "b": []}))
 
-        def semi(batch: pd.DataFrame) -> pd.DataFrame:
-            keep = np.isin(batch["doc_id"].to_numpy(), ray.get(idref))
-            return batch.loc[keep, ["doc_id", "simhash"]]
+    def sig_only(pdf: pd.DataFrame) -> pa.Table:
+        return pa.table({"doc_id": pa.array(pdf["doc_id"].to_numpy(np.int64)),
+                         "sig": pa.array(pdf["simhash"].to_numpy(np.int64))})
 
-        sig_pdf = sigs.map_batches(semi, batch_format="pandas").to_pandas()
-        sig_map = dict(zip(sig_pdf["doc_id"], sig_pdf["simhash"].astype(np.uint64)))
-        av = np.array([sig_map[i] for i in cand_pdf["a"]], dtype=np.uint64)
-        bv = np.array([sig_map[i] for i in cand_pdf["b"]], dtype=np.uint64)
-        cand_pdf = cand_pdf[H.hamming64(av, bv) <= max_hamming]
-    return assign_clusters(docs.select_columns(["doc_id"]), cand_pdf)
+    sig_ds = sigs.map_batches(sig_only, batch_format="pandas")
+    j = _attach_payload(cand, sig_ds, "sig_a", "sig_b", num_partitions)
+
+    def ham(batch: pd.DataFrame) -> pd.DataFrame:
+        av = batch["sig_a"].to_numpy(np.int64).view(np.uint64)
+        bv = batch["sig_b"].to_numpy(np.int64).view(np.uint64)
+        keep = H.hamming64(av, bv) <= max_hamming
+        return pd.DataFrame({"a": batch["a"].to_numpy(np.int64)[keep],
+                             "b": batch["b"].to_numpy(np.int64)[keep]})
+
+    verified = j.map_batches(ham, batch_format="pandas").materialize()
+    if verified.count() > cluster_pairs_limit:
+        mapping = cluster_pairs_cc(verified)
+        return assign_clusters(docs.select_columns(["doc_id"]),
+                               pd.DataFrame({"a": [], "b": []}), mapping=mapping)
+    return assign_clusters(docs.select_columns(["doc_id"]),
+                           verified.to_pandas().drop_duplicates(["a", "b"]))
 
 
 # ----------------------------------------------------------------------
@@ -744,28 +814,42 @@ def embedding_neardup_lsh(embeddings: rd.Dataset, threshold: float = 0.95,
 
     cand = bucket_pairs(
         embeddings.map_batches(bucket_keys, batch_format="pandas")
-    ).to_pandas().drop_duplicates(["a", "b"])
-    if len(cand) == 0:
+    ).materialize()
+    if cand.count() == 0:
         return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                              "b": pd.Series([], dtype=np.int64),
                              "cosine": pd.Series([], dtype=np.float64)})
-    ids = np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
-    idref = ray.put(ids)
 
-    def semi(pdf: pd.DataFrame) -> pd.DataFrame:
-        keep = np.isin(pdf["vec_id"].to_numpy(), ray.get(idref))
-        return pdf.loc[keep, ["vec_id", "embedding"]]
+    def vec_blob(pdf: pd.DataFrame) -> pa.Table:
+        # normalized float64 vectors packed as binary blobs: the
+        # candidate-pair join carries them without a driver fetch
+        # (Acero joins reject list columns, binary is fine)
+        mat = np.stack(pdf["embedding"].to_list()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pa.table({
+            "doc_id": pa.array(pdf["vec_id"].to_numpy(np.int64)),
+            "vec": pa.array([row.tobytes() for row in mat], pa.binary()),
+        })
 
-    cpdf = embeddings.map_batches(semi, batch_format="pandas").to_pandas()
-    vecs = {int(i): np.asarray(v, dtype=np.float64) for i, v in
-            zip(cpdf["vec_id"], cpdf["embedding"])}
-    av = np.stack([vecs[int(i)] for i in cand["a"]])
-    bv = np.stack([vecs[int(i)] for i in cand["b"]])
-    av /= np.maximum(np.linalg.norm(av, axis=1, keepdims=True), 1e-12)
-    bv /= np.maximum(np.linalg.norm(bv, axis=1, keepdims=True), 1e-12)
-    cos = (av * bv).sum(axis=1)
-    out = cand.assign(cosine=cos)
-    out = out[out["cosine"] >= threshold]
+    vecs = embeddings.map_batches(vec_blob, batch_format="pandas")
+    j = _attach_payload(cand, vecs, "vec_a", "vec_b")
+
+    def cos_verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "cosine": pd.Series([], dtype=np.float64)})
+        av = np.stack([np.frombuffer(x, dtype=np.float64) for x in batch["vec_a"]])
+        bv = np.stack([np.frombuffer(x, dtype=np.float64) for x in batch["vec_b"]])
+        cos = (av * bv).sum(axis=1)
+        out = pd.DataFrame({"a": batch["a"].to_numpy(np.int64),
+                            "b": batch["b"].to_numpy(np.int64), "cosine": cos})
+        return out[out["cosine"] >= threshold]
+
+    # only the VERIFIED (post-threshold) pairs reach the driver — this
+    # function's contract returns the exact near-dup pair DataFrame
+    out = j.map_batches(cos_verify, batch_format="pandas").to_pandas()
+    out = out.drop_duplicates(["a", "b"])
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 

@@ -225,23 +225,30 @@ def copair_counts(
     group_col: str,
     member_col: str,
     top: int = 100,
+    max_edge_pairs: int = 20_000_000,
+    edge_chunk_rows: int = 2_000_000,
 ) -> "pa.Table":
     """EXACT bipartite projection (co-occurrence join): for every
     unordered pair of members sharing a group, the number of groups
     they co-occur in — the co-purchase / co-citation workload.
 
-    Input rows are (group, member); duplicates collapse first (per-block
-    combiner + pair-dedup groupby), then the deduped rows SORT by group
-    and a sorted-segment pass emits each intra-block group's pairs
-    vectorized; groups straddling a block edge ship their (small)
-    edge-run members to the driver, which pairs them exactly — the same
-    O(blocks·run) boundary contract as exact_dedup. Pair weights merge
-    in one (a, b) groupby; the top cut is deterministic
-    (weight desc, a, b). Returns a pa.Table of (a, b, shared).
+    No pair-key Ray groupby anywhere (the round-2 shape paid 20+ s for
+    the ~100k-group ``groupby(["a","b"])`` at sf0.01 — the repo's own
+    neighborhood-jaccard measurement): ONE sort on (group, member)
+    feeds a sorted-segment pass that dedups and pairs interior groups
+    vectorized, then ONE sort on (a, b) feeds a sorted-segment pair-sum
+    with per-block tie-ordered top cuts. Segments straddling a block
+    edge ship O(blocks)-bounded partials to the driver (the exact_dedup
+    boundary contract), so the driver never holds corpus-scale state.
 
-    Scale note: a group with M members emits M(M-1)/2 pairs — this is
-    inherent to the exact projection (the SQL self-join pays the same);
-    cap the group fan-out upstream for power-law group sizes.
+    Scale note: a group with M members emits M(M-1)/2 pairs — inherent
+    to the exact projection (the SQL self-join pays the same). Interior
+    groups emit distributed; a hot group straddling a block edge pairs
+    driver-side in ``edge_chunk_rows`` chunks (bounded peak memory) and
+    the run REFUSES past ``max_edge_pairs`` total boundary pairs rather
+    than quietly attempting an O(M²) driver materialization — cap the
+    group fan-out upstream for power-law group sizes.
+    Returns a pa.Table of (a, b, shared) in (shared desc, a, b) order.
     """
     def dedup_part(t: pa.Table) -> pa.Table:
         df_ = pd.DataFrame({group_col: t[group_col].to_numpy(zero_copy_only=False),
@@ -249,10 +256,8 @@ def copair_counts(
         u = df_.drop_duplicates()
         return pa.Table.from_pandas(u, preserve_index=False)
 
-    distinct = (ds.map_batches(dedup_part, batch_format="pyarrow")
-                .groupby([group_col, member_col]).count()
-                .drop_columns(["count()"]))
-    srt = distinct.sort(group_col).materialize()
+    srt = (ds.map_batches(dedup_part, batch_format="pyarrow")
+           .sort([group_col, member_col]).materialize())
 
     def seg_pairs(g: np.ndarray, m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """All unordered member pairs within each group run of (g, m)."""
@@ -278,7 +283,15 @@ def copair_counts(
         if len(bounds) == 0:  # single run: all boundary
             a = b = np.empty(0, dtype=np.int64)
         else:
-            a, b = seg_pairs(g[bounds[0]:bounds[-1]], m[bounds[0]:bounds[-1]])
+            gg = g[bounds[0]:bounds[-1]]
+            mm = m[bounds[0]:bounds[-1]]
+            # global (g, m) duplicates are adjacent after the sort; one
+            # interior to the block drops here, one straddling a block
+            # edge lives in an edge run and dedups driver-side
+            keep = np.ones(len(gg), dtype=bool)
+            if len(gg) > 1:
+                keep[1:] = (np.diff(gg) != 0) | (mm[1:] != mm[:-1])
+            a, b = seg_pairs(gg[keep], mm[keep])
         return pa.table({"a": pa.array(a.astype(np.int64)),
                          "b": pa.array(b.astype(np.int64))})
 
@@ -299,21 +312,100 @@ def copair_counts(
             .to_pandas())
     if len(edge):
         eg = edge[group_col].to_numpy()
-        order = np.argsort(eg, kind="stable")
-        a, b = seg_pairs(eg[order], edge[member_col].to_numpy()[order])
-        if len(a):
-            pairs = pairs.union(rd.from_arrow(pa.table({
-                "a": pa.array(a.astype(np.int64)), "b": pa.array(b.astype(np.int64)),
-            })))
-    agg = (pairs.map_batches(
-               lambda t: pa.table({"a": t["a"], "b": t["b"],
-                                   "shared": pa.array(np.ones(len(t), np.int64))}),
-               batch_format="pyarrow")
-           .groupby(["a", "b"]).sum("shared"))
-    top_pdf = (agg.map_batches(
-                   lambda t: pa.table({"a": t["a"], "b": t["b"],
-                                       "shared": t["sum(shared)"]}),
-                   batch_format="pyarrow")
-               .sort(["shared", "a", "b"], descending=[True, False, False])
-               .limit(top).to_pandas())
-    return pa.Table.from_pandas(top_pdf, preserve_index=False)
+        em = edge[member_col].to_numpy()
+        order = np.lexsort((em, eg))
+        eg, em = eg[order], em[order]
+        keep = np.ones(len(eg), dtype=bool)
+        if len(eg) > 1:
+            keep[1:] = (eg[1:] != eg[:-1]) | (em[1:] != em[:-1])
+        eg, em = eg[keep], em[keep]
+        run_bounds = np.concatenate([[0], np.flatnonzero(eg[1:] != eg[:-1]) + 1, [len(eg)]]) \
+            if len(eg) else np.array([0, 0])
+        run_len = np.diff(run_bounds).astype(np.int64)
+        n_pairs = int((run_len * (run_len - 1) // 2).sum())
+        if n_pairs > max_edge_pairs:
+            raise ValueError(
+                f"copair_counts: {n_pairs} boundary pairs exceed "
+                f"max_edge_pairs={max_edge_pairs} (a hot group straddles a "
+                "block edge); cap the group fan-out upstream or raise the "
+                "limit deliberately")
+        chunk_tables: list = []
+        buf_a: list = []
+        buf_b: list = []
+        buf_n = 0
+        for s, e in zip(run_bounds[:-1], run_bounds[1:]):
+            k = int(e - s)
+            if k < 2:
+                continue
+            mem = np.sort(em[s:e])
+            for i in range(k - 1):
+                buf_a.append(np.full(k - 1 - i, mem[i], dtype=np.int64))
+                buf_b.append(mem[i + 1:].astype(np.int64))
+                buf_n += k - 1 - i
+                if buf_n >= edge_chunk_rows:
+                    chunk_tables.append(pa.table({
+                        "a": pa.array(np.concatenate(buf_a)),
+                        "b": pa.array(np.concatenate(buf_b))}))
+                    buf_a, buf_b, buf_n = [], [], 0
+        if buf_n:
+            chunk_tables.append(pa.table({
+                "a": pa.array(np.concatenate(buf_a)),
+                "b": pa.array(np.concatenate(buf_b))}))
+        if chunk_tables:
+            pairs = pairs.union(rd.from_arrow(chunk_tables))
+
+    # pair-weight merge: sorted-segment sum + per-block tie-ordered top
+    # cut (total order (shared desc, a, b) — partitioning-invariant
+    # because each pair key totals in exactly one place)
+    psrt = pairs.sort(["a", "b"]).materialize()
+
+    def _run_totals(a: np.ndarray, b: np.ndarray):
+        if len(a) == 0:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
+        chg = np.flatnonzero((np.diff(a) != 0) | (np.diff(b) != 0)) + 1
+        starts = np.concatenate([[0], chg])
+        cnt = np.diff(np.concatenate([starts, [len(a)]]))
+        return a[starts], b[starts], cnt.astype(np.int64)
+
+    def block_tot(batch: pd.DataFrame) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        chg = np.flatnonzero((np.diff(a) != 0) | (np.diff(b) != 0)) + 1
+        if len(chg) == 0:
+            z = np.empty(0, dtype=np.int64)
+            return pa.table({"a": pa.array(z), "b": pa.array(z), "shared": pa.array(z)})
+        s, e = chg[0], chg[-1]
+        ua, ub, cnt = _run_totals(a[s:e], b[s:e])
+        sel = np.lexsort((ub, ua, -cnt))[:top]
+        return pa.table({"a": pa.array(ua[sel].astype(np.int64)),
+                         "b": pa.array(ub[sel].astype(np.int64)),
+                         "shared": pa.array(cnt[sel])})
+
+    def block_tot_bnd(batch: pd.DataFrame) -> pa.Table:
+        a = batch["a"].to_numpy()
+        b = batch["b"].to_numpy()
+        chg = np.flatnonzero((np.diff(a) != 0) | (np.diff(b) != 0)) + 1
+        if len(chg) == 0:
+            idx = np.arange(len(a))
+        else:
+            idx = np.concatenate([np.arange(chg[0]), np.arange(chg[-1], len(a))])
+        ua, ub, cnt = _run_totals(a[idx], b[idx])
+        return pa.table({"a": pa.array(ua.astype(np.int64)),
+                         "b": pa.array(ub.astype(np.int64)),
+                         "cnt": pa.array(cnt)})
+
+    tops = psrt.map_batches(block_tot, batch_format="pandas", batch_size=None).to_pandas()
+    bnd = psrt.map_batches(block_tot_bnd, batch_format="pandas", batch_size=None).to_pandas()
+    if len(bnd):
+        g = bnd.groupby(["a", "b"], sort=False)["cnt"].sum().reset_index()
+        tops = pd.concat([tops, g.rename(columns={"cnt": "shared"})], ignore_index=True)
+    if len(tops) == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "shared": pa.array([], pa.int64())})
+    av = tops["a"].to_numpy(np.int64)
+    bv = tops["b"].to_numpy(np.int64)
+    sv = tops["shared"].to_numpy(np.int64)
+    sel = np.lexsort((bv, av, -sv))[:top]
+    return pa.table({"a": pa.array(av[sel]), "b": pa.array(bv[sel]),
+                     "shared": pa.array(sv[sel])})

@@ -562,3 +562,44 @@ def test_grouped_centroid_sums_exact():
             sub = got[got["label"] == lab]
             np.testing.assert_array_equal(sub["s"].to_numpy(), q[m].sum(0))
             assert (sub["n"] == m.sum()).all()
+
+
+def test_join_empty_leading_block():
+    # Ray 2.49 hash-shuffle join fails with ArrowInvalid when a side's
+    # FIRST block is empty — _join_safe must paper over it (and this
+    # test documents the upstream repro so the workaround can be
+    # removed when Ray fixes it).
+    import pyarrow as pa
+
+    def mk(rows):
+        if rows:
+            return pa.table({"a": pa.array([1], pa.int64()),
+                             "b": pa.array([2], pa.int64())})
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+
+    left = rd.from_arrow([mk(0), mk(1), mk(0)])
+    right = rd.from_arrow(pa.table({"doc_id": pa.array([2], pa.int64()),
+                                    "p": pa.array([b"yy"], pa.binary())}))
+    safe = dedup._join_safe(left, 4)
+    j = safe.join(right, "inner", 4, on=("b",), right_on=("doc_id",))
+    out = j.to_pandas()
+    assert len(out) == 1 and out["p"].iloc[0] == b"yy"
+
+
+def test_attach_payload_distributed():
+    # both endpoints get their payload via hash joins; values must match
+    # a driver-side lookup exactly
+    import pyarrow as pa
+
+    pairs = rd.from_arrow(pa.table({"a": pa.array([0, 1, 2], pa.int64()),
+                                    "b": pa.array([2, 3, 0], pa.int64())}))
+    payload = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "blob": pa.array([bytes([i]) for i in range(4)], pa.binary()),
+    }))
+    out = dedup._attach_payload(pairs, payload, "p_a", "p_b").to_pandas()
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(out) == 3
+    for _, r in out.iterrows():
+        assert r["p_a"] == bytes([r["a"]]) and r["p_b"] == bytes([r["b"]])

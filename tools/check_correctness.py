@@ -52,6 +52,15 @@ def compare(name: str, ours: pd.DataFrame, theirs: pd.DataFrame) -> list[str]:
     a, b = canon(ours), canon(theirs)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        a_int = np.issubdtype(a[c].dtype, np.integer)
+        b_int = np.issubdtype(b[c].dtype, np.integer)
+        if a_int != b_int:
+            # The driver's value hash is dtype-sensitive: an int64 engine
+            # column vs a float64 oracle column (e.g. DuckDB HUGEINT sum
+            # -> pandas float64) hash-mismatches even when values agree.
+            problems.append(
+                f"col {c}: DTYPE drift ours={a[c].dtype} oracle={b[c].dtype}"
+                " (driver hash hazard — CAST the SQL aggregate)")
         if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
             af, bf = av.astype(np.float64), bv.astype(np.float64)
             if not np.array_equal(af, bf):
