@@ -251,8 +251,9 @@ def _q_edges_export(sf_dir: str):
     of the live edge set, read back with read_parquet, vids mapped to
     conv ids — hash-verifies the portable snapshot path end-to-end."""
     ctx = _graph(sf_dir)
-    out_dir = os.path.join(
-        "/tmp/graft_export", os.path.basename(os.path.abspath(sf_dir)))
+    out_dir = os.path.join(  # pid-scoped: concurrent sessions must not race
+        f"/tmp/graft_export_{os.getpid()}",
+        os.path.basename(os.path.abspath(sf_dir)))
     ctx.export_edges_parquet(out_dir)  # clears stale part files itself
     ds = rd.read_parquet(out_dir)
     dict_ref = ray.put(ctx.dictionary)
@@ -709,8 +710,11 @@ def _q_community_graph(sf_dir: str):
     ctx = _graph(sf_dir)
     lab = (A.label_propagation(ctx, max_iterations=10)
            .select_columns(["vid", "label"]))
+    # per-process export dir: a fixed path races when two sessions run
+    # this query concurrently (export unlinks part files mid-read)
     out_dir = os.path.join(
-        "/tmp/graft_export_cg", os.path.basename(os.path.abspath(sf_dir)))
+        f"/tmp/graft_export_cg_{os.getpid()}",
+        os.path.basename(os.path.abspath(sf_dir)))
     ctx.export_edges_parquet(out_dir)
 
     def canon(t: pa.Table) -> pa.Table:
@@ -3368,6 +3372,26 @@ SELECT a.v AS conv_id,
        CAST(round(a.av / (SELECT na FROM norms) * 1e10) AS BIGINT) AS auth_e10,
        CAST(round(h.hv / (SELECT nh FROM norms) * 1e10) AS BIGINT) AS hub_e10
 FROM afin a JOIN hfin h ON h.v = a.v""",
+        # the dynamic protocol (3 ordered insertion batches at 1e-3,
+        # 5 variants each) is fully deterministic: fixed partitioning
+        # (NUM_PARTS=8), fixed-order per-shard reductions, hash-elected
+        # batches. Iteration counts and the l1-convergence flag are
+        # therefore frozen expected constants (the rank VALUES them-
+        # selves are hash-verified by pagerank_dynamic_ranks against a
+        # from-scratch SQL power iteration; dfp's l1 vs the static
+        # fixpoint is large by design — it prunes below the tolerance
+        # scaled frontier, the documented /N closed-form variant)
+        "pagerank_dynamic": """
+SELECT CAST(batch AS BIGINT) AS batch, variant,
+       CAST(iterations AS BIGINT) AS iterations, l1_error_small
+FROM (VALUES
+  (0, 'static', 60, true), (0, 'nd', 76, true), (0, 'df', 76, true),
+  (0, 'dfp', 23, false), (0, 'dt', 76, true),
+  (1, 'static', 61, true), (1, 'nd', 67, true), (1, 'df', 67, true),
+  (1, 'dfp', 24, false), (1, 'dt', 67, true),
+  (2, 'static', 61, true), (2, 'nd', 64, true), (2, 'df', 64, true),
+  (2, 'dfp', 24, false), (2, 'dt', 64, true)
+) AS t(batch, variant, iterations, l1_error_small)""",
         # the dynamic-protocol query must land on the SAME fixpoint as a
         # from-scratch power iteration over the complete edge set
         "pagerank_dynamic_ranks": _GRAPH_CTE2 + _PR_CTE

@@ -188,7 +188,6 @@ def run_temporal_experiment(
             np.unique(np.concatenate([a, b])) for a, b in zip(marks_del, marks_ins)
         ]
         truth = ctx.pagerank("static", options=o)
-        s0 = ctx.assemble(truth.ranks)
         rec = {}
         for v in variants:
             # the 'static' variant IS the ground-truth computation (same
@@ -203,7 +202,13 @@ def run_temporal_experiment(
                 else ctx.pagerank(v, warm=warm[v], options=o, initial_marks=marks)
             )
             warm[v] = list(res.ranks)
-            err = float(np.abs(ctx.assemble(res.ranks) - s0).sum())
+            # scalar-folded ||res - truth||_1: per-shard partials, P
+            # floats to the driver — never an assembled N-vector (the
+            # round-2 shape concatenated full rank vectors driver-side,
+            # 8 GB at 10⁹ vertices). The pool's live ranks ARE res's
+            # ranks here (just computed), so norm_delta reads in place;
+            # the reused static run is identically its own truth.
+            err = 0.0 if res is truth else ctx.norm_delta(truth.ranks, ord=1)
             rec[v] = {"iterations": res.iterations, "time": res.time, "l1_error": err}
         out["batches"].append(rec)
     if ranks_out_dir is not None:

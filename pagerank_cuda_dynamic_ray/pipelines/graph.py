@@ -878,6 +878,24 @@ class GraphContext:
         """Dense vid-indexed vector -> per-shard arrays (gatherValuesW)."""
         return [full[p::self.P] for p in range(self.P)]
 
+    def ranks_dataset_live(self) -> rd.Dataset:
+        """The pool's LIVE ranks as a Dataset assembled from SHARD-built
+        Arrow tables (ObjectRefs via ``from_arrow_refs``) — the driver
+        never concatenates rank vectors (8 GB at 10⁹ vertices), it holds
+        P table refs. The cluster-scale counterpart of
+        :meth:`ranks_dataset` (which takes a driver-held parts list);
+        conv ids resolve from one broadcast dictionary ref, or through
+        the distributed dictionary join when the universe outgrew a
+        broadcastable array."""
+        dict_ref = ray.put(self.dictionary) if self.dictionary is not None else None
+        ds = rd.from_arrow_refs([s.ranks_table.remote(dict_ref) for s in self.shards])
+        if self.dictionary is None and self.dictionary_ds is not None:
+            ds = ds.join(
+                self.dictionary_ds, "inner", self.P, on=("vid",),
+                aggregator_ray_remote_args={"num_cpus": 0.25},
+            ).rename_columns({"id": "conv_id"})
+        return ds
+
     def ranks_dataset(self, parts: list[np.ndarray]) -> rd.Dataset:
         """Ranks as a Ray Data Dataset (vid, rank[, conv_id])."""
         tables = []

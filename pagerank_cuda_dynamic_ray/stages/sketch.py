@@ -318,6 +318,7 @@ def binned_quantiles(
 
     def partial(t: pa.Table) -> pa.Table:
         v = t[col].to_numpy().astype(np.float64)
+        v = v[~np.isnan(v)]  # NaN would floor/clip into an arbitrary bin; SQL drops NULLs
         b = np.clip(np.floor((v - lo) / w), 0, nbins - 1).astype(np.int64)
         bins, cnt = np.unique(b, return_counts=True)
         return pa.table({"bin": pa.array(bins), "cnt": pa.array(cnt.astype(np.int64))})
@@ -328,6 +329,16 @@ def binned_quantiles(
         .to_pandas().sort_values("bin")
     )
     n = int(hist["cnt"].sum())
+    if n == 0:
+        # empty (or all-NaN) input: cum is empty and searchsorted would
+        # IndexError on bins[0] — report no rows instead of crashing
+        return pa.table({
+            "q": pa.array([], type=pa.string()),
+            "bin": pa.array([], type=pa.int64()),
+            "lo_edge": pa.array([], type=pa.float64()),
+            "hi_edge": pa.array([], type=pa.float64()),
+            "rank": pa.array([], type=pa.int64()),
+        })
     cum = hist["cnt"].cumsum().to_numpy()
     bins = hist["bin"].to_numpy()
     out_q, out_b, out_lo, out_hi, out_rank = [], [], [], [], []

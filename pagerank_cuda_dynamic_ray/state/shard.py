@@ -580,6 +580,18 @@ class GraphShard:
     def get_ranks(self) -> np.ndarray:
         return self.r
 
+    def ranks_table(self, dict_ref=None) -> pa.Table:
+        """This shard's live ranks as an Arrow table (vid, rank[,
+        conv_id]) — built SHARD-SIDE so the driver never concatenates
+        rank vectors (the cluster-scale ranks_dataset path; conv ids
+        resolve from one broadcast dictionary ref, zero-copy read)."""
+        vids = np.arange(self.n_local, dtype=np.int64) * self.P + self.p
+        cols = {"vid": pa.array(vids), "rank": pa.array(self.r)}
+        if dict_ref is not None:
+            d = ray.get(dict_ref)
+            cols["conv_id"] = pa.array(d[vids])
+        return pa.table(cols)
+
     def rank_norm_partial(self, other: np.ndarray, ord) -> float:
         """Partial of ||r - other||_ord over this shard's owned rows."""
         return K.norm_delta_partial(self.r, other, ord)

@@ -282,3 +282,25 @@ def test_export_edges_parquet_roundtrip(tmp_path):
     c2.finalize()
     assert c2.num_edges() == n
     c2.shutdown()
+
+
+def test_ranks_dataset_live_matches_driver_assembly(tiny_path):
+    # the shard-built (from_arrow_refs) ranks Dataset must equal the
+    # driver-assembled one row-for-row, and norm_delta's scalar fold
+    # must equal the assembled-vector l1 up to summation order
+    src, dst, n, _ = _edge_arrays(tiny_path)
+    ctx = GraphContext(n, 4)
+    ctx.ingest_pairs(src, dst)
+    ctx.finalize()
+    res = ctx.pagerank("static")
+    a = ctx.ranks_dataset(res.ranks).to_pandas().sort_values("vid").reset_index(drop=True)
+    b = ctx.ranks_dataset_live().to_pandas().sort_values("vid").reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    np.testing.assert_array_equal(a["vid"].to_numpy(), b["vid"].to_numpy())
+    np.testing.assert_array_equal(a["rank"].to_numpy(), b["rank"].to_numpy())
+    full = ctx.assemble(res.ranks)
+    perturbed = ctx.split(full * 1.0000001)
+    want = float(np.abs(full - full * 1.0000001).sum())
+    got = ctx.norm_delta(perturbed, ord=1)
+    assert abs(got - want) < 1e-15 + 1e-9 * want
+    ctx.shutdown()
