@@ -214,6 +214,28 @@ def _q_edge_log(sf_dir: str):
     return E.extract_edges(ts).select_columns(["src", "dst", "turn_idx"])
 
 
+def _q_edge_log_jsonl(sf_dir: str):
+    """JSONL source parity: the fixture transcripts round-trip through
+    newline-delimited JSON (ts as int64 epoch-us) and the extracted
+    edge log must hash-equal the Parquet path's — same SQL oracle as
+    edge_log, so the new source format carries a full correctness row."""
+    import pyarrow.parquet as pq
+
+    fx = _fixture(sf_dir)
+    out = (f"/tmp/graft_jsonl_{os.getpid()}_"
+           f"{os.path.basename(os.path.abspath(sf_dir))}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        pdf = pq.read_table(fx).to_pandas()
+        pdf["ts"] = pdf["ts"].astype("int64")  # epoch-us
+        pdf.to_json(os.path.join(out, "part.jsonl"), orient="records", lines=True)
+        with open(done, "w") as f:
+            f.write("ok")
+    ts = E.read_transcripts_jsonl(out)
+    return E.extract_edges(ts).select_columns(["src", "dst", "turn_idx"])
+
+
 def _q_vertex_dictionary(sf_dir: str):
     d = _graph(sf_dir).dictionary
     return pa.table({"conv_id": pa.array(d), "vid": pa.array(np.arange(len(d), dtype=np.int64))})
@@ -1744,6 +1766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # gate's first-50 sample never reached, then the 48 driver-green rows
     # (the gate samples the registry head).
     return {
+        "edge_log_jsonl": _q_edge_log_jsonl,
         "walk_counts": _q_walk_counts,
         "resource_allocation": _q_resource_allocation,
         "pagerank_dynamic": _q_pagerank_dynamic,
@@ -3255,6 +3278,8 @@ def oracle_sql() -> dict[str, str]:
     T.ensure_fixture("sf0.01")  # the graph-family oracles read this path
     return {
         "edge_log": _GRAPH_CTE + "\nSELECT src, dst, turn_idx FROM mention",
+        # JSONL round-trip must land on the identical mention set
+        "edge_log_jsonl": _GRAPH_CTE + "\nSELECT src, dst, turn_idx FROM mention",
         "vertex_dictionary": _GRAPH_CTE
         + "\nSELECT conv_id, CAST(row_number() OVER (ORDER BY conv_id) - 1 AS BIGINT) AS vid FROM ids",
         "edges_encoded_dist": _GRAPH_CTE

@@ -74,6 +74,43 @@ def read_transcripts(path: str, columns: list[str] | None = None,
     return rd.read_parquet(path, columns=columns, override_num_blocks=parallelism)
 
 
+def read_transcripts_jsonl(path: str, columns: list[str] | None = None,
+                           parallelism: int | None = None) -> rd.Dataset:
+    """JSONL transcript source — the same logical table as the Parquet
+    reader, for pipelines whose upstream emits newline-delimited JSON
+    (log shippers, API dumps). Normalizes per batch to the Parquet
+    reader's schema: ``ts`` arrives as int64 epoch-microseconds or an
+    ISO string and is cast to timestamp[us]; ``turn_idx`` to int32 —
+    so every downstream stage (extract/encode/replay) is source-
+    agnostic. Column pruning happens batch-side (JSON has no column
+    projection at the read, unlike Parquet — a documented format cost)."""
+    if parallelism is None:
+        cpus = cluster_cpus()
+        parallelism = max(8, cpus)
+    ds = rd.read_json(path, override_num_blocks=parallelism)
+
+    def norm(t: pa.Table) -> pa.Table:
+        cols = {}
+        names = columns or ["conv_id", "turn_idx", "text", "tool", "ts"]
+        for c in names:
+            arr = t[c]
+            if c == "ts" and not pa.types.is_timestamp(arr.type):
+                if pa.types.is_integer(arr.type):
+                    arr = arr.cast(pa.timestamp("us"))
+                else:
+                    arr = pc.strptime(arr.cast(pa.string()),
+                                      format="%Y-%m-%dT%H:%M:%S.%f",
+                                      unit="us")
+            elif c == "turn_idx":
+                arr = arr.cast(pa.int32())
+            elif c in ("conv_id", "text", "tool"):
+                arr = arr.cast(pa.string())
+            cols[c] = arr
+        return pa.table(cols)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
 def _extract_edges_batch(batch: pa.Table) -> pa.Table:
     """Vectorized mention extraction; one output row per mention-carrying turn."""
     text_m = pc.extract_regex(batch["text"], TEXT_MENTION_RE)
