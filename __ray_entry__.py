@@ -693,6 +693,77 @@ def _q_random_walks(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+KATZ_LEN = 4   # truncated-Katz levels (alpha = 1/KATZ_MUL, scaled by MUL^LEN)
+KATZ_MUL = 4
+CN_TOP = 100   # common-neighbors / Adamic-Adar top cut
+
+
+def _map_pair_cols(ctx, ds: rd.Dataset, keep: list[str]) -> rd.Dataset:
+    """Map (a, b) vid pair columns to conv_id strings via the broadcast
+    dictionary, keeping ``keep`` score columns (vid order == conv_id lex
+    order, so SQL tie-breaks agree) — the resource_allocation mapper."""
+    dict_ref = ray.put(ctx.dictionary)
+
+    def f(t: pa.Table) -> pa.Table:
+        d = ray.get(dict_ref)
+        cols = {"a": pa.array(d[t["a"].to_numpy()]),
+                "b": pa.array(d[t["b"].to_numpy()])}
+        for c in keep:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_katz_centrality(sf_dir: str):
+    """Truncated Katz centrality, alpha = 1/4 pre-scaled by 4^4: exact
+    int64 per-level damped accumulator (katz = Σ 4^(4-l)·walks_l), so
+    the SQL oracle's unrolled weighted levels replay it bit-for-bit."""
+    ctx = _graph(sf_dir)
+    return A.katz_centrality(ctx, length=KATZ_LEN, mul=KATZ_MUL).select_columns(
+        ["conv_id", "katz"])
+
+
+def _q_common_neighbors(sf_dir: str):
+    """Top-100 link-prediction pairs by raw common-neighbor count —
+    the unweighted wedge combine, integer-deterministic cut."""
+    ctx = _graph(sf_dir)
+    return _map_pair_cols(ctx, A.common_neighbors(ctx, top=CN_TOP), ["common"])
+
+
+def _q_adamic_adar(sf_dir: str):
+    """Top-100 pairs by the Adamic-Adar index (log2-floor integer
+    variant): Σ_z 10^9 // floor(log2(deg(z))) — exact ints, so the SQL
+    replay and the cut cannot drift."""
+    ctx = _graph(sf_dir)
+    return _map_pair_cols(ctx, A.adamic_adar(ctx, top=CN_TOP), ["aa_e9"])
+
+
+def _q_reciprocity(sf_dir: str):
+    """Directed-edge reciprocity (self-loops excluded): one reversed-
+    membership exchange, scalar fold, single integer row."""
+    return A.reciprocity(_graph(sf_dir))
+
+
+def _q_avg_neighbor_degree(sf_dir: str):
+    """Degree-degree correlation profile: per symmetric-degree class,
+    vertex count + exact total of neighbor degrees (one degree-fetch
+    exchange + per-shard reduceat; rows ∝ distinct degrees)."""
+    return A.avg_neighbor_degree(_graph(sf_dir))
+
+
+def _q_graph_summary(sf_dir: str):
+    """One-row structural profile (order, sizes, self-loops, max
+    degrees, isolated count) — per-shard 7-int partials, scalar fold."""
+    return A.graph_summary(_graph(sf_dir))
+
+
+def _q_component_sizes(sf_dir: str):
+    """Connected-component size histogram — the CC label Dataset
+    reduced twice through Ray Data groupbys (label→size, size→count)."""
+    return A.component_sizes(_graph(sf_dir))
+
+
 def _q_cc_incremental(sf_dir: str):
     """Incremental CC hash-verified: cold CC on the base 80% of the
     ordered log, then each insertion batch applied and the components
@@ -1761,11 +1832,18 @@ def _q_frame_sample(sf_dir: str):
 # ----------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # Order = driver-verification priority: the two round-2 hash-fail
-    # queries + the rows-only one first, then the 61 entries the round-2
-    # gate's first-50 sample never reached, then the 48 driver-green rows
-    # (the gate samples the registry head).
+    # Order = driver-verification priority: round-3 additions first,
+    # then the two round-2 hash-fail queries + the rows-only one, then
+    # the entries the round-2 gate's first-50 sample never reached, then
+    # the driver-green rows (the gate samples the registry head).
     return {
+        "katz_centrality": _q_katz_centrality,
+        "common_neighbors": _q_common_neighbors,
+        "adamic_adar": _q_adamic_adar,
+        "reciprocity": _q_reciprocity,
+        "avg_neighbor_degree": _q_avg_neighbor_degree,
+        "graph_summary": _q_graph_summary,
+        "component_sizes": _q_component_sizes,
         "edge_log_jsonl": _q_edge_log_jsonl,
         "walk_counts": _q_walk_counts,
         "resource_allocation": _q_resource_allocation,
@@ -2423,6 +2501,34 @@ def _sql_walk_counts(length: int = None) -> str:
     return (_GRAPH_CTE + ",\n" + ",\n".join(parts)
             + f",\ntot AS ({union})\n"
             + "SELECT v AS conv_id, CAST(sum(c) AS BIGINT) AS walks FROM tot GROUP BY v")
+
+
+def _sql_katz(length: int = None, mul: int = None) -> str:
+    """katz_centrality replayed in SQL: the walk_counts unrolled levels
+    with the damping weight mul^(L-t) folded per level — katz =
+    Σ_{t=1..L} mul^(L-t)·w_t, exact BIGINT throughout."""
+    length = KATZ_LEN if length is None else length
+    mul = KATZ_MUL if mul is None else mul
+    parts = ["w0 AS MATERIALIZED (SELECT conv_id AS v, CAST(1 AS BIGINT) AS c FROM ids)"]
+    for t in range(1, length + 1):
+        parts.append(f"""w{t} AS MATERIALIZED (
+  SELECT e.dst AS v, CAST(sum(w.c) AS BIGINT) AS c FROM uedges e
+  JOIN w{t - 1} w ON w.v = e.src GROUP BY e.dst)""")
+    union = " UNION ALL ".join(
+        f"SELECT v, c * CAST({mul ** (length - t)} AS BIGINT) AS c FROM w{t}"
+        for t in range(1, length + 1))
+    return (_GRAPH_CTE + ",\n" + ",\n".join(parts)
+            + f",\ntot AS ({union})\n"
+            + "SELECT v AS conv_id, CAST(sum(c) AS BIGINT) AS katz FROM tot GROUP BY v")
+
+
+# Link-prediction wedge CTE (shared by common_neighbors / adamic_adar):
+# apex z contributes one (x < y) pair per unordered pair of its
+# neighbors — exactly the engine's per-apex wedge emission.
+_WEDGE_CTE = """,
+sdeg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d FROM nbr GROUP BY a),
+wedges AS (SELECT n1.b AS x, n2.b AS y, n1.a AS z
+           FROM nbr n1 JOIN nbr n2 ON n1.a = n2.a AND n1.b < n2.b)"""
 
 
 def _sql_temporal_arrival(seed: int = 0, rounds: int = None) -> str:
@@ -3437,6 +3543,53 @@ ccr AS (
   ) SELECT v, lab FROM cc WHERE i = {CC_ORACLE_ITERS}
 )
 SELECT v AS conv_id, lab AS component_id FROM ccr""",
+        "katz_centrality": _sql_katz(),
+        "common_neighbors": _GRAPH_CTE2 + _WEDGE_CTE + f""",
+cn AS (SELECT x AS a, y AS b, CAST(count(*) AS BIGINT) AS common
+       FROM wedges GROUP BY x, y)
+SELECT a, b, common FROM cn ORDER BY common DESC, a, b LIMIT {CN_TOP}""",
+        "adamic_adar": _GRAPH_CTE2 + _WEDGE_CTE + f""",
+aa AS (SELECT x AS a, y AS b,
+       CAST(sum(1000000000 // CAST(floor(log2(sd.d)) AS BIGINT)) AS BIGINT) AS aa_e9
+       FROM wedges JOIN sdeg sd ON sd.v = wedges.z GROUP BY x, y)
+SELECT a, b, aa_e9 FROM aa ORDER BY aa_e9 DESC, a, b LIMIT {CN_TOP}""",
+        "reciprocity": _GRAPH_CTE2 + """,
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uedges WHERE src <> dst),
+nm AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uedges e1
+       JOIN uedges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+       WHERE e1.src <> e1.dst)
+SELECT ne.n AS n_edges, nm.n AS n_mutual,
+       CASE WHEN ne.n > 0 THEN nm.n * 1000000 // ne.n ELSE 0 END AS recip_e6
+FROM ne, nm""",
+        "avg_neighbor_degree": _GRAPH_CTE2 + """,
+sdeg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS d FROM nbr GROUP BY a),
+pv AS (SELECT n.a AS v, any_value(sda.d) AS deg, CAST(sum(sdb.d) AS BIGINT) AS s
+       FROM nbr n JOIN sdeg sda ON sda.v = n.a JOIN sdeg sdb ON sdb.v = n.b
+       GROUP BY n.a)
+SELECT deg AS degree, CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(sum(s) AS BIGINT) AS sum_nbr_deg
+FROM pv GROUP BY deg""",
+        "graph_summary": _GRAPH_CTE2 + """
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ids) AS n_vertices,
+       (SELECT CAST(count(*) AS BIGINT) FROM uedges) AS n_edges_directed,
+       (SELECT CAST(count(*) AS BIGINT) FROM uedges WHERE src = dst) AS n_self_loops,
+       (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges_undirected,
+       (SELECT CAST(max(outdeg) AS BIGINT) FROM odeg) AS max_outdeg,
+       (SELECT CAST(max(c) AS BIGINT)
+        FROM (SELECT count(*) AS c FROM uedges GROUP BY dst)) AS max_indeg,
+       (SELECT CAST(count(*) AS BIGINT) FROM ids
+        WHERE conv_id NOT IN (SELECT a FROM nbr)) AS n_isolated""",
+        "component_sizes": _GRAPH_CTE2 + f""",
+ccr AS (
+  WITH RECURSIVE cc(i, v, lab) AS (
+    SELECT 0, conv_id, conv_id FROM ids
+    UNION ALL
+    SELECT cc.i + 1, e.b, min(cc.lab) FROM cc JOIN nbrx e ON e.a = cc.v
+    WHERE cc.i < {CC_ORACLE_ITERS} GROUP BY cc.i, e.b
+  ) SELECT v, lab FROM cc WHERE i = {CC_ORACLE_ITERS}
+),
+sz AS (SELECT lab, CAST(count(*) AS BIGINT) AS size FROM ccr GROUP BY lab)
+SELECT size, CAST(count(*) AS BIGINT) AS n_components FROM sz GROUP BY size""",
         "maximal_independent_set": _sql_mis(),
         "sssp_weighted": _sql_sssp(),
         "greedy_coloring": _sql_coloring(),

@@ -541,6 +541,65 @@ def resource_allocation(ctx: GraphContext, top: int = 100,
     )])
 
 
+def _run_wedge_combine(ctx: GraphContext, scale: int = 0, mode: str = "ra",
+                       max_pairs: int = 4_000_000) -> None:
+    """Run the chunked per-apex wedge emission + owner(lo)-routed
+    sorted-merge fold shared by the whole link-prediction family
+    (jaccard / RA / AA / common-neighbors / edge support). Leaves the
+    combined (pair -> weight) state shard-resident."""
+    _ensure_symmetric(ctx)
+    P, shards = ctx.P, ctx.shards
+    nch = max(ray.get([s.jac_plan_chunks.remote(max_pairs) for s in shards]))
+    ray.get([s.jac_reset.remote(scale, mode) for s in shards])
+    for k in range(nch):
+        refs = [
+            shards[p].jac_pairs_chunk_routed.options(num_returns=P + 1).remote(k)
+            for p in range(P)
+        ]
+        ray.get([
+            shards[p].jac_accept.remote(*[refs[q][1 + p] for q in range(P)])
+            for p in range(P)
+        ])
+
+
+def _pair_topk_merge(ctx: GraphContext, top: int, col: str) -> rd.Dataset:
+    """Merge per-shard local-top tables into the global (score desc, a,
+    b) top cut — P·top rows driver-side, never the pair set."""
+    import pyarrow as pa
+
+    tops = ray.get([s.ra_topk.remote(top, col) for s in ctx.shards])
+    merged = pa.concat_tables(tops)
+    score = merged[col].to_numpy()
+    sel = np.lexsort((merged["b"].to_numpy(), merged["a"].to_numpy(), -score))[:top]
+    return tables_dataset([merged.take(pa.array(np.sort(sel))).sort_by(
+        [(col, "descending"), ("a", "ascending"), ("b", "ascending")]
+    )])
+
+
+def common_neighbors(ctx: GraphContext, top: int = 100,
+                     max_pairs: int = 4_000_000) -> rd.Dataset:
+    """Link prediction by raw common-neighbor count — the unweighted
+    member of the wedge family (weight 1 per apex). Returns
+    Dataset(a, b, common), top rows by (common desc, a, b)."""
+    _run_wedge_combine(ctx, 0, "ra", max_pairs)
+    return _pair_topk_merge(ctx, top, "common")
+
+
+AA_SCALE = 1_000_000_000
+
+
+def adamic_adar(ctx: GraphContext, top: int = 100,
+                max_pairs: int = 4_000_000, scale: int = AA_SCALE) -> rd.Dataset:
+    """Link prediction by the Adamic-Adar index in its integer-honest
+    log2-floor form: Σ over common neighbors z of
+    ``scale // floor(log2(deg(z)))`` (deg(z) >= 2 for any wedge apex, so
+    the divisor is >= 1). Same hub-discounting intent as 1/ln(deg) with
+    exact-int scores a SQL oracle replays bit-for-bit. Returns
+    Dataset(a, b, aa_e9), top rows by (score desc, a, b)."""
+    _run_wedge_combine(ctx, scale, "aa_log2", max_pairs)
+    return _pair_topk_merge(ctx, top, "aa_e9")
+
+
 def edge_triangle_support(ctx: GraphContext,
                           max_pairs: int = 4_000_000) -> rd.Dataset:
     """Per-edge triangle support |N(a)∩N(b)| for every undirected edge
@@ -1106,6 +1165,125 @@ def walk_count_centrality(ctx: GraphContext, length: int = 4) -> rd.Dataset:
             for p in range(P)
         ])
     return _with_conv(ctx, ray.get([s.wc_table.remote() for s in shards]))
+
+
+def katz_centrality(ctx: GraphContext, length: int = 4, mul: int = 4) -> rd.Dataset:
+    """Exact-integer truncated Katz centrality with damping alpha =
+    1/mul, pre-scaled by mul^length: katz(v) = Σ_{l=1..L} mul^(L-l) ·
+    walks_l(v) over the deduped directed edge set (incl. structural
+    self-loops). The damped sibling of walk_count_centrality: same
+    one-exchange-per-level BSP push (wc_push), a damped accumulator
+    fold per level (kz_apply: acc = mul·acc + x_l) — all int64 and
+    associative, so partitioning cannot change a single count and the
+    SQL oracle replays the L unrolled levels term-for-term. Returns
+    Dataset (vid, katz[, conv_id])."""
+    shards = ctx.shards
+    P = len(shards)
+    ray.get([s.kz_init.remote() for s in shards])
+    for _ in range(int(length)):
+        refs = [s.wc_push.options(num_returns=P + 1).remote() for s in shards]
+        ray.get([
+            shards[p].kz_apply.remote(int(mul), *[refs[q][1 + p] for q in range(P)])
+            for p in range(P)
+        ])
+    return _with_conv(ctx, ray.get([s.kz_table.remote() for s in shards]))
+
+
+def reciprocity(ctx: GraphContext) -> rd.Dataset:
+    """Directed-edge reciprocity over the deduped edge set, structural
+    self-loops excluded: n_mutual = |{(u,v): u≠v, v→u also present}|,
+    plus the exact-integer ratio ``recip_e6 = n_mutual·10^6 //
+    n_edges``. One reversed-membership exchange (owner(v) answers
+    v→u via segmented binary search over its out-CSR — the hasEdge
+    probe, /root/reference/inc/Graph.hxx:165-194 analogue), scalar
+    tree-fold, single-row Dataset(n_edges, n_mutual, recip_e6)."""
+    import pyarrow as pa
+
+    P, shards = ctx.P, ctx.shards
+    refs = [s.recip_queries.options(num_returns=P + 1).remote() for s in shards]
+    n_edges = sum(ray.get([refs[p][0] for p in range(P)]))
+    n_mutual = sum(ray.get([
+        shards[p].dir_member_count.remote(*[refs[q][1 + p] for q in range(P)])
+        for p in range(P)
+    ]))
+    ratio = (np.int64(n_mutual) * 1_000_000 // n_edges) if n_edges else np.int64(0)
+    return tables_dataset([pa.table({
+        "n_edges": pa.array([int(n_edges)], pa.int64()),
+        "n_mutual": pa.array([int(n_mutual)], pa.int64()),
+        "recip_e6": pa.array([int(ratio)], pa.int64()),
+    })])
+
+
+def avg_neighbor_degree(ctx: GraphContext) -> rd.Dataset:
+    """Degree-degree correlation profile over the undirected view: for
+    each symmetric-degree class k, how many vertices have degree k and
+    the exact-integer total of their neighbors' degrees (so mean
+    neighbor degree = sum_nbr_deg / (k·n_vertices) is reproducible
+    without float reduction). One degree-fetch exchange (annd_needs →
+    degs_for, the jac_hi_needs plan), per-shard reduceat, and only one
+    row per distinct degree class per shard reaches the merge.
+    Returns Dataset(degree, n_vertices, sum_nbr_deg)."""
+    import pyarrow as pa
+
+    _ensure_symmetric(ctx)
+    P, shards = ctx.P, ctx.shards
+    need_refs = [s.annd_needs.options(num_returns=P + 1).remote() for s in shards]
+    deg_refs = [
+        [shards[q].degs_for.remote(need_refs[p][1 + q]) for q in range(P)]
+        for p in range(P)
+    ]
+    parts = ray.get([
+        shards[p].annd_partial.remote(*deg_refs[p]) for p in range(P)
+    ])
+    merged = pa.concat_tables(parts)
+    if not merged.num_rows:
+        return tables_dataset([merged])
+    deg = merged["degree"].to_numpy()
+    vals, inv = np.unique(deg, return_inverse=True)
+    nv = np.zeros(len(vals), dtype=np.int64)
+    sm = np.zeros(len(vals), dtype=np.int64)
+    np.add.at(nv, inv, merged["n_vertices"].to_numpy())
+    np.add.at(sm, inv, merged["sum_nbr_deg"].to_numpy())
+    return tables_dataset([pa.table({
+        "degree": pa.array(vals.astype(np.int64)),
+        "n_vertices": pa.array(nv), "sum_nbr_deg": pa.array(sm),
+    })])
+
+
+def graph_summary(ctx: GraphContext) -> rd.Dataset:
+    """One-row structural profile of the live graph — order, directed
+    size (deduped, incl. structural self-loops), self-loop count,
+    undirected size, max out/in degree, isolated-vertex count (symmetric
+    degree 0). Per-shard 7-int partials, scalar tree-fold (max for the
+    degree fields) — the graph-properties probe
+    (/root/reference/inc/properties.hxx:14-55) at cluster shape."""
+    import pyarrow as pa
+
+    _ensure_symmetric(ctx)
+    parts = np.stack(ray.get([s.summary_partial.remote() for s in ctx.shards]))
+    sums = parts.sum(axis=0)
+    maxs = parts.max(axis=0)
+    return tables_dataset([pa.table({
+        "n_vertices": pa.array([int(sums[0])], pa.int64()),
+        "n_edges_directed": pa.array([int(sums[1])], pa.int64()),
+        "n_self_loops": pa.array([int(sums[2])], pa.int64()),
+        "n_edges_undirected": pa.array([int(sums[3]) // 2], pa.int64()),
+        "max_outdeg": pa.array([int(maxs[4])], pa.int64()),
+        "max_indeg": pa.array([int(maxs[5])], pa.int64()),
+        "n_isolated": pa.array([int(sums[6])], pa.int64()),
+    })])
+
+
+def component_sizes(ctx: GraphContext, max_rounds: int = 10_000) -> rd.Dataset:
+    """Connected-component size histogram (size, n_components): the CC
+    label Dataset reduced twice — label → size, size → count — both
+    Ray Data groupby aggregates over combiner-sized rows. Returns
+    Dataset(size, n_components)."""
+    labels = connected_components(ctx, max_rounds=max_rounds)
+    sizes = (labels.groupby("component").count()
+             .rename_columns({"count()": "size"}))
+    return (sizes.groupby("size").count()
+            .rename_columns({"count()": "n_components"}))
 
 
 def temporal_earliest_arrival(ctx: GraphContext, encoded_log: rd.Dataset,

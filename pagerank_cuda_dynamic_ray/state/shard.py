@@ -2251,9 +2251,20 @@ class GraphShard:
         hi = self.sym_adj[base + j_ij]
         packed = lo * np.int64(self.N) + hi
         if getattr(self, "_jac_ra_scale", 0):
-            # resource-allocation: Σ over apexes z of scale // deg(z),
-            # exact int64 (np.add.at, not float bincount)
-            w = np.int64(self._jac_ra_scale) // np.diff(self.sym_offsets)[row_ij]
+            deg_apex = np.diff(self.sym_offsets)[row_ij]
+            if getattr(self, "_jac_weight_mode", "ra") == "aa_log2":
+                # Adamic-Adar (log2-floor variant): scale // floor(log2(deg)).
+                # frexp exponents are exact for int-valued doubles, and a
+                # wedge apex always has deg >= 2, so the divisor is >= 1 —
+                # integer-honest hub discounting, SQL-replayable via
+                # floor(log2(deg)) (log2 of a non-power-of-2 int sits
+                # >= ~log2(1+1/deg) from any integer, far above 1 ulp)
+                div = (np.frexp(deg_apex.astype(np.float64))[1] - 1).astype(np.int64)
+                w = np.int64(self._jac_ra_scale) // div
+            else:
+                # resource-allocation: Σ over apexes z of scale // deg(z),
+                # exact int64 (np.add.at, not float bincount)
+                w = np.int64(self._jac_ra_scale) // deg_apex
             key, inv = np.unique(packed, return_inverse=True)
             c = np.zeros(len(key), dtype=np.int64)
             np.add.at(c, inv, w)
@@ -2278,13 +2289,16 @@ class GraphShard:
                    for q in range(self.P)]
         return (sum(o.shape[1] for o in out), *out)
 
-    def jac_reset(self, ra_scale: int = 0) -> None:
-        """ra_scale=0: wedge COUNTS (Jaccard / support). ra_scale>0:
-        each wedge carries weight ra_scale // deg(apex) instead — the
-        resource-allocation index, still exact int64."""
+    def jac_reset(self, ra_scale: int = 0, weight_mode: str = "ra") -> None:
+        """ra_scale=0: wedge COUNTS (Jaccard / support / common
+        neighbors). ra_scale>0: each wedge carries an exact-int64 apex
+        weight instead — ra_scale // deg(apex) (resource allocation,
+        weight_mode='ra') or ra_scale // floor(log2(deg(apex)))
+        (Adamic-Adar log2-floor variant, weight_mode='aa_log2')."""
         self._jac_keys = np.empty(0, dtype=np.int64)
         self._jac_counts = np.empty(0, dtype=np.int64)
         self._jac_ra_scale = int(ra_scale)
+        self._jac_weight_mode = weight_mode
 
     def jac_accept(self, *pair_arrays: np.ndarray) -> None:
         """Merge incoming (key, c) partials into the running combine —
@@ -2333,15 +2347,19 @@ class GraphShard:
         return pa.table({"a": pa.array(lo[sel]), "b": pa.array(hi[sel]),
                          "common": pa.array(c[sel]), "jaccard_e6": pa.array(score[sel])})
 
-    def ra_topk(self, top: int) -> pa.Table:
-        """Local top rows by accumulated resource-allocation weight —
-        no degree exchange needed (the weight already folded deg(apex))."""
+    def ra_topk(self, top: int, col: str = "ra_e9") -> pa.Table:
+        """Local top rows by accumulated wedge weight (RA / AA / raw
+        common-neighbor counts — whatever jac_reset configured); no
+        degree exchange needed. Tie-inclusive is unnecessary: the cut
+        orders by the full (score desc, a, b) triple, so the shard-local
+        top `top` is exactly the global order's prefix restricted to
+        owned pairs — partitioning-invariant by construction."""
         lo = self._jac_keys // self.N
         hi = self._jac_keys % self.N
         score = self._jac_counts
         sel = np.lexsort((hi, lo, -score))[:top]
         return pa.table({"a": pa.array(lo[sel]), "b": pa.array(hi[sel]),
-                         "ra_e9": pa.array(score[sel])})
+                         col: pa.array(score[sel])})
 
     def tri_answer(self, *query_arrays: np.ndarray):
         """Answer wedge queries: edge lo->hi present in the oriented CSR?
@@ -2579,3 +2597,142 @@ class GraphShard:
             return 0
         cat = np.concatenate(qs, axis=1)
         return int(self.sym_member(cat).sum())
+
+    # ------------------------------------------------------------------
+    # truncated Katz centrality (the alpha<1 sibling of the wc_* family)
+    # ------------------------------------------------------------------
+
+    def kz_init(self) -> None:
+        """x_0 = 1 per vertex, accumulator 0. The damped recurrence
+        acc_l = mul*acc_{l-1} + x_l after L levels equals
+        sum_{l=1..L} mul^(L-l) * walks_l — exact truncated Katz with
+        alpha = 1/mul, pre-scaled by mul^L so everything stays int64
+        and associative (the damped analogue of wc_init; reference
+        contribution push pagerankCuda.hxx:88-217 without the degree
+        normalization)."""
+        self._wc = np.ones(self.n_local, dtype=np.int64)
+        self._wc_total = np.zeros(self.n_local, dtype=np.int64)
+
+    def kz_apply(self, mul: int, *pairs: np.ndarray) -> None:
+        """Fold incoming level partials: x_l from the exchange, then
+        acc = mul*acc + x_l, with the wrap guarded BEFORE it happens."""
+        s = np.zeros(self.n_local, dtype=np.int64)
+        for pr in pairs:
+            if pr is not None and pr.shape[1]:
+                np.add.at(s, pr[0], pr[1])
+        top = int(self._wc_total.max(initial=0))
+        if top and top > ((2 ** 62) - int(s.max(initial=0))) // max(int(mul), 1):
+            raise OverflowError(
+                "katz accumulator would overflow int64; reduce length or mul")
+        self._wc = s
+        self._wc_total = np.int64(mul) * self._wc_total + s
+
+    def kz_table(self) -> pa.Table:
+        return pa.table({"vid": pa.array(self.owned_vids()),
+                         "katz": pa.array(self._wc_total)})
+
+    # ------------------------------------------------------------------
+    # reciprocity (directed-edge mutuality over the deduped edge set)
+    # ------------------------------------------------------------------
+
+    def recip_queries(self):
+        """Reversed membership queries for every owned NON-LOOP directed
+        edge (u, v): does v->u exist? Grouped by owner(v); call with
+        num_returns=P+1 (leading element = this shard's non-loop edge
+        count, the reciprocity denominator partial)."""
+        out = [np.empty((2, 0), dtype=np.int64) for _ in range(self.P)]
+        n_nonloop = 0
+        if self.out_dst is not None and len(self.out_dst):
+            src = np.repeat(self.owned_vids(), np.diff(self.out_offsets))
+            dst = self.out_dst
+            m = src != dst
+            src, dst = src[m], dst[m]
+            n_nonloop = len(src)
+            order, cuts = K.owner_split(dst, self.P)
+            src, dst = src[order], dst[order]
+            out = [np.stack([dst[cuts[q]:cuts[q + 1]], src[cuts[q]:cuts[q + 1]]])
+                   for q in range(self.P)]
+        return (n_nonloop, *out)
+
+    def dir_member_count(self, *query_arrays: np.ndarray) -> int:
+        """Count queried (a, b) pairs (a owned here) present in the
+        directed out-CSR — vectorized segmented binary search, the
+        directed twin of sym_answer_count."""
+        qs = [q for q in query_arrays if q is not None and q.shape[1]]
+        if not qs or self.out_dst is None or not len(self.out_dst):
+            return 0
+        cat = np.concatenate(qs, axis=1)
+        a_local = cat[0] // self.P
+        b = cat[1]
+        offs = self.out_offsets
+        pos = K.segmented_searchsorted(self.out_dst, offs[a_local], offs[a_local + 1], b)
+        found = (pos < offs[a_local + 1]) & (
+            self.out_dst[np.minimum(pos, len(self.out_dst) - 1)] == b
+        )
+        return int(found.sum())
+
+    # ------------------------------------------------------------------
+    # average neighbor degree (degree-degree correlation, undirected)
+    # ------------------------------------------------------------------
+
+    def annd_needs(self):
+        """Unique symmetric-adjacency neighbors per owner (local ids on
+        the owner) — the degree-fetch plan, same shape as jac_hi_needs."""
+        if self.sym_adj is None or not len(self.sym_adj):
+            self._annd_uniq = np.empty(0, dtype=np.int64)
+            return (0, *[np.empty(0, dtype=np.int64) for _ in range(self.P)])
+        uniq = np.unique(self.sym_adj)
+        self._annd_uniq = uniq
+        order, cuts = K.owner_split(uniq, self.P)
+        srt = uniq[order]
+        return (len(uniq), *[srt[cuts[q]:cuts[q + 1]] // self.P for q in range(self.P)])
+
+    def annd_partial(self, *deg_slices: np.ndarray) -> pa.Table:
+        """Per-degree-class partials (degree, n_vertices, sum_nbr_deg)
+        over owned vertices with symmetric degree >= 1: neighbor degrees
+        arrive via the annd_needs exchange, per-vertex sums are one
+        np.add.reduceat, and only one row per distinct degree class ever
+        leaves the shard (the degree_hist_table discipline)."""
+        empty = pa.table({"degree": pa.array([], pa.int64()),
+                          "n_vertices": pa.array([], pa.int64()),
+                          "sum_nbr_deg": pa.array([], pa.int64())})
+        uniq = self._annd_uniq
+        if not len(uniq):
+            return empty
+        order, _ = K.owner_split(uniq, self.P)
+        aligned = np.empty(len(uniq), dtype=np.int64)
+        aligned[order] = np.concatenate([np.asarray(s) for s in deg_slices])
+        ndeg_edge = aligned[np.searchsorted(uniq, self.sym_adj)]
+        deg = np.diff(self.sym_offsets)
+        nz = deg > 0
+        if not nz.any():
+            return empty
+        starts = self.sym_offsets[:-1][nz]
+        per_vertex = np.add.reduceat(ndeg_edge, starts)
+        d = deg[nz]
+        vals, inv, cnt = np.unique(d, return_inverse=True, return_counts=True)
+        sums = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(sums, inv, per_vertex)
+        return pa.table({"degree": pa.array(vals.astype(np.int64)),
+                         "n_vertices": pa.array(cnt.astype(np.int64)),
+                         "sum_nbr_deg": pa.array(sums)})
+
+    def summary_partial(self) -> np.ndarray:
+        """Scalar graph-property partials [n_owned, m_directed,
+        self_loops, und_half_edges, max_outdeg, max_indeg, isolated]
+        (und_half_edges counts each undirected edge twice; isolated =
+        symmetric degree 0). One 7-int row per shard — the graph-
+        properties probe (reference properties.hxx:14-55) as a
+        tree-foldable partial."""
+        m_dir = len(self.out_keys) if self.out_keys is not None else 0
+        outdeg = (np.diff(self.out_offsets) if self.out_offsets is not None
+                  else np.zeros(self.n_local, dtype=np.int64))
+        indeg = (np.diff(self.in_offsets) if self.in_offsets is not None
+                 else np.zeros(self.n_local, dtype=np.int64))
+        sdeg = (np.diff(self.sym_offsets) if getattr(self, "sym_offsets", None)
+                is not None else np.zeros(self.n_local, dtype=np.int64))
+        return np.array([
+            self.n_local, m_dir, self.count_self_loops(),
+            int(sdeg.sum()), int(outdeg.max(initial=0)),
+            int(indeg.max(initial=0)), int(np.count_nonzero(sdeg == 0)),
+        ], dtype=np.int64)

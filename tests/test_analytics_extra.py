@@ -751,3 +751,136 @@ def test_walk_counts_match_matrix_power_and_partition_invariant():
         got = A.walk_count_centrality(c, length=L).to_pandas().sort_values("vid")
         c.shutdown()
         np.testing.assert_array_equal(got["walks"].to_numpy(), want)
+
+
+# ----------------------------------------------------------------------
+# round-3 structural family: Katz, link prediction, reciprocity,
+# neighbor-degree profile, summary, component sizes
+# ----------------------------------------------------------------------
+
+def _rand_graph(seed=23, n=30, m=120):
+    rng = np.random.RandomState(seed)
+    return (rng.randint(0, n, m).astype(np.int64),
+            rng.randint(0, n, m).astype(np.int64), n)
+
+
+def test_katz_matches_damped_matrix_power_and_partition_invariant():
+    src, dst, n = _rand_graph()
+    L, mul = 4, 4
+    A_ = np.zeros((n, n), dtype=np.int64)
+    for a, b in set(zip(src.tolist(), dst.tolist())):
+        A_[a, b] = 1
+    np.fill_diagonal(A_, 1)
+    x = np.ones(n, dtype=np.int64)
+    acc = np.zeros(n, dtype=np.int64)
+    for _ in range(L):
+        x = A_.T @ x
+        acc = mul * acc + x
+    for parts in (1, 3):
+        c = GraphContext(n, parts, add_self_loops=True)
+        c.ingest_pairs(src, dst)
+        c.finalize()
+        got = A.katz_centrality(c, length=L, mul=mul).to_pandas().sort_values("vid")
+        c.shutdown()
+        np.testing.assert_array_equal(got["katz"].to_numpy(), acc)
+
+
+def _sym_adj(src, dst):
+    adj = {}
+    for a, b in zip(src.tolist(), dst.tolist()):
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def test_common_neighbors_and_adamic_adar_bruteforce():
+    src, dst, n = _rand_graph(seed=29)
+    adj = _sym_adj(src, dst)
+    want_cn, want_aa = {}, {}
+    for z, nb in adj.items():
+        d = len(nb)
+        w_aa = 1_000_000_000 // max(int(np.floor(np.log2(d))), 1) if d >= 2 else 0
+        nbs = sorted(nb)
+        for i in range(len(nbs)):
+            for j in range(i + 1, len(nbs)):
+                k = (nbs[i], nbs[j])
+                want_cn[k] = want_cn.get(k, 0) + 1
+                want_aa[k] = want_aa.get(k, 0) + w_aa
+    top_cn = sorted(want_cn.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    top_aa = sorted(want_aa.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    c = GraphContext(n, 3, add_self_loops=True)
+    c.ingest_pairs(src, dst)
+    c.finalize()
+    got_cn = A.common_neighbors(c, top=20).to_pandas()
+    got_aa = A.adamic_adar(c, top=20).to_pandas()
+    c.shutdown()
+    assert [((a, b), s) for a, b, s in
+            zip(got_cn["a"], got_cn["b"], got_cn["common"])] == top_cn
+    assert [((a, b), s) for a, b, s in
+            zip(got_aa["a"], got_aa["b"], got_aa["aa_e9"])] == top_aa
+
+
+def test_reciprocity_bruteforce_and_partition_invariant():
+    src, dst, n = _rand_graph(seed=37)
+    edges = set(zip(src.tolist(), dst.tolist())) | {(v, v) for v in range(n)}
+    nonloop = {(a, b) for a, b in edges if a != b}
+    mutual = sum(1 for a, b in nonloop if (b, a) in edges)
+    for parts in (1, 4):
+        c = GraphContext(n, parts, add_self_loops=True)
+        c.ingest_pairs(src, dst)
+        c.finalize()
+        got = A.reciprocity(c).to_pandas().iloc[0]
+        c.shutdown()
+        assert got["n_edges"] == len(nonloop)
+        assert got["n_mutual"] == mutual
+        assert got["recip_e6"] == mutual * 1_000_000 // len(nonloop)
+
+
+def test_avg_neighbor_degree_bruteforce():
+    src, dst, n = _rand_graph(seed=41)
+    adj = _sym_adj(src, dst)
+    prof = {}
+    for v, nb in adj.items():
+        d = len(nb)
+        s = sum(len(adj[u]) for u in nb)
+        nv, sm = prof.get(d, (0, 0))
+        prof[d] = (nv + 1, sm + s)
+    c = GraphContext(n, 3, add_self_loops=True)
+    c.ingest_pairs(src, dst)
+    c.finalize()
+    got = A.avg_neighbor_degree(c).to_pandas().sort_values("degree")
+    c.shutdown()
+    assert {int(r["degree"]): (int(r["n_vertices"]), int(r["sum_nbr_deg"]))
+            for _, r in got.iterrows()} == prof
+
+
+def test_graph_summary_bruteforce():
+    src, dst, n = _rand_graph(seed=43)
+    edges = set(zip(src.tolist(), dst.tolist())) | {(v, v) for v in range(n)}
+    adj = _sym_adj(src, dst)
+    outd = {}
+    ind = {}
+    for a, b in edges:
+        outd[a] = outd.get(a, 0) + 1
+        ind[b] = ind.get(b, 0) + 1
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    c = GraphContext(n, 3, add_self_loops=True)
+    c.ingest_pairs(src, dst)
+    c.finalize()
+    got = A.graph_summary(c).to_pandas().iloc[0]
+    c.shutdown()
+    assert got["n_vertices"] == n
+    assert got["n_edges_directed"] == len(edges)
+    assert got["n_self_loops"] == n
+    assert got["n_edges_undirected"] == len(und)
+    assert got["max_outdeg"] == max(outd.values())
+    assert got["max_indeg"] == max(ind.values())
+    assert got["n_isolated"] == n - len(adj)
+
+
+def test_component_sizes_known_structure(ctx):
+    # ctx: two bridged triangles (component of 6) + vids 6, 7 isolated
+    got = A.component_sizes(ctx).to_pandas().sort_values("size")
+    assert [(int(r["size"]), int(r["n_components"]))
+            for _, r in got.iterrows()] == [(1, 2), (6, 1)]
