@@ -192,7 +192,15 @@ def _rename(ds: rd.Dataset, mapping: dict[str, str]) -> rd.Dataset:
 
 
 def _tbl(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+    # Shape the tiny fixture files to ~one block per core: the driver-
+    # written parquet carries 64 micro row-groups whose per-task
+    # scheduling overhead dominates map stages at sf<=0.1 (measured 4x
+    # on tfidf). Real corpora read as ~128MB blocks and skip this.
+    n = None
+    if ray.is_initialized():
+        n = int(ray.cluster_resources().get("CPU", 0)) or None
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns,
+                           override_num_blocks=n)
 
 
 # ----------------------------------------------------------------------

@@ -179,7 +179,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     extra["walk_counts_s"] = time.perf_counter() - t0
     ctx.shutdown()
 
-    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+                       override_num_blocks=num_cpus)
     t0 = time.perf_counter()
     D.exact_dedup(docs).materialize()
     q["exact_dedup"] = time.perf_counter() - t0
@@ -191,7 +192,12 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     q["text_analysis"] = time.perf_counter() - t0
 
     # deterministic sampling + sketch family over the full documents table
-    docs_full = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    # shape tiny fixture files to one block per core: the driver-written
+    # parquet carries 64 micro row-groups whose per-task overhead
+    # dominates text ops (measured 4x on tfidf at sf0.1); at real scale
+    # blocks are ~128MB and need no reshaping
+    docs_full = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                override_num_blocks=num_cpus)
     t0 = time.perf_counter()
     SP.hash_split(docs_full, {"train": 0.8, "val": 0.1, "test": 0.1}).materialize()
     SP.sample_per_key(docs_full, 50).materialize()
@@ -215,31 +221,36 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     SP.global_rank_ntile(docs_full, "n_chars", "doc_id", tiles=10).materialize()
     extra["doc_ntile_s"] = time.perf_counter() - t0
-    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id"])
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id"],
+                         override_num_blocks=num_cpus)
     t0 = time.perf_counter()
     SK.hll_distinct(ev, "event_id")
     SK.exact_quantiles_hist(docs_full, "n_chars",
                             {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9, "p99": 0.99})
     q["sketches"] = time.perf_counter() - t0
     evt = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                          columns=["event_type", "user_id"])
+                          columns=["event_type", "user_id"],
+                          override_num_blocks=num_cpus)
     t0 = time.perf_counter()
     SK.hll_distinct_by_key(evt, "event_type", "user_id", seed=1).materialize()
     extra["hll_by_key_s"] = time.perf_counter() - t0
     from pagerank_cuda_dynamic_ray.stages import temporal as TPS
     evf = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                          columns=["user_id", "event_type", "ts"])
+                          columns=["user_id", "event_type", "ts"],
+                          override_num_blocks=num_cpus)
     t0 = time.perf_counter()
     TPS.funnel(evf, ["signup", "click", "purchase"]).materialize()
     extra["funnel_s"] = time.perf_counter() - t0
     from pagerank_cuda_dynamic_ray.stages import relational as RL
     li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
-                         columns=["l_orderkey", "l_quantity", "l_returnflag"])
+                         columns=["l_orderkey", "l_quantity", "l_returnflag"],
+                         override_num_blocks=num_cpus)
     t0 = time.perf_counter()
     RL.profile_table(li, ["l_orderkey"], ["l_quantity"], ["l_returnflag"]).materialize()
     extra["profile_s"] = time.perf_counter() - t0
 
-    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"],
+                          override_num_blocks=num_cpus)
     queries = emb.to_pandas().sort_values("vec_id").head(16).reset_index(drop=True)
     t0 = time.perf_counter()
     S.knn_bruteforce(emb, queries, k=10)

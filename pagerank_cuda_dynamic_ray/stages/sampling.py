@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from ..functions.hashing import splitmix64
@@ -288,7 +289,47 @@ def tfidf_top_terms(
         .groupby("token")
         .sum("df")
         .rename_columns({"sum(df)": "df"})
+        .materialize()
     )
+
+    # Broadcast-df fast path (size-gated): the document-frequency table
+    # is O(distinct tokens) — when it fits a broadcast budget, ship it
+    # once via ray.put and finish per-doc top-k INSIDE one map_batches
+    # pass (a doc's exploded rows never leave their block), skipping
+    # both the token hash join and the per-doc map_groups whose per-
+    # group pandas construction dominates at many small groups. Past
+    # the gate (corpus-scale vocabularies), the distributed join plan
+    # below is the 100-TB path.
+    if dft.size_bytes() <= (64 << 20):
+        vocab_pdf = dft.to_pandas()
+        vtok = vocab_pdf["token"].to_numpy(dtype="U")
+        vorder = np.argsort(vtok, kind="stable")
+        vref = ray.put((vtok[vorder], vocab_pdf["df"].to_numpy(np.int64)[vorder]))
+
+        def topk_local(t: pa.Table) -> pa.Table:
+            grp = explode(t)
+            ids = grp[id_col].to_numpy()
+            toks = grp["token"].to_numpy(zero_copy_only=False).astype("U")
+            tf = grp["tf"].to_numpy().astype(np.float64)
+            vt, vdf = ray.get(vref)
+            dfv = vdf[np.searchsorted(vt, toks)].astype(np.float64)
+            score = np.round(tf * np.log(n_f / dfv) * 1e6).astype(np.int64)
+            order = np.lexsort((toks, -score, ids))
+            ids_o = ids[order]
+            # first k rows of each doc segment, vectorized
+            _, starts, cnts = np.unique(ids_o, return_index=True, return_counts=True)
+            take = np.minimum(cnts, k)
+            offs = (np.repeat(starts, take)
+                    + np.arange(int(take.sum()))
+                    - np.repeat(np.cumsum(take) - take, take))
+            sel = order[offs]
+            return pa.table({
+                id_col: grp[id_col].take(pa.array(sel)),
+                "token": grp["token"].take(pa.array(sel)),
+                "tfidf_e6": pa.array(score[sel]),
+            })
+
+        return ds.map_batches(topk_local, batch_format="pyarrow")
 
     joined = exploded.join(
         dft, "inner", num_partitions, on=("token",),
