@@ -33,6 +33,7 @@ from pagerank_cuda_dynamic_ray.pipelines import analytics as A
 from pagerank_cuda_dynamic_ray.sources import edges as E
 from pagerank_cuda_dynamic_ray.sources import transcripts as T
 from pagerank_cuda_dynamic_ray.stages import clustering as C
+from pagerank_cuda_dynamic_ray.stages import corpus as CO
 from pagerank_cuda_dynamic_ray.stages import dedup as D
 from pagerank_cuda_dynamic_ray.stages import multimodal as MM
 from pagerank_cuda_dynamic_ray.stages import sampling as SP
@@ -1495,6 +1496,54 @@ def _q_doc_fingerprint(sf_dir: str):
     return _analyzed_docs(sf_dir, True).select_columns(["doc_id", "fingerprint"])
 
 
+# corpus-preparation family (stages/corpus.py): chunking, packing,
+# BM25-lite scoring, contamination screen, prefix-dup grouping
+CHUNK_SIZE, CHUNK_STRIDE = 32, 24
+PACK_BUDGET = 256
+BM25_TERMS = ["table", "window", "merge", "stream", "vector"]
+BM25_K1, BM25_B = 1.2, 0.75
+CONTAM_MOD, CONTAM_K = 20, 5
+PREFIX_K = 8
+
+
+def _q_doc_chunks(sf_dir: str):
+    """Fixed-size token windows with overlap (context-window
+    pre-chunking) — row-local, shuffle-free; chunk text re-joined with
+    single spaces so the SQL list-slice replay is byte-identical."""
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return CO.chunk_documents(docs, CHUNK_SIZE, CHUNK_STRIDE)
+
+
+def _q_pack_bins(sf_dir: str):
+    """Contiguous token-budget sequence packing = exclusive global
+    running sum // budget, via the O(blocks) carry contract."""
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return CO.pack_token_bins(docs, PACK_BUDGET)
+
+
+def _q_bm25_scores(sf_dir: str):
+    """BM25-lite (rational idf, per-term 1e-6 quantization before the
+    integer sum) against a fixed query term set; corpus stats folded
+    as O(blocks×terms) scalars and broadcast."""
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return CO.bm25_scores(docs, BM25_TERMS, BM25_K1, BM25_B)
+
+
+def _q_contamination(sf_dir: str):
+    """Benchmark-contamination screen: distinct word 5-grams of each
+    non-benchmark doc intersected with the broadcast benchmark
+    (doc_id % 20 == 0) shingle set — no shuffle on the corpus side."""
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return CO.contamination_screen(docs, CONTAM_MOD, CONTAM_K)
+
+
+def _q_prefix_dups(sf_dir: str):
+    """First-8-token prefix duplicate groups (boilerplate detector) via
+    the exact_dedup 128-bit-hash sort — one row per distinct prefix."""
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return CO.prefix_dup_groups(docs, PREFIX_K)
+
+
 # deterministic sampling family (stages/sampling.py): every operator
 # keys on splitmix64(doc_id + seed*2^60), so the SQL oracle replays the
 # exact membership through the emulated splitmix chain
@@ -1845,6 +1894,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the entries the round-2 gate's first-50 sample never reached, then
     # the driver-green rows (the gate samples the registry head).
     return {
+        "doc_chunks": _q_doc_chunks,
+        "pack_bins": _q_pack_bins,
+        "bm25_scores": _q_bm25_scores,
+        "contamination": _q_contamination,
+        "prefix_dups": _q_prefix_dups,
         "katz_centrality": _q_katz_centrality,
         "common_neighbors": _q_common_neighbors,
         "adamic_adar": _q_adamic_adar,
@@ -3388,9 +3442,97 @@ _FR = "'le','la','les','et','est','un','une','pour','dans','que','pas'"
 _ES = "'el','la','los','las','es','un','una','para','que','no','con'"
 
 
+def _sql_doc_chunks() -> str:
+    """chunk_documents replayed: list-slice windows over the \\S+ token
+    list; chunk count = 1 + ceil((n-size)/stride) in integer division."""
+    return rf"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+nn AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM w WHERE len(ws) > 0),
+c AS (SELECT doc_id, ws, n, unnest(generate_series(0,
+        CASE WHEN n > {CHUNK_SIZE} THEN (n - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} ELSE 0 END)) AS i
+      FROM nn)
+SELECT doc_id, i AS chunk_idx,
+       least(i*{CHUNK_STRIDE} + {CHUNK_SIZE}, n) - i*{CHUNK_STRIDE} AS n_tokens,
+       array_to_string(list_slice(ws, i*{CHUNK_STRIDE} + 1, least(i*{CHUNK_STRIDE} + {CHUNK_SIZE}, n)), ' ') AS chunk_text
+FROM c"""
+
+
+def _sql_pack_bins() -> str:
+    """pack_token_bins replayed: SQL's exclusive running-sum window —
+    the semantics the distributed O(blocks)-carry pass implements."""
+    return rf"""
+WITH w AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens FROM documents),
+r AS (SELECT doc_id, n_tokens,
+        coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM w)
+SELECT doc_id, n_tokens, CAST(prev // {PACK_BUDGET} AS BIGINT) AS bin,
+       CAST(prev % {PACK_BUDGET} AS BIGINT) AS bin_offset FROM r"""
+
+
+def _sql_bm25_scores() -> str:
+    """bm25_scores replayed term by term with the IDENTICAL double
+    parse tree (rational idf, len·N/totlen, floor(x·1e6)) so every
+    per-term contribution is bit-equal; the sum is then integer."""
+    parts = []
+    for i in range(len(BM25_TERMS)):
+        parts.append(
+            f"CAST(floor(((st.N - df{i} + 0.5) / (df{i} + 0.5)) * (tf{i} * ({BM25_K1} + 1.0)) / "
+            f"(tf{i} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * (len_d * st.N) / st.totlen)) * 1000000.0) AS BIGINT)"
+        )
+    tf_cols = ",\n  ".join(
+        f"CAST(len(list_filter(ws, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS))
+    df_cols = ",\n  ".join(
+        f"sum(CASE WHEN list_contains(ws, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(BM25_TERMS))
+    return rf"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+tf AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS len_d,
+  {tf_cols}
+  FROM w),
+st AS (SELECT CAST(count(*) AS BIGINT) AS N, CAST(sum(len(ws)) AS BIGINT) AS totlen,
+  {df_cols}
+  FROM w)
+SELECT doc_id, ({' + '.join(parts)}) AS score_e6 FROM tf, st"""
+
+
+def _sql_contamination() -> str:
+    """contamination_screen replayed on gram STRINGS (the engine
+    compares 64-bit shingle hashes — equal barring collisions, the
+    stance every n-gram oracle in this file takes)."""
+    return rf"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+g AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + {CONTAM_K - 1}), ' ') AS gram
+      FROM w, unnest(generate_series(1, len(ws) - {CONTAM_K - 1})) AS t(i)
+      WHERE len(ws) >= {CONTAM_K}),
+gd AS (SELECT DISTINCT doc_id, gram FROM g),
+bench AS (SELECT DISTINCT gram FROM gd WHERE doc_id % {CONTAM_MOD} = 0),
+cnt AS (SELECT gd.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+        FROM gd JOIN bench USING (gram) WHERE gd.doc_id % {CONTAM_MOD} <> 0 GROUP BY gd.doc_id),
+ng AS (SELECT doc_id, CAST(count(DISTINCT gram) AS BIGINT) AS n_grams FROM gd GROUP BY doc_id)
+SELECT d.doc_id, coalesce(ng.n_grams, 0) AS n_grams,
+       coalesce(cnt.n_contaminated, 0) AS n_contaminated
+FROM documents d LEFT JOIN ng ON ng.doc_id = d.doc_id
+LEFT JOIN cnt ON cnt.doc_id = d.doc_id
+WHERE d.doc_id % {CONTAM_MOD} <> 0"""
+
+
+def _sql_prefix_dups() -> str:
+    return rf"""
+WITH p AS (SELECT doc_id,
+    array_to_string(list_slice(regexp_extract_all(text, '\S+'), 1, {PREFIX_K}), ' ') AS prefix
+  FROM documents)
+SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups FROM p GROUP BY prefix"""
+
+
 def oracle_sql() -> dict[str, str]:
     T.ensure_fixture("sf0.01")  # the graph-family oracles read this path
     return {
+        "doc_chunks": _sql_doc_chunks(),
+        "pack_bins": _sql_pack_bins(),
+        "bm25_scores": _sql_bm25_scores(),
+        "contamination": _sql_contamination(),
+        "prefix_dups": _sql_prefix_dups(),
         "edge_log": _GRAPH_CTE + "\nSELECT src, dst, turn_idx FROM mention",
         # JSONL round-trip must land on the identical mention set
         "edge_log_jsonl": _GRAPH_CTE + "\nSELECT src, dst, turn_idx FROM mention",

@@ -1,0 +1,290 @@
+"""Corpus-preparation stages for LLM training-data pipelines.
+
+Document chunking, token-budget sequence packing, BM25-lite relevance
+scoring, benchmark-contamination screening and prefix-duplicate
+grouping over the ``documents`` table — the curation steps that sit
+between dedup/quality filtering (stages/dedup.py, stages/text_stage.py)
+and tokenizer hand-off in a 100 TB pipeline.
+
+Scale contracts mirror the rest of the engine:
+
+* chunking / scoring are row-local ``map_batches`` — no shuffle at all;
+* packing ships only (doc_id, n_tokens) through one sort and carries
+  O(blocks) scalars through the driver (the running_total pattern,
+  stages/temporal.py:499);
+* contamination broadcasts the (small) benchmark shingle set once via
+  ``ray.put`` and scans the corpus distributed — the corpus side never
+  shuffles;
+* prefix grouping reuses :func:`stages.dedup.exact_dedup`'s 128-bit
+  hash sort, shipping 24 bytes/row.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions import hashing as H
+from .dedup import _shingles_flat, exact_dedup
+
+_WS = re.compile(r"\S+")
+
+
+def _tok(text: str) -> list[str]:
+    return text.split() if text else []
+
+
+# ----------------------------------------------------------------------
+# chunking
+# ----------------------------------------------------------------------
+
+def chunk_documents(docs: rd.Dataset, size: int = 32, stride: int = 24,
+                    text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
+    """Split every document into fixed-size token windows with overlap
+    (stride < size ⇒ size−stride tokens shared between neighbours) —
+    the context-window pre-chunking step of an embedding / pretraining
+    pipeline. A document with n tokens emits ``1 + ceil(max(0, n−size)
+    / stride)`` chunks (0 when n == 0); the final chunk is the tail
+    remainder, never padded.
+
+    Row-local and shuffle-free: chunk text is re-joined with single
+    spaces so the DuckDB oracle (array_to_string over list slices)
+    replays it byte-for-byte. Returns Dataset(doc_id, chunk_idx,
+    n_tokens, chunk_text)."""
+    if stride < 1 or size < 1:
+        raise ValueError("size and stride must be >= 1")
+
+    def chunks(batch: pd.DataFrame) -> pa.Table:
+        ids_out: list[np.ndarray] = []
+        idx_out: list[np.ndarray] = []
+        ntk_out: list[np.ndarray] = []
+        txt_out: list[str] = []
+        ids = batch[id_col].to_numpy(np.int64)
+        for did, text in zip(ids, batch[text_col].tolist()):
+            ws = _tok(text)
+            n = len(ws)
+            if n == 0:
+                continue
+            nch = 1 + max(0, -(-(n - size) // stride)) if n > size else 1
+            starts = np.arange(nch, dtype=np.int64) * stride
+            ends = np.minimum(starts + size, n)
+            ids_out.append(np.full(nch, did, dtype=np.int64))
+            idx_out.append(np.arange(nch, dtype=np.int64))
+            ntk_out.append(ends - starts)
+            txt_out.extend(" ".join(ws[s:e]) for s, e in zip(starts, ends))
+        if not ids_out:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string())})
+        return pa.table({id_col: pa.array(np.concatenate(ids_out)),
+                         "chunk_idx": pa.array(np.concatenate(idx_out)),
+                         "n_tokens": pa.array(np.concatenate(ntk_out)),
+                         "chunk_text": pa.array(txt_out, pa.string())})
+
+    return docs.map_batches(chunks, batch_format="pandas")
+
+
+# ----------------------------------------------------------------------
+# token-budget sequence packing
+# ----------------------------------------------------------------------
+
+def pack_token_bins(docs: rd.Dataset, budget: int = 256,
+                    text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
+    """Contiguous token-budget packing: documents in ``doc_id`` order
+    are laid head-to-tail into a token stream; doc i's bin is
+    ``prefix_tokens(i) // budget`` (where it STARTS) and ``bin_offset``
+    its token offset within that bin — SQL's exclusive running-sum
+    window, the deterministic stand-in for greedy sequence packing
+    (deterministic ⇒ resumable: a re-run assigns identical bins).
+
+    One all-to-all sort of (doc_id, n_tokens) — 16 bytes/row, never
+    text — then the O(blocks) carry contract of running_total
+    (stages/temporal.py:499): pass 1 ships one (first_doc_id, total)
+    scalar pair per block to the driver, pass 2 adds the exclusive
+    block prefix. Returns Dataset(doc_id, n_tokens, bin, bin_offset)."""
+
+    def counts(batch: pd.DataFrame) -> pa.Table:
+        n = np.fromiter((len(_tok(t)) for t in batch[text_col].tolist()),
+                        dtype=np.int64, count=len(batch))
+        return pa.table({id_col: pa.array(batch[id_col].to_numpy(np.int64)),
+                         "n_tokens": pa.array(n)})
+
+    srt = docs.map_batches(counts, batch_format="pandas").sort(id_col).materialize()
+
+    def carry(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"first_id": np.empty(0, np.int64),
+                                 "tot": np.empty(0, np.int64)})
+        return pd.DataFrame({"first_id": [int(df[id_col].iloc[0])],
+                             "tot": [int(df["n_tokens"].sum())]})
+
+    cr = srt.map_batches(carry, batch_format="pandas", batch_size=None).to_pandas()
+    bases: dict[int, int] = {}
+    if len(cr):
+        cr = cr.sort_values("first_id").reset_index(drop=True)
+        excl = cr["tot"].cumsum().to_numpy() - cr["tot"].to_numpy()
+        bases = dict(zip(cr["first_id"].astype(np.int64), excl.astype(np.int64)))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: np.empty(0, np.int64),
+                                 "n_tokens": np.empty(0, np.int64),
+                                 "bin": np.empty(0, np.int64),
+                                 "bin_offset": np.empty(0, np.int64)})
+        n = df["n_tokens"].to_numpy(np.int64)
+        prev = np.cumsum(n) - n + bases.get(int(df[id_col].iloc[0]), 0)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
+                             "n_tokens": n,
+                             "bin": prev // budget,
+                             "bin_offset": prev % budget})
+
+    return srt.map_batches(assign, batch_format="pandas", batch_size=None)
+
+
+# ----------------------------------------------------------------------
+# BM25-lite scoring
+# ----------------------------------------------------------------------
+
+def bm25_scores(docs: rd.Dataset, terms: list[str], k1: float = 1.2,
+                b: float = 0.75, text_col: str = "text",
+                id_col: str = "doc_id") -> rd.Dataset:
+    """BM25-lite relevance of every document against a fixed query term
+    set — the retrieval-style quality signal over a corpus. "lite": the
+    idf factor is the rational (N − df + 0.5)/(df + 0.5) WITHOUT the
+    log, keeping every per-term contribution a fixed IEEE-double
+    expression over exact integers (N, df, tf, len, totlen) so the
+    DuckDB oracle evaluates the identical parse tree bit-for-bit; each
+    contribution is quantized to 1e-6 before the (integer) sum, so
+    summation order can never flip a hash.
+
+    Two passes, both shuffle-free: pass 1 folds per-block (n_docs,
+    total_len, df[term]) partials — O(blocks × terms) scalars — on the
+    driver; pass 2 broadcasts the stats and scores each block
+    vectorized. avg doclen enters as len·N/totlen (integer products
+    inside one double division), never a pre-divided float.
+
+    Returns Dataset(doc_id, score_e6:int64)."""
+    terms = list(terms)
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].tolist()
+        toks = [_tok(t) for t in texts]
+        row = {"n_docs": [len(texts)],
+               "total_len": [int(sum(len(w) for w in toks))]}
+        for i, term in enumerate(terms):
+            row[f"df{i}"] = [int(sum(term in set(w) for w in toks))]
+        return pd.DataFrame(row)
+
+    st = docs.map_batches(stats, batch_format="pandas").to_pandas().sum()
+    N = int(st["n_docs"])
+    totlen = int(st["total_len"])
+    dfs = [int(st[f"df{i}"]) for i in range(len(terms))]
+
+    def score(batch: pd.DataFrame) -> pa.Table:
+        texts = batch[text_col].tolist()
+        toks = [np.array(_tok(t), dtype=object) for t in texts]
+        lens = np.fromiter((len(w) for w in toks), dtype=np.int64,
+                           count=len(toks))
+        total = np.zeros(len(texts), dtype=np.int64)
+        for term, df_t in zip(terms, dfs):
+            tf = np.fromiter((int((w == term).sum()) if len(w) else 0 for w in toks),
+                             dtype=np.int64, count=len(toks))
+            idf = (N - df_t + 0.5) / (df_t + 0.5)
+            denom = tf + k1 * (1.0 - b + b * (lens * N) / totlen)
+            contrib = idf * (tf * (k1 + 1.0)) / denom
+            total += np.floor(contrib * 1000000.0).astype(np.int64)
+        return pa.table({id_col: pa.array(batch[id_col].to_numpy(np.int64)),
+                         "score_e6": pa.array(total)})
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+# ----------------------------------------------------------------------
+# benchmark-contamination screen
+# ----------------------------------------------------------------------
+
+def contamination_screen(docs: rd.Dataset, bench_mod: int = 20,
+                         shingle_k: int = 5, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         max_bench_shingles: int = 50_000_000) -> rd.Dataset:
+    """Benchmark-contamination screen (the eval-leakage check every
+    pretraining pipeline runs): the 'benchmark' is the deterministic
+    subset ``doc_id % bench_mod == 0``; for every OTHER document,
+    count how many of its DISTINCT word-``shingle_k``-grams occur in
+    any benchmark document.
+
+    The benchmark side is the small side by construction — its unique
+    shingle-hash set is folded per block, union-reduced on the driver
+    (refusing past ``max_bench_shingles`` rather than silently holding
+    corpus-scale state) and broadcast ONCE via ``ray.put``; the corpus
+    side then scans embarrassingly parallel with a searchsorted
+    membership test. No shuffle anywhere.
+
+    Returns Dataset(doc_id, n_grams, n_contaminated) over non-benchmark
+    docs (zero-overlap rows included — the screen's full verdict)."""
+
+    def bench_shingles(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(np.int64)
+        sel = ids % bench_mod == 0
+        flat, _ = _shingles_flat(
+            batch.loc[sel, text_col].tolist(), shingle_k)
+        return pd.DataFrame({"sh": np.unique(flat)})
+
+    parts = docs.map_batches(bench_shingles, batch_format="pandas").to_pandas()
+    bench = np.unique(parts["sh"].to_numpy(np.uint64))
+    if len(bench) > max_bench_shingles:
+        raise ValueError(
+            f"contamination_screen: benchmark shingle set ({len(bench)}) "
+            f"exceeds max_bench_shingles={max_bench_shingles}; shrink the "
+            "benchmark subset or raise the limit deliberately")
+    bench_ref = ray.put(bench)
+
+    def screen(batch: pd.DataFrame) -> pa.Table:
+        want = ray.get(bench_ref)
+        ids = batch[id_col].to_numpy(np.int64)
+        keep = ids % bench_mod != 0
+        flat, offs = _shingles_flat(batch.loc[keep, text_col].tolist(), shingle_k)
+        if len(want) and len(flat):
+            pos = np.searchsorted(want, flat).clip(0, len(want) - 1)
+            hit = (want[pos] == flat).astype(np.int64)
+        else:
+            hit = np.zeros(len(flat), dtype=np.int64)
+        csum = np.concatenate([[0], np.cumsum(hit)])
+        return pa.table({
+            id_col: pa.array(ids[keep]),
+            "n_grams": pa.array(np.diff(offs)),
+            "n_contaminated": pa.array(csum[offs[1:]] - csum[offs[:-1]]),
+        })
+
+    return docs.map_batches(screen, batch_format="pandas")
+
+
+# ----------------------------------------------------------------------
+# prefix-duplicate grouping
+# ----------------------------------------------------------------------
+
+def prefix_dup_groups(docs: rd.Dataset, k: int = 8, text_col: str = "text",
+                      id_col: str = "doc_id") -> rd.Dataset:
+    """Group documents by their first-``k``-token prefix (the
+    boilerplate / mirrored-header detector): one row per distinct
+    prefix, ``(doc_id = min id in group, n_dups = group size)``.
+    Documents shorter than ``k`` tokens group by their full text.
+
+    Pure reuse of :func:`stages.dedup.exact_dedup` — prefixes are
+    derived row-locally and the sort ships only the 128-bit prefix
+    hash, so the shuffle cost is identical to exact dedup regardless
+    of document length."""
+
+    def prefix(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = [" ".join(_tok(t)[:k]) for t in batch[text_col].tolist()]
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(np.int64),
+                             "prefix": texts})
+
+    return exact_dedup(docs.map_batches(prefix, batch_format="pandas"),
+                       text_col="prefix", id_col=id_col)

@@ -1,0 +1,124 @@
+"""Corpus-preparation stages (stages/corpus.py): chunking, packing,
+BM25-lite, contamination screen, prefix-dup grouping — brute-force
+oracles on tiny synthetic docs plus partitioning-invariance checks
+(the engine's O(blocks) carries must not depend on block layout)."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from pagerank_cuda_dynamic_ray.stages import corpus
+
+
+def _docs() -> pd.DataFrame:
+    rng = np.random.default_rng(7)
+    vocab = np.array(["alpha", "beta", "gamma", "delta", "epsilon",
+                      "zeta", "eta", "theta"])
+    texts = [" ".join(rng.choice(vocab, size=int(n)))
+             for n in rng.integers(0, 90, size=40)]
+    texts[3] = ""                      # empty doc
+    texts[5] = texts[4]                # exact dup
+    texts[9] = texts[8] + " coda"      # shared prefix
+    return pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64), "text": texts})
+
+
+def test_chunk_documents_windows_and_tail():
+    df = _docs()
+    out = corpus.chunk_documents(rd.from_pandas(df), size=10, stride=7).to_pandas()
+    for _, row in df.iterrows():
+        ws = row["text"].split()
+        got = out[out["doc_id"] == row["doc_id"]].sort_values("chunk_idx")
+        if not ws:
+            assert len(got) == 0
+            continue
+        n = len(ws)
+        want_n = 1 + max(0, -(-(n - 10) // 7)) if n > 10 else 1
+        assert len(got) == want_n, (row["doc_id"], n)
+        # every chunk is the exact token window, re-joined
+        for ci, ctext, ctok in zip(got["chunk_idx"], got["chunk_text"], got["n_tokens"]):
+            s = ci * 7
+            e = min(s + 10, n)
+            assert ctext == " ".join(ws[s:e])
+            assert ctok == e - s
+        # overlap invariant: consecutive chunks share size-stride tokens
+        txts = got["chunk_text"].tolist()
+        for a, b in zip(txts, txts[1:]):
+            assert a.split()[7:] == b.split()[: len(a.split()) - 7]
+
+
+def test_pack_token_bins_is_exclusive_prefix_and_partition_invariant():
+    df = _docs()
+    out = corpus.pack_token_bins(rd.from_pandas(df), budget=64).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    n = df["text"].str.split().str.len().fillna(0).astype(np.int64).to_numpy()
+    prev = np.cumsum(n) - n
+    assert (out["n_tokens"].to_numpy() == n).all()
+    assert (out["bin"].to_numpy() == prev // 64).all()
+    assert (out["bin_offset"].to_numpy() == prev % 64).all()
+    # block-layout invariance of the carry pass
+    out9 = corpus.pack_token_bins(rd.from_pandas(df).repartition(9), budget=64).to_pandas()
+    m = out.merge(out9, on="doc_id", suffixes=("", "_9"))
+    assert (m["bin"] == m["bin_9"]).all() and (m["bin_offset"] == m["bin_offset_9"]).all()
+
+
+def test_bm25_scores_match_bruteforce():
+    df = _docs()
+    terms = ["alpha", "theta"]
+    k1, b = 1.2, 0.75
+    out = corpus.bm25_scores(rd.from_pandas(df), terms, k1, b).to_pandas()
+    toks = [t.split() for t in df["text"]]
+    N = len(toks)
+    totlen = sum(len(w) for w in toks)
+    lens = np.array([len(w) for w in toks], dtype=np.int64)
+    want = np.zeros(N, dtype=np.int64)
+    for term in terms:
+        dfv = sum(term in set(w) for w in toks)
+        tf = np.array([w.count(term) for w in toks], dtype=np.int64)
+        idf = (N - dfv + 0.5) / (dfv + 0.5)
+        contrib = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (lens * N) / totlen))
+        want += np.floor(contrib * 1e6).astype(np.int64)
+    got = out.sort_values("doc_id")["score_e6"].to_numpy()
+    assert (got == want).all()
+    # empty doc scores 0; docs with the term outscore those without (same length)
+    assert got[3] == 0
+
+
+def test_contamination_screen_counts_shared_grams():
+    df = _docs()
+    out = corpus.contamination_screen(
+        rd.from_pandas(df), bench_mod=10, shingle_k=3).to_pandas()
+    # brute force on gram STRINGS
+    def grams(t):
+        ws = t.split()
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+    bench = set()
+    for _, r in df.iterrows():
+        if r["doc_id"] % 10 == 0:
+            bench |= grams(r["text"])
+    assert set(out["doc_id"]) == set(df[df["doc_id"] % 10 != 0]["doc_id"])
+    for _, r in out.iterrows():
+        g = grams(df.loc[df["doc_id"] == r["doc_id"], "text"].iloc[0])
+        assert r["n_grams"] == len(g)
+        assert r["n_contaminated"] == len(g & bench)
+    # partitioning-invariance of the broadcast set
+    out9 = corpus.contamination_screen(
+        rd.from_pandas(df).repartition(9), bench_mod=10, shingle_k=3).to_pandas()
+    m = out.merge(out9, on="doc_id", suffixes=("", "_9"))
+    assert (m["n_contaminated"] == m["n_contaminated_9"]).all()
+
+
+def test_prefix_dup_groups():
+    df = _docs()
+    out = corpus.prefix_dup_groups(rd.from_pandas(df), k=5).to_pandas()
+    pref = df["text"].str.split().str[:5].str.join(" ")
+    want = (pd.DataFrame({"doc_id": df["doc_id"], "p": pref})
+            .groupby("p")["doc_id"].agg(["min", "count"]))
+    assert len(out) == len(want)
+    m = dict(zip(want["min"].astype(np.int64), want["count"].astype(np.int64)))
+    for _, r in out.iterrows():
+        assert m[int(r["doc_id"])] == int(r["n_dups"])
+    # the deliberate dup pair (4,5) groups; (8,9) groups iff doc 8 has
+    # >= k tokens (otherwise doc 9's extra token changes its prefix)
+    assert m[4] == 2
+    if len(df.loc[8, "text"].split()) >= 5:
+        assert m[8] == 2
