@@ -509,6 +509,14 @@ def _q_bfs_distances(sf_dir: str):
     return A.bfs_distances(ctx, 0).select_columns(["conv_id", "distance"])
 
 
+def _q_pseudo_diameter(sf_dir: str):
+    """Double-sweep BFS pseudo-diameter: BFS from the lexicographic-min
+    vertex, re-BFS from its farthest reached vertex (tie to the smaller
+    conv_id); O(blocks) argmax fold between the sweeps."""
+    ctx = _graph(sf_dir)
+    return A.pseudo_diameter(ctx)
+
+
 def _q_modularity(sf_dir: str):
     ctx = _graph(sf_dir)
     A.label_propagation(ctx, max_iterations=10)
@@ -1899,6 +1907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": _q_bm25_scores,
         "contamination": _q_contamination,
         "prefix_dups": _q_prefix_dups,
+        "pseudo_diameter": _q_pseudo_diameter,
         "katz_centrality": _q_katz_centrality,
         "common_neighbors": _q_common_neighbors,
         "adamic_adar": _q_adamic_adar,
@@ -3533,6 +3542,24 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _sql_bm25_scores(),
         "contamination": _sql_contamination(),
         "prefix_dups": _sql_prefix_dups(),
+        "pseudo_diameter": _GRAPH_CTE2 + f""",
+pd1 AS (
+  WITH RECURSIVE w(v, d) AS (
+    SELECT (SELECT min(conv_id) FROM ids), 0
+    UNION
+    SELECT e.b, w.d + 1 FROM w JOIN nbr e ON e.a = w.v WHERE w.d < {BFS_ORACLE_CAP}
+  ) SELECT v, min(d) AS d FROM w GROUP BY v
+),
+far AS (SELECT v FROM pd1 ORDER BY d DESC, v LIMIT 1),
+pd2 AS (
+  WITH RECURSIVE w2(v, d) AS (
+    SELECT (SELECT v FROM far), 0
+    UNION
+    SELECT e.b, w2.d + 1 FROM w2 JOIN nbr e ON e.a = w2.v WHERE w2.d < {BFS_ORACLE_CAP}
+  ) SELECT v, min(d) AS d FROM w2 GROUP BY v
+)
+SELECT (SELECT v FROM far) AS far_conv,
+       CAST(max(d) AS BIGINT) AS pseudo_diameter FROM pd2""",
         "edge_log": _GRAPH_CTE + "\nSELECT src, dst, turn_idx FROM mention",
         # JSONL round-trip must land on the identical mention set
         "edge_log_jsonl": _GRAPH_CTE + "\nSELECT src, dst, turn_idx FROM mention",

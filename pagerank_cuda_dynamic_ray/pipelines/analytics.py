@@ -412,6 +412,45 @@ def bfs_distances(ctx: GraphContext, source_vid: int, max_rounds: int = 100_000,
     return _with_conv(ctx, tables)
 
 
+def pseudo_diameter(ctx: GraphContext, max_rounds: int = 100_000) -> "pa.Table":
+    """Double-sweep BFS pseudo-diameter (the classic lower bound that is
+    exact on trees and near-exact on small-world graphs): BFS from the
+    lexicographic-min vertex, re-BFS from its farthest reached vertex
+    (ties toward the smaller conv_id), report that eccentricity. Two
+    :func:`bfs_distances` sweeps; the argmax folds as ONE candidate row
+    per block on the driver — O(blocks), never the vertex table.
+    Returns a 1-row table (far_conv, pseudo_diameter)."""
+    import pyarrow as pa
+
+    def far_partial(t: pa.Table) -> pa.Table:
+        # tie-break key = conv_id when the context carries a dictionary,
+        # else the vid itself (dictionaryless test graphs)
+        d = t["distance"].to_numpy()
+        ok = d >= 0
+        if not ok.any():
+            return pa.table({"vid": pa.array([], pa.int64()),
+                             "distance": pa.array([], pa.int64()),
+                             "key": pa.array([], pa.string())})
+        dd = d[ok]
+        m = dd.max()
+        sel = np.flatnonzero(ok)[dd == m]
+        keys = (t["conv_id"].to_pylist() if "conv_id" in t.column_names
+                else [str(v) for v in t["vid"].to_pylist()])
+        j = min(sel, key=lambda i: keys[i])
+        return pa.table({"vid": pa.array([int(t["vid"][j].as_py())]),
+                         "distance": pa.array([int(m)]),
+                         "key": pa.array([keys[j]])})
+
+    d1 = bfs_distances(ctx, 0, max_rounds)
+    cand = d1.map_batches(far_partial, batch_format="pyarrow").to_pandas()
+    best = cand.sort_values(["distance", "key"],
+                            ascending=[False, True]).iloc[0]
+    d2 = bfs_distances(ctx, int(best["vid"]), max_rounds)
+    diam = int(d2.max("distance"))
+    return pa.table({"far_conv": pa.array([best["key"]]),
+                     "pseudo_diameter": pa.array([diam], pa.int64())})
+
+
 def core_numbers(ctx: GraphContext) -> rd.Dataset:
     """k-core decomposition of the undirected view by parallel peeling:
     watermark k = max(k, global min alive degree); every alive vertex

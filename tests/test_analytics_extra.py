@@ -28,6 +28,15 @@ def test_bfs_distances(ctx):
     np.testing.assert_array_equal(got, want)
 
 
+def test_pseudo_diameter_double_sweep(ctx):
+    # sweep 1 from vid 0 reaches vids 4/5 at distance 3 (tie -> vid 4);
+    # sweep 2 from vid 4 back across the bridge is also eccentricity 3
+    out = A.pseudo_diameter(ctx).to_pandas()
+    assert len(out) == 1
+    assert out["far_conv"].iloc[0] == "4"
+    assert out["pseudo_diameter"].iloc[0] == 3
+
+
 def test_modularity_matches_bruteforce(ctx):
     cc = A.connected_components(ctx)
     q = A.modularity(ctx)
