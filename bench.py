@@ -249,6 +249,20 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     RL.profile_table(li, ["l_orderkey"], ["l_quantity"], ["l_returnflag"]).materialize()
     extra["profile_s"] = time.perf_counter() - t0
 
+    from pagerank_cuda_dynamic_ray.stages import corpus as CO
+    t0 = time.perf_counter()
+    CO.chunk_documents(docs, 32, 24).materialize()
+    extra["doc_chunks_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    CO.pack_token_bins(docs, 256).materialize()
+    extra["pack_bins_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    CO.bm25_scores(docs, ["table", "window", "merge", "stream", "vector"]).materialize()
+    extra["bm25_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    CO.contamination_screen(docs, 20, 5).materialize()
+    extra["contamination_s"] = time.perf_counter() - t0
+
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"],
                           override_num_blocks=num_cpus)
     queries = emb.to_pandas().sort_values("vec_id").head(16).reset_index(drop=True)
