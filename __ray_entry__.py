@@ -245,6 +245,37 @@ def _q_edge_log_jsonl(sf_dir: str):
     return E.extract_edges(ts).select_columns(["src", "dst", "turn_idx"])
 
 
+def _q_edge_log_csv(sf_dir: str):
+    """CSV source parity: the fixture transcripts round-trip through
+    comma-separated text (ts as int64 epoch-us) and the extracted edge
+    log must hash-equal the Parquet path's — same SQL oracle as
+    edge_log, so the third source format carries a correctness row."""
+    import pyarrow.parquet as pq
+
+    fx = _fixture(sf_dir)
+    out = (f"/tmp/graft_csv_{os.getpid()}_"
+           f"{os.path.basename(os.path.abspath(sf_dir))}")
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        pdf = pq.read_table(fx).to_pandas()
+        pdf["ts"] = pdf["ts"].astype("int64")  # epoch-us
+        pdf.to_csv(os.path.join(out, "part.csv"), index=False)
+        with open(done, "w") as f:
+            f.write("ok")
+    # read the .csv file, not the dir: unlike read_json, read_csv has no
+    # default extension filter and would choke on the _DONE marker
+    ts = E.read_transcripts_csv(os.path.join(out, "part.csv"))
+    return E.extract_edges(ts).select_columns(["src", "dst", "turn_idx"])
+
+
+def _q_doc_repetition(sf_dir: str):
+    """Within-doc duplicate-3-gram profile (the Gopher repetition
+    rule): total vs distinct word 3-grams per document, exact int64."""
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return CO.doc_repetition(docs, 3)
+
+
 def _q_vertex_dictionary(sf_dir: str):
     d = _graph(sf_dir).dictionary
     return pa.table({"conv_id": pa.array(d), "vid": pa.array(np.arange(len(d), dtype=np.int64))})
@@ -1907,6 +1938,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": _q_bm25_scores,
         "contamination": _q_contamination,
         "prefix_dups": _q_prefix_dups,
+        "doc_repetition": _q_doc_repetition,
+        "edge_log_csv": _q_edge_log_csv,
         "pseudo_diameter": _q_pseudo_diameter,
         "katz_centrality": _q_katz_centrality,
         "common_neighbors": _q_common_neighbors,
@@ -3542,6 +3575,18 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": _sql_bm25_scores(),
         "contamination": _sql_contamination(),
         "prefix_dups": _sql_prefix_dups(),
+        "doc_repetition": r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+g AS (SELECT doc_id, array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
+      FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+      WHERE len(ws) >= 3),
+d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total,
+             CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct
+      FROM g GROUP BY doc_id)
+SELECT w.doc_id, coalesce(d.n_total, 0) AS n_grams_total,
+       coalesce(d.n_distinct, 0) AS n_grams_distinct
+FROM w LEFT JOIN d ON d.doc_id = w.doc_id""",
+        "edge_log_csv": _GRAPH_CTE + "\nSELECT src, dst, turn_idx FROM mention",
         "pseudo_diameter": _GRAPH_CTE2 + f""",
 pd1 AS (
   WITH RECURSIVE w(v, d) AS (

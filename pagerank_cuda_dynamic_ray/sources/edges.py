@@ -111,6 +111,44 @@ def read_transcripts_jsonl(path: str, columns: list[str] | None = None,
     return ds.map_batches(norm, batch_format="pyarrow")
 
 
+def read_transcripts_csv(path: str, columns: list[str] | None = None,
+                         parallelism: int | None = None) -> rd.Dataset:
+    """CSV transcript source — the same logical table as the Parquet /
+    JSONL readers for comma-separated upstreams (spreadsheet exports,
+    legacy ETL drops). Normalizes per batch to the canonical schema:
+    ``ts`` arrives as int64 epoch-microseconds (or ISO string) and is
+    cast to timestamp[us]; ``turn_idx`` to int32; a ``tool`` field that
+    CSV null-ified (empty cell) stays null, which the mention extractor
+    already treats as "no mention". As with JSONL, column pruning is
+    batch-side — CSV has no projection at the read (documented format
+    cost vs Parquet)."""
+    if parallelism is None:
+        cpus = cluster_cpus()
+        parallelism = max(8, cpus)
+    ds = rd.read_csv(path, override_num_blocks=parallelism)
+
+    def norm(t: pa.Table) -> pa.Table:
+        cols = {}
+        names = columns or ["conv_id", "turn_idx", "text", "tool", "ts"]
+        for c in names:
+            arr = t[c]
+            if c == "ts" and not pa.types.is_timestamp(arr.type):
+                if pa.types.is_integer(arr.type):
+                    arr = arr.cast(pa.timestamp("us"))
+                else:
+                    arr = pc.strptime(arr.cast(pa.string()),
+                                      format="%Y-%m-%dT%H:%M:%S.%f",
+                                      unit="us")
+            elif c == "turn_idx":
+                arr = arr.cast(pa.int32())
+            elif c in ("conv_id", "text", "tool"):
+                arr = arr.cast(pa.string())
+            cols[c] = arr
+        return pa.table(cols)
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
 def _extract_edges_batch(batch: pa.Table) -> pa.Table:
     """Vectorized mention extraction; one output row per mention-carrying turn."""
     text_m = pc.extract_regex(batch["text"], TEXT_MENTION_RE)

@@ -266,6 +266,34 @@ def contamination_screen(docs: rd.Dataset, bench_mod: int = 20,
 
 
 # ----------------------------------------------------------------------
+# within-document repetition profile
+# ----------------------------------------------------------------------
+
+def doc_repetition(docs: rd.Dataset, shingle_k: int = 3,
+                   text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
+    """Within-document duplicate-k-gram profile — the Gopher-style
+    repetition quality rule (Rae et al. 2021 §A1.1): per document, the
+    total word-k-gram count vs the DISTINCT count; their gap is the
+    repeated mass a quality filter thresholds on. Row-local, exact
+    integers, no shuffle. Returns Dataset(doc_id, n_grams_total,
+    n_grams_distinct)."""
+
+    def profile(batch: pd.DataFrame) -> pa.Table:
+        texts = batch[text_col].tolist()
+        total = np.fromiter(
+            (max(len(_tok(t)) - shingle_k + 1, 0) for t in texts),
+            dtype=np.int64, count=len(texts))
+        _, offs = _shingles_flat(texts, shingle_k)  # unique per doc
+        return pa.table({
+            id_col: pa.array(batch[id_col].to_numpy(np.int64)),
+            "n_grams_total": pa.array(total),
+            "n_grams_distinct": pa.array(np.diff(offs)),
+        })
+
+    return docs.map_batches(profile, batch_format="pandas")
+
+
+# ----------------------------------------------------------------------
 # prefix-duplicate grouping
 # ----------------------------------------------------------------------
 

@@ -107,6 +107,23 @@ def test_contamination_screen_counts_shared_grams():
     assert (m["n_contaminated"] == m["n_contaminated_9"]).all()
 
 
+def test_doc_repetition_total_vs_distinct():
+    df = _docs()
+    out = corpus.doc_repetition(rd.from_pandas(df), shingle_k=3).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    for _, r in df.iterrows():
+        ws = r["text"].split()
+        total = max(len(ws) - 2, 0)
+        distinct = len({tuple(ws[i:i + 3]) for i in range(total)})
+        got = out[out["doc_id"] == r["doc_id"]].iloc[0]
+        assert got["n_grams_total"] == total
+        assert got["n_grams_distinct"] == distinct
+    # repetition mass is nonneg and the duplicated doc pair agrees
+    assert (out["n_grams_total"] >= out["n_grams_distinct"]).all()
+    assert (out.loc[4, ["n_grams_total", "n_grams_distinct"]].to_numpy()
+            == out.loc[5, ["n_grams_total", "n_grams_distinct"]].to_numpy()).all()
+
+
 def test_prefix_dup_groups():
     df = _docs()
     out = corpus.prefix_dup_groups(rd.from_pandas(df), k=5).to_pandas()

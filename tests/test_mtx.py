@@ -110,6 +110,31 @@ def test_read_mtx_rejects_array_format(tmp_path):
         M.read_mtx(str(p))
 
 
+def test_csv_source_matches_parquet():
+    # the CSV reader must yield the identical edge log as the Parquet
+    # reader over the same logical table (ts int64 epoch-us round trip)
+    import os
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from pagerank_cuda_dynamic_ray.sources import edges as E
+    from pagerank_cuda_dynamic_ray.sources import transcripts as T
+
+    path = T.ensure_fixture("tiny")
+    pdf = pq.read_table(path).to_pandas()
+    pdf["ts"] = pdf["ts"].astype("int64")  # epoch-us
+    out = "/tmp/graft_csv_test_%d" % os.getpid()
+    os.makedirs(out, exist_ok=True)
+    pdf.to_csv(os.path.join(out, "part.csv"), index=False)
+
+    a = E.edge_log(E.read_transcripts(path)).to_pandas()
+    b = E.edge_log(E.read_transcripts_csv(out)).to_pandas()
+    cols = list(a.columns)
+    a = a.sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_jsonl_source_matches_parquet():
     # the JSONL reader must yield the identical edge log as the Parquet
     # reader over the same logical table (ts int64 epoch-us round trip)
