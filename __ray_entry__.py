@@ -841,6 +841,29 @@ def _q_label_propagation(sf_dir: str):
     return _vid_to_conv(ctx, ds, "label", "label_id")
 
 
+def _q_lp_incremental(sf_dir: str):
+    """Incremental label propagation, phase-exact: cold LP (10 rounds)
+    on the base 90% of the ordered log, one insertion batch applied,
+    then a warm LP restart (10 more rounds) over the updated graph.
+    LP is not confluent, so the oracle replays the IDENTICAL two-phase
+    schedule — base-graph rounds, then warm rounds on the full graph."""
+    ctx, batches = api.build_graph(
+        _fixture(sf_dir), num_parts=NUM_PARTS, temporal=True,
+        base_fraction=0.9, batch_fraction=0.1, num_batches=1,
+    )
+    try:
+        A.label_propagation(ctx, max_iterations=LP_ITERS)
+        empty = np.empty((2, 0), dtype=np.int64)
+        ds = None
+        for batch in batches:
+            dels, ins = ctx.tidy_batch(empty, batch)
+            ctx.apply_batch(dels, ins)
+            ds = A.label_propagation_incremental(ctx, max_iterations=LP_ITERS)
+        return _vid_to_conv(ctx, ds, "label", "label_id").materialize()
+    finally:
+        ctx.shutdown()
+
+
 def _q_community_graph(sf_dir: str):
     """Graph contraction (coarsening): collapse LP communities into a
     weighted community->community quotient graph — undirected distinct
@@ -1940,6 +1963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_dups": _q_prefix_dups,
         "doc_repetition": _q_doc_repetition,
         "edge_log_csv": _q_edge_log_csv,
+        "lp_incremental": _q_lp_incremental,
         "pseudo_diameter": _q_pseudo_diameter,
         "katz_centrality": _q_katz_centrality,
         "common_neighbors": _q_common_neighbors,
@@ -3484,6 +3508,53 @@ _FR = "'le','la','les','et','est','un','une','pour','dans','que','pas'"
 _ES = "'el','la','los','las','es','un','una','para','que','no','con'"
 
 
+def _sql_lp_incremental() -> str:
+    """Two-phase LP replay: cold rounds over the base 90% of the
+    temporally-ordered mention log (row_number over (ts, src, turn_idx)
+    = the engine's encoded-log sort order, since vids are positions in
+    the sorted string dictionary), then warm rounds — initialized from
+    the phase-A labels — over the full graph."""
+    step = """
+    SELECT i, v, lab FROM (
+      SELECT c.i AS i, c.v AS v, c.lab AS lab,
+             row_number() OVER (PARTITION BY c.i, c.v ORDER BY c.cnt DESC, c.lab) AS rn
+      FROM (SELECT {w}.i + 1 AS i, e.b AS v, {w}.lab AS lab, count(*) AS cnt
+            FROM {w} JOIN {sym} e ON e.a = {w}.v WHERE {w}.i < {iters}
+            GROUP BY {w}.i + 1, e.b, {w}.lab) c
+    ) WHERE rn = 1"""
+    return _GRAPH_CTE2 + f""",
+mts AS (SELECT conv_id AS src,
+    coalesce(nullif(regexp_extract(tool, '^ref:([A-Za-z0-9_-]+)$', 1), ''),
+             nullif(regexp_extract(text, 'see:([A-Za-z0-9_-]+)', 1), '')) AS dst,
+    turn_idx, ts FROM tr),
+mord AS (SELECT src, dst, row_number() OVER (ORDER BY ts, src, turn_idx) AS rn,
+                count(*) OVER () AS m
+         FROM mts WHERE dst IS NOT NULL),
+based AS (SELECT DISTINCT src, dst FROM mord
+          WHERE rn <= CAST(floor(0.9 * m) AS BIGINT)),
+nbrb AS (SELECT src AS a, dst AS b FROM based WHERE src <> dst
+         UNION SELECT dst AS a, src AS b FROM based WHERE src <> dst),
+isob AS (SELECT conv_id FROM ids WHERE conv_id NOT IN (SELECT a FROM nbrb)),
+symb AS (SELECT a, b FROM nbrb UNION ALL SELECT conv_id AS a, conv_id AS b FROM isob),
+lpa AS (
+  WITH RECURSIVE lp(i, v, lab) AS (
+    SELECT 0, conv_id, conv_id FROM ids
+    UNION ALL
+    {step.format(w='lp', sym='symb', iters=LP_ITERS)}
+  ) SELECT v, lab FROM lp WHERE i = {LP_ITERS}
+),
+iso AS (SELECT conv_id FROM ids WHERE conv_id NOT IN (SELECT a FROM nbr)),
+symx AS (SELECT a, b FROM nbr UNION ALL SELECT conv_id AS a, conv_id AS b FROM iso),
+lpb AS (
+  WITH RECURSIVE lp2(i, v, lab) AS (
+    SELECT 0, v, lab FROM lpa
+    UNION ALL
+    {step.format(w='lp2', sym='symx', iters=LP_ITERS)}
+  ) SELECT v, lab FROM lp2 WHERE i = {LP_ITERS}
+)
+SELECT v AS conv_id, lab AS label_id FROM lpb"""
+
+
 def _sql_doc_chunks() -> str:
     """chunk_documents replayed: list-slice windows over the \\S+ token
     list; chunk count = 1 + ceil((n-size)/stride) in integer division."""
@@ -3903,6 +3974,7 @@ ccr AS (
 SELECT v AS conv_id, lab AS component_id FROM ccr""",
         "label_propagation": _GRAPH_CTE2 + _LP_CTE
         + "\nSELECT v AS conv_id, lab AS label_id FROM lpr",
+        "lp_incremental": _sql_lp_incremental(),
         # quotient graph over distinct unordered non-loop vertex pairs
         "community_graph": _GRAPH_CTE2 + _LP_CTE + """
 SELECT least(l1.lab, l2.lab) AS ca, greatest(l1.lab, l2.lab) AS cb,

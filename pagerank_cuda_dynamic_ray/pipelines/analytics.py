@@ -103,6 +103,35 @@ def connected_components_incremental(ctx: GraphContext, inserted_edges: np.ndarr
     return _with_conv(ctx, tables)
 
 
+def label_propagation_incremental(ctx: GraphContext, max_iterations: int = 10,
+                                  mode: str = "auto") -> rd.Dataset:
+    """Warm LP restart after a batch update — the LP analogue of the
+    engine's dynamic PageRank variants. Keeps each shard's installed
+    labels from the prior converged :func:`label_propagation` run and
+    executes up to ``max_iterations`` further synchronous rounds over
+    the UPDATED undirected view.
+
+    Unlike incremental CC (where warm min-label merging provably equals
+    a cold recompute for insertions), warm LP is a protocol of its own:
+    label propagation is not confluent, so the result is defined by the
+    exact two-phase schedule (cold rounds on the base graph, then warm
+    rounds on the updated graph) — which is what the SQL oracle replays
+    phase by phase. Shards refuse if non-LP labels are installed."""
+    _ensure_symmetric(ctx)
+    shards = ctx.shards
+    if _label_mode(mode) == "p2p":
+        get_all_fail_fast([
+            s.run_label_iterations.remote(shards, "lp", max_iterations, warm=True)
+            for s in shards
+        ])
+    else:
+        ray.get([s.lp_assert_warm.remote() for s in shards])
+        _driver_label_fixpoint(shards, "lp_emit", "lp_apply", max_iterations,
+                               post_round="lp_swap")
+    tables = ray.get([s.labels_table.remote("label") for s in shards])
+    return _with_conv(ctx, tables)
+
+
 def connected_components(ctx: GraphContext, max_rounds: int = 10_000,
                          mode: str = "auto") -> rd.Dataset:
     """Weakly-connected components as min-vid labels.

@@ -901,7 +901,10 @@ class GraphShard:
             if not warm:  # warm: frontier pre-seeded via cc_seed_warm
                 self.cc_init()
         elif algo == "lp":
-            self.lp_init()
+            if not warm:
+                self.lp_init()
+            else:
+                self.lp_assert_warm()
         elif algo == "bfs":
             frontier = self.bfs_init(source_vid)
         else:
@@ -1303,6 +1306,16 @@ class GraphShard:
         new_labels[w_dst] = w_lab
         self._next_labels = new_labels
         return changed
+
+    def lp_assert_warm(self) -> None:
+        """Warm LP restart precondition: converged LP labels from a prior
+        cold run must still be installed (a CC/BFS run in between would
+        have overwritten them with different semantics)."""
+        kind = getattr(self, "_labels_kind", None)
+        if self.labels is None or kind != "lp":
+            raise ValueError(
+                "label_propagation_incremental needs converged LP labels "
+                f"(run label_propagation first; labels kind is {kind!r})")
 
     def lp_swap(self) -> None:
         """Install the synchronously-computed labels (all shards barrier)."""
