@@ -1939,6 +1939,19 @@ def _q_multimodal_decode(sf_dir: str):
     return ds.map_batches(digest, batch_format="pyarrow")
 
 
+N_MEDIA_STATS = 64  # synth_real_media rows for the real-codec digest
+
+
+def _q_media_stats(sf_dir: str):
+    """Real-codec decode digest: exact-integer pixel/sample sums through
+    the actual PPM/WAV parsers (every video frame decoded). The oracle
+    re-derives the synthetic payload streams arithmetically (splitmix64
+    emulation) without parsing a byte — a header mis-parse or offset bug
+    in the decoders breaks the hash."""
+    media = rd.from_arrow(MM.synth_real_media_table(N_MEDIA_STATS))
+    return MM.media_stats(media)
+
+
 def _q_frame_sample(sf_dir: str):
     media = rd.from_arrow(MM.synth_media_table(256))
     return MM.sample_frames(media, every_k=10, mode="fake").select_columns(
@@ -1964,6 +1977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "edge_log_csv": _q_edge_log_csv,
         "lp_incremental": _q_lp_incremental,
+        "media_stats": _q_media_stats,
         "pseudo_diameter": _q_pseudo_diameter,
         "katz_centrality": _q_katz_centrality,
         "common_neighbors": _q_common_neighbors,
@@ -3508,6 +3522,53 @@ _FR = "'le','la','les','et','est','un','une','pour','dans','que','pas'"
 _ES = "'el','la','los','las','es','un','una','para','que','no','con'"
 
 
+def _sql_media_stats() -> str:
+    """media_stats replayed WITHOUT byte parsing: the synthetic payload
+    content is splitmix64-derived (multimodal.synth_real_media_table),
+    so pixel/sample streams regenerate arithmetically per element —
+    image/video pixels = sm64(j + 692·(i+1 | i·1000+f+1)) % 256, audio
+    samples = sm64(j + 224·(i+1)) % 65536 − 32768 (692 = seed·97+13,
+    224 = seed·31+7 at seed 7); kind = sm64(i + 7) % 3."""
+    n, img_elems, audio_len, vframes = (
+        N_MEDIA_STATS, 24 * 32 * 3, 2048, 6)
+    kinds = _sm64(f"(SELECT unnest(generate_series(0, {n - 1})) AS i)",
+                  "CAST(i + 7 AS UBIGINT)", "hk")
+    img_sub = _sm64(
+        f"(SELECT k.i, t.j FROM kb k, unnest(generate_series(0, {img_elems - 1})) AS t(j) "
+        "WHERE k.k3 = 0)",
+        "CAST(j + 692 * (i + 1) AS UBIGINT)", "hp")
+    vid_sub = _sm64(
+        f"(SELECT k.i, f.f, t.j FROM kb k, unnest(generate_series(0, {vframes - 1})) AS f(f), "
+        f"unnest(generate_series(0, {img_elems - 1})) AS t(j) WHERE k.k3 = 2)",
+        "CAST(j + 692 * (i * 1000 + f + 1) AS UBIGINT)", "hp")
+    aud_sub = _sm64(
+        f"(SELECT k.i, t.j FROM kb k, unnest(generate_series(0, {audio_len - 1})) AS t(j) "
+        "WHERE k.k3 = 1)",
+        "CAST(j + 224 * (i + 1) AS UBIGINT)", "hp")
+    px_sums = ", ".join(
+        f"CAST(sum(CASE WHEN ch = {c} THEN px ELSE 0 END) AS BIGINT) AS s{c}"
+        for c in range(3))
+    return f"""
+WITH kb AS (SELECT i, CAST(hk % 3 AS BIGINT) AS k3 FROM {kinds}),
+img AS (SELECT media_id, CAST(count(*) // 3 AS BIGINT) AS n_units, {px_sums}
+        FROM (SELECT i AS media_id, j % 3 AS ch, CAST(hp % 256 AS BIGINT) AS px
+              FROM {img_sub})
+        GROUP BY media_id),
+vid AS (SELECT media_id, CAST(count(*) // 3 AS BIGINT) AS n_units, {px_sums}
+        FROM (SELECT i AS media_id, j % 3 AS ch, CAST(hp % 256 AS BIGINT) AS px
+              FROM {vid_sub})
+        GROUP BY media_id),
+aud AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_units,
+               CAST(sum(s) AS BIGINT) AS s0, CAST(sum(s * s) AS BIGINT) AS s1,
+               CAST(0 AS BIGINT) AS s2
+        FROM (SELECT i AS media_id, CAST(hp % 65536 AS BIGINT) - 32768 AS s
+              FROM {aud_sub})
+        GROUP BY media_id)
+SELECT media_id, 'image' AS kind, n_units, s0, s1, s2 FROM img
+UNION ALL SELECT media_id, 'audio', n_units, s0, s1, s2 FROM aud
+UNION ALL SELECT media_id, 'video', n_units, s0, s1, s2 FROM vid"""
+
+
 def _sql_lp_incremental() -> str:
     """Two-phase LP replay: cold rounds over the base 90% of the
     temporally-ordered mention log (row_number over (ts, src, turn_idx)
@@ -3975,6 +4036,7 @@ SELECT v AS conv_id, lab AS component_id FROM ccr""",
         "label_propagation": _GRAPH_CTE2 + _LP_CTE
         + "\nSELECT v AS conv_id, lab AS label_id FROM lpr",
         "lp_incremental": _sql_lp_incremental(),
+        "media_stats": _sql_media_stats(),
         # quotient graph over distinct unordered non-loop vertex pairs
         "community_graph": _GRAPH_CTE2 + _LP_CTE + """
 SELECT least(l1.lab, l2.lab) AS ca, greatest(l1.lab, l2.lab) AS cb,

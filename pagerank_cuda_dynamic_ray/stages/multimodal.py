@@ -84,17 +84,14 @@ def encode_ppm(rgb: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + rgb.astype(np.uint8).tobytes()
 
 
-def decode_ppm(buf: bytes) -> np.ndarray:
-    """Decode a binary PPM (P6) payload to an (h, w, 3) uint8 array.
-
-    Spec-complete header handling: '#' comment lines (netpbm/GIMP/
-    ImageMagick emit them) are skipped, and a truncated header raises
-    ValueError instead of scanning past the buffer (an unbounded scan
-    would spin an actor forever on one corrupt payload)."""
-    if buf[:2] != b"P6":
+def _decode_ppm_at(buf: bytes, pos0: int = 0) -> tuple[np.ndarray, int]:
+    """Decode one binary PPM (P6) frame starting at byte ``pos0``;
+    returns (array, next position) so concatenated-frame video payloads
+    can be walked frame by frame."""
+    if buf[pos0:pos0 + 2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     n = len(buf)
-    pos, tokens = 2, []
+    pos, tokens = pos0 + 2, []
     while len(tokens) < 3:
         # skip whitespace and comment lines
         while pos < n:
@@ -116,7 +113,26 @@ def decode_ppm(buf: bytes) -> np.ndarray:
     w, h, _maxval = tokens
     if n - pos < h * w * 3:
         raise ValueError("truncated PPM pixel data")
-    return np.frombuffer(buf, dtype=np.uint8, count=h * w * 3, offset=pos).reshape(h, w, 3)
+    arr = np.frombuffer(buf, dtype=np.uint8, count=h * w * 3, offset=pos).reshape(h, w, 3)
+    return arr, pos + h * w * 3
+
+
+def decode_ppm(buf: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6) payload to an (h, w, 3) uint8 array.
+
+    Spec-complete header handling: '#' comment lines (netpbm/GIMP/
+    ImageMagick emit them) are skipped, and a truncated header raises
+    ValueError instead of scanning past the buffer (an unbounded scan
+    would spin an actor forever on one corrupt payload)."""
+    return _decode_ppm_at(buf, 0)[0]
+
+
+def iter_ppm_frames(buf: bytes):
+    """Yield every (h, w, 3) frame of a concatenated-PPM video payload."""
+    pos = 0
+    while pos < len(buf):
+        frame, pos = _decode_ppm_at(buf, pos)
+        yield frame
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -318,3 +334,49 @@ def sample_frames(media: rd.Dataset, every_k: int = 10, mode: str = "fake",
         FrameSampleStage, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
         fn_constructor_kwargs={"every_k": every_k, "mode": mode},
     )
+
+
+def media_stats(media: rd.Dataset) -> rd.Dataset:
+    """Exact-integer decode digest through the REAL codecs — the
+    correctness anchor for the uncompressed decode path (the feature
+    stages quantize to float; this op does not):
+
+    * image: (n_units = pixels, s0/s1/s2 = per-channel pixel sums)
+    * audio: (n_units = samples, s0 = Σ sample, s1 = Σ sample², s2 = 0)
+    * video: every concatenated-PPM frame decoded; sums span all frames
+
+    A header mis-parse, wrong byte offset or dropped frame changes the
+    sums, so the SQL oracle (which re-derives the synthetic payload's
+    pixel/sample stream arithmetically, never parsing bytes) pins the
+    decoders bit-for-bit. Row-local actor stage, no shuffle."""
+
+    class StatsStage:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["media_id"].to_numpy()
+            kinds = t["kind"].to_pylist()
+            bufs = t["payload"].to_pylist()
+            n_units = np.zeros(len(ids), dtype=np.int64)
+            s = np.zeros((len(ids), 3), dtype=np.int64)
+            for r, (kind, buf) in enumerate(zip(kinds, bufs)):
+                if kind == "audio":
+                    samples, _rate = decode_wav(buf)
+                    x = samples.astype(np.int64)
+                    n_units[r] = x.size
+                    s[r, 0] = x.sum()
+                    s[r, 1] = (x * x).sum()
+                else:  # image or concatenated-PPM video
+                    for frame in iter_ppm_frames(buf):
+                        flat = frame.reshape(-1, 3).astype(np.int64)
+                        n_units[r] += flat.shape[0]
+                        s[r] += flat.sum(axis=0)
+            return pa.table({
+                "media_id": pa.array(ids),
+                "kind": pa.array(kinds, pa.string()),
+                "n_units": pa.array(n_units),
+                "s0": pa.array(s[:, 0]),
+                "s1": pa.array(s[:, 1]),
+                "s2": pa.array(s[:, 2]),
+            })
+
+    return media.map_batches(StatsStage, batch_format="pyarrow",
+                             batch_size=64, concurrency=2)

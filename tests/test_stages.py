@@ -603,3 +603,46 @@ def test_attach_payload_distributed():
     assert len(out) == 3
     for _, r in out.iterrows():
         assert r["p_a"] == bytes([r["a"]]) and r["p_b"] == bytes([r["b"]])
+
+
+def test_media_stats_real_codec_digest():
+    # exact-integer sums through the REAL PPM/WAV parsers vs a direct
+    # numpy recompute of the synthetic payload streams
+    import numpy as np
+    from pagerank_cuda_dynamic_ray.functions.hashing import splitmix64
+
+    tbl = multimodal.synth_real_media_table(24)
+    out = (multimodal.media_stats(rd.from_arrow(tbl)).to_pandas()
+           .sort_values("media_id").reset_index(drop=True))
+    assert len(out) == 24
+    for r in out.itertuples():
+        i = int(r.media_id)
+        if r.kind == "audio":
+            words = splitmix64(np.arange(2048, dtype=np.uint64)
+                               + np.uint64(7 * 31 + 7) * np.uint64(i + 1))
+            s = (words % np.uint64(65536)).astype(np.int64) - 32768
+            assert r.n_units == 2048
+            assert r.s0 == s.sum() and r.s1 == (s * s).sum() and r.s2 == 0
+        else:
+            nf = 6 if r.kind == "video" else 1
+            tot = np.zeros(3, dtype=np.int64)
+            for f in range(nf):
+                base = i * 1000 + f if r.kind == "video" else i
+                words = splitmix64(np.arange(24 * 32 * 3, dtype=np.uint64)
+                                   + np.uint64(7 * 97 + 13) * np.uint64(base + 1))
+                px = (words % np.uint64(256)).astype(np.int64)
+                tot += np.bincount(np.arange(px.size) % 3, weights=px).astype(np.int64)
+            assert r.n_units == nf * 24 * 32
+            assert (np.array([r.s0, r.s1, r.s2]) == tot).all()
+
+
+def test_iter_ppm_frames_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, (6, 4, 3)).astype(np.uint8) for _ in range(3)]
+    buf = b"".join(multimodal.encode_ppm(f) for f in frames)
+    got = list(multimodal.iter_ppm_frames(buf))
+    assert len(got) == 3
+    for a, b in zip(frames, got):
+        np.testing.assert_array_equal(a, b)
