@@ -1952,6 +1952,18 @@ def _q_media_stats(sf_dir: str):
     return MM.media_stats(media)
 
 
+def _q_image_resize(sf_dir: str):
+    """Thumbnail digest: 2x block-mean resize through the real PPM
+    codec, then the exact-integer stats digest over the RESIZED
+    payloads — the oracle recomputes the block means arithmetically
+    from the regenerated pixel stream (floor-div by 4), so both the
+    resize math and the re-encode/re-decode round trip are pinned."""
+    media = rd.from_arrow(MM.synth_real_media_table(N_MEDIA_STATS))
+    imgs = media.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "image")), batch_format="pyarrow")
+    return MM.media_stats(MM.resize_images(imgs, factor=2))
+
+
 def _q_frame_sample(sf_dir: str):
     media = rd.from_arrow(MM.synth_media_table(256))
     return MM.sample_frames(media, every_k=10, mode="fake").select_columns(
@@ -1978,6 +1990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_log_csv": _q_edge_log_csv,
         "lp_incremental": _q_lp_incremental,
         "media_stats": _q_media_stats,
+        "image_resize": _q_image_resize,
         "pseudo_diameter": _q_pseudo_diameter,
         "katz_centrality": _q_katz_centrality,
         "common_neighbors": _q_common_neighbors,
@@ -3569,6 +3582,35 @@ UNION ALL SELECT media_id, 'audio', n_units, s0, s1, s2 FROM aud
 UNION ALL SELECT media_id, 'video', n_units, s0, s1, s2 FROM vid"""
 
 
+def _sql_image_resize() -> str:
+    """image_resize digest replayed: regenerate the original pixel
+    stream (as _sql_media_stats), group each pixel into its 2x2 block
+    by integer index arithmetic, floor-divide the block sum by 4 (the
+    engine's exact block-mean), then sum the resized channels."""
+    n, img_w, img_elems = N_MEDIA_STATS, 32, 24 * 32 * 3
+    kinds = _sm64(f"(SELECT unnest(generate_series(0, {n - 1})) AS i)",
+                  "CAST(i + 7 AS UBIGINT)", "hk")
+    img_sub = _sm64(
+        f"(SELECT k.i, t.j FROM kb k, unnest(generate_series(0, {img_elems - 1})) AS t(j) "
+        "WHERE k.k3 = 0)",
+        "CAST(j + 692 * (i + 1) AS UBIGINT)", "hp")
+    return f"""
+WITH kb AS (SELECT i, CAST(hk % 3 AS BIGINT) AS k3 FROM {kinds}),
+px AS (SELECT i AS media_id,
+              (j // {img_w * 3}) // 2 AS br,
+              ((j % {img_w * 3}) // 3) // 2 AS bc,
+              j % 3 AS ch,
+              CAST(hp % 256 AS BIGINT) AS px
+       FROM {img_sub}),
+blk AS (SELECT media_id, br, bc, ch, CAST(sum(px) // 4 AS BIGINT) AS rp
+        FROM px GROUP BY media_id, br, bc, ch)
+SELECT media_id, 'image' AS kind, CAST(count(*) // 3 AS BIGINT) AS n_units,
+       CAST(sum(CASE WHEN ch = 0 THEN rp ELSE 0 END) AS BIGINT) AS s0,
+       CAST(sum(CASE WHEN ch = 1 THEN rp ELSE 0 END) AS BIGINT) AS s1,
+       CAST(sum(CASE WHEN ch = 2 THEN rp ELSE 0 END) AS BIGINT) AS s2
+FROM blk GROUP BY media_id"""
+
+
 def _sql_lp_incremental() -> str:
     """Two-phase LP replay: cold rounds over the base 90% of the
     temporally-ordered mention log (row_number over (ts, src, turn_idx)
@@ -4037,6 +4079,7 @@ SELECT v AS conv_id, lab AS component_id FROM ccr""",
         + "\nSELECT v AS conv_id, lab AS label_id FROM lpr",
         "lp_incremental": _sql_lp_incremental(),
         "media_stats": _sql_media_stats(),
+        "image_resize": _sql_image_resize(),
         # quotient graph over distinct unordered non-loop vertex pairs
         "community_graph": _GRAPH_CTE2 + _LP_CTE + """
 SELECT least(l1.lab, l2.lab) AS ca, greatest(l1.lab, l2.lab) AS cb,

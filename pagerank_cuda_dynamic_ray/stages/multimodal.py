@@ -380,3 +380,47 @@ def media_stats(media: rd.Dataset) -> rd.Dataset:
 
     return media.map_batches(StatsStage, batch_format="pyarrow",
                              batch_size=64, concurrency=2)
+
+
+class ResizeStage:
+    """2x block-mean downsample for PPM image payloads (the thumbnail /
+    preprocessing-resize stage): decode -> (h//2, w//2) integer block
+    means (floor) -> re-encode PPM. Actor stage; kinds other than
+    "image" pass through untouched so the stage composes mid-pipeline."""
+
+    def __init__(self, factor: int = 2):
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        self.factor = factor
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        f = self.factor
+        kinds = t["kind"].to_pylist()
+        bufs = t["payload"].to_pylist()
+        widths = t["width"].to_numpy().copy()
+        heights = t["height"].to_numpy().copy()
+        out = []
+        for r, (kind, buf) in enumerate(zip(kinds, bufs)):
+            if kind != "image" or f == 1:
+                out.append(buf)
+                continue
+            rgb = decode_ppm(buf)
+            h, w, _ = rgb.shape
+            hh, ww = h // f, w // f
+            block = rgb[: hh * f, : ww * f].reshape(hh, f, ww, f, 3)
+            small = (block.astype(np.int64).sum(axis=(1, 3)) // (f * f)).astype(np.uint8)
+            out.append(encode_ppm(small))
+            widths[r], heights[r] = ww, hh
+        cols = {name: t[name] for name in t.column_names}
+        cols["payload"] = pa.array(out, pa.binary())
+        cols["width"] = pa.array(widths.astype(np.int32), pa.int32())
+        cols["height"] = pa.array(heights.astype(np.int32), pa.int32())
+        return pa.table(cols)
+
+
+def resize_images(media: rd.Dataset, factor: int = 2,
+                  batch_size: int = 64, concurrency: int = 2) -> rd.Dataset:
+    return media.map_batches(
+        ResizeStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, fn_constructor_kwargs={"factor": factor},
+    )

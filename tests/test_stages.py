@@ -646,3 +646,24 @@ def test_iter_ppm_frames_roundtrip():
     assert len(got) == 3
     for a, b in zip(frames, got):
         np.testing.assert_array_equal(a, b)
+
+
+def test_resize_images_block_mean_and_passthrough():
+    import numpy as np
+
+    tbl = multimodal.synth_real_media_table(12)
+    out = (multimodal.resize_images(rd.from_arrow(tbl), factor=2).to_pandas()
+           .sort_values("media_id").reset_index(drop=True))
+    src = tbl.to_pandas().sort_values("media_id").reset_index(drop=True)
+    for r, s in zip(out.itertuples(), src.itertuples()):
+        if s.kind != "image":
+            assert r.payload == s.payload  # non-images untouched
+            continue
+        orig = multimodal.decode_ppm(s.payload)
+        small = multimodal.decode_ppm(r.payload)
+        assert small.shape == (orig.shape[0] // 2, orig.shape[1] // 2, 3)
+        assert (r.width, r.height) == (orig.shape[1] // 2, orig.shape[0] // 2)
+        want = (orig.astype(np.int64)
+                .reshape(orig.shape[0] // 2, 2, orig.shape[1] // 2, 2, 3)
+                .sum(axis=(1, 3)) // 4).astype(np.uint8)
+        np.testing.assert_array_equal(small, want)
