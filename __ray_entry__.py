@@ -1964,6 +1964,17 @@ def _q_image_resize(sf_dir: str):
     return MM.media_stats(MM.resize_images(imgs, factor=2))
 
 
+AUDIO_WINDOW = 256
+
+
+def _q_audio_energy(sf_dir: str):
+    """Windowed audio energy (VAD precursor) through the real WAV
+    decoder: per 256-sample window, the exact int64 Σ sample² — the
+    oracle regenerates the sample stream and groups by j // 256."""
+    media = rd.from_arrow(MM.synth_real_media_table(N_MEDIA_STATS))
+    return MM.audio_energy_windows(media, AUDIO_WINDOW)
+
+
 def _q_frame_sample(sf_dir: str):
     media = rd.from_arrow(MM.synth_media_table(256))
     return MM.sample_frames(media, every_k=10, mode="fake").select_columns(
@@ -1991,6 +2002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lp_incremental": _q_lp_incremental,
         "media_stats": _q_media_stats,
         "image_resize": _q_image_resize,
+        "audio_energy": _q_audio_energy,
         "pseudo_diameter": _q_pseudo_diameter,
         "katz_centrality": _q_katz_centrality,
         "common_neighbors": _q_common_neighbors,
@@ -3611,6 +3623,26 @@ SELECT media_id, 'image' AS kind, CAST(count(*) // 3 AS BIGINT) AS n_units,
 FROM blk GROUP BY media_id"""
 
 
+def _sql_audio_energy() -> str:
+    """audio_energy_windows replayed: regenerate the WAV sample stream
+    (sm64(j + 224·(i+1)) % 65536 − 32768) and group by j // window."""
+    n, audio_len, w = N_MEDIA_STATS, 2048, AUDIO_WINDOW
+    kinds = _sm64(f"(SELECT unnest(generate_series(0, {n - 1})) AS i)",
+                  "CAST(i + 7 AS UBIGINT)", "hk")
+    aud_sub = _sm64(
+        f"(SELECT k.i, t.j FROM kb k, unnest(generate_series(0, {audio_len - 1})) AS t(j) "
+        "WHERE k.k3 = 1)",
+        "CAST(j + 224 * (i + 1) AS UBIGINT)", "hp")
+    return f"""
+WITH kb AS (SELECT i, CAST(hk % 3 AS BIGINT) AS k3 FROM {kinds})
+SELECT media_id, window_idx, CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(s * s) AS BIGINT) AS energy
+FROM (SELECT i AS media_id, j // {w} AS window_idx,
+             CAST(hp % 65536 AS BIGINT) - 32768 AS s
+      FROM {aud_sub})
+GROUP BY media_id, window_idx"""
+
+
 def _sql_lp_incremental() -> str:
     """Two-phase LP replay: cold rounds over the base 90% of the
     temporally-ordered mention log (row_number over (ts, src, turn_idx)
@@ -4080,6 +4112,7 @@ SELECT v AS conv_id, lab AS component_id FROM ccr""",
         "lp_incremental": _sql_lp_incremental(),
         "media_stats": _sql_media_stats(),
         "image_resize": _sql_image_resize(),
+        "audio_energy": _sql_audio_energy(),
         # quotient graph over distinct unordered non-loop vertex pairs
         "community_graph": _GRAPH_CTE2 + _LP_CTE + """
 SELECT least(l1.lab, l2.lab) AS ca, greatest(l1.lab, l2.lab) AS cb,

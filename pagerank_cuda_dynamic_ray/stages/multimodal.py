@@ -424,3 +424,35 @@ def resize_images(media: rd.Dataset, factor: int = 2,
         ResizeStage, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, fn_constructor_kwargs={"factor": factor},
     )
+
+
+def audio_energy_windows(media: rd.Dataset, window: int = 256) -> rd.Dataset:
+    """Windowed audio energy through the real WAV decoder: one row per
+    (clip, window) with the exact-integer sample-square sum — the
+    silence-detection / VAD precursor. Non-audio rows drop; a trailing
+    partial window is kept (n_samples says how full). Row-local."""
+
+    def energies(t: pa.Table) -> pa.Table:
+        ids_out, widx, ns, eng = [], [], [], []
+        for mid, kind, buf in zip(t["media_id"].to_numpy(),
+                                  t["kind"].to_pylist(), t["payload"].to_pylist()):
+            if kind != "audio":
+                continue
+            samples, _rate = decode_wav(buf)
+            x = samples.astype(np.int64)
+            nw = -(-x.size // window) if x.size else 0
+            for wi in range(nw):
+                seg = x[wi * window:(wi + 1) * window]
+                ids_out.append(mid)
+                widx.append(wi)
+                ns.append(seg.size)
+                eng.append(int((seg * seg).sum()))
+        return pa.table({
+            "media_id": pa.array(np.asarray(ids_out, np.int64)),
+            "window_idx": pa.array(np.asarray(widx, np.int64)),
+            "n_samples": pa.array(np.asarray(ns, np.int64)),
+            "energy": pa.array(np.asarray(eng, np.int64)),
+        })
+
+    return media.map_batches(energies, batch_format="pyarrow",
+                             batch_size=64)
