@@ -841,6 +841,19 @@ def _q_label_propagation(sf_dir: str):
     return _vid_to_conv(ctx, ds, "label", "label_id")
 
 
+def _q_two_hop(sf_dir: str):
+    """2-hop neighborhood sizes via a PURE Ray-Data plan: one native
+    Dataset.join of the symmetrized edge set with itself + a sorted-
+    segment distinct count (no actor pool) — isolated vertices kept
+    with 0 through a left_outer join against the vertex universe."""
+    fx = _fixture(sf_dir)
+    ts = E.read_transcripts(fx, columns=["conv_id", "turn_idx", "text", "tool", "ts"])
+    edges = E.extract_edges(ts).select_columns(["src", "dst"])
+    d = _graph(sf_dir).dictionary
+    ids = rd.from_arrow(pa.table({"conv_id": pa.array(d)}))
+    return A.two_hop_counts(edges, ids)
+
+
 def _q_lp_incremental(sf_dir: str):
     """Incremental label propagation, phase-exact: cold LP (10 rounds)
     on the base 90% of the ordered log, one insertion batch applied,
@@ -2000,6 +2013,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "edge_log_csv": _q_edge_log_csv,
         "lp_incremental": _q_lp_incremental,
+        "two_hop_counts": _q_two_hop,
         "media_stats": _q_media_stats,
         "image_resize": _q_image_resize,
         "audio_energy": _q_audio_energy,
@@ -4110,6 +4124,13 @@ SELECT v AS conv_id, lab AS component_id FROM ccr""",
         "label_propagation": _GRAPH_CTE2 + _LP_CTE
         + "\nSELECT v AS conv_id, lab AS label_id FROM lpr",
         "lp_incremental": _sql_lp_incremental(),
+        "two_hop_counts": _GRAPH_CTE2 + """,
+th AS (SELECT DISTINCT n1.a AS a, n2.b AS c
+       FROM nbr n1 JOIN nbr n2 ON n2.a = n1.b WHERE n2.b <> n1.a
+       UNION SELECT a, b FROM nbr),
+cnt AS (SELECT a, CAST(count(*) AS BIGINT) AS n FROM th GROUP BY a)
+SELECT i.conv_id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_two_hop
+FROM ids i LEFT JOIN cnt ON cnt.a = i.conv_id""",
         "media_stats": _sql_media_stats(),
         "image_resize": _sql_image_resize(),
         "audio_energy": _sql_audio_energy(),

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data as rd
 
@@ -101,6 +102,119 @@ def connected_components_incremental(ctx: GraphContext, inserted_edges: np.ndarr
         _driver_label_fixpoint(shards, "cc_push", "cc_apply", max_rounds)
     tables = ray.get([s.labels_table.remote("component") for s in shards])
     return _with_conv(ctx, tables)
+
+
+def two_hop_counts(edges: rd.Dataset, ids: rd.Dataset,
+                   num_partitions: int = 8,
+                   max_boundary_rows: int = 20_000_000) -> rd.Dataset:
+    """Per-vertex 2-hop neighborhood size (friend-of-friend count, the
+    classic feature-engineering primitive): distinct vertices within
+    undirected distance <= 2, self excluded. Pure Ray-Data-native plan —
+    no actor pool: one ``Dataset.join`` of the symmetrized edge set with
+    itself fans out the 2-hop candidate pairs, then a sort on (a, c)
+    makes duplicate pairs ADJACENT so the distinct-per-vertex count is
+    a sorted-segment pass (complete vertex runs aggregate in their
+    block; runs touching a block edge ship per-block DEDUPED partials,
+    refused past ``max_boundary_rows`` — a mega-hub straddling a block
+    edge is the same hazard copair_counts documents).
+
+    ``edges``: directed (src, dst) mention rows (dups fine);
+    ``ids``: one ``conv_id`` row per vertex (isolated vertices get 0).
+    Returns Dataset(conv_id, n_two_hop). Scale note: the join fan-out
+    is Σ deg² — inherent to the exact operator (the SQL self-join pays
+    the same); cap hub degrees upstream for power-law graphs."""
+
+    def symx(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        a = np.concatenate([s[keep], d[keep]])
+        b = np.concatenate([d[keep], s[keep]])
+        u = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        return pa.Table.from_pandas(u, preserve_index=False)
+
+    sym = edges.map_batches(symx, batch_format="pyarrow").materialize()
+
+    def ren(t: pa.Table) -> pa.Table:
+        return pa.table({"m": t["a"], "c": t["b"]})
+
+    two = sym.join(sym.map_batches(ren, batch_format="pyarrow"),
+                   "inner", num_partitions, on=("b",), right_on=("m",))
+
+    def hop2_pairs(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        keep = a != c
+        u = pd.DataFrame({"a": a[keep], "c": c[keep]}).drop_duplicates()
+        return pa.Table.from_pandas(u, preserve_index=False)
+
+    def hop1_pairs(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t["a"], "c": t["b"]})
+
+    pairs = (two.map_batches(hop2_pairs, batch_format="pyarrow")
+             .union(sym.map_batches(hop1_pairs, batch_format="pyarrow")))
+    srt = pairs.sort(["a", "c"]).materialize()
+
+    def block_counts(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy()
+        c = df["c"].to_numpy()
+        abrk = np.flatnonzero(np.concatenate([[True], a[1:] != a[:-1]]))
+        if len(abrk) <= 1:  # single vertex run: all boundary
+            return pd.DataFrame({"a": a[:0], "n": np.empty(0, np.int64)})
+        s, e = int(abrk[1]), int(abrk[-1])
+        if e <= s:  # exactly two runs: no interior segment
+            return pd.DataFrame({"a": a[:0], "n": np.empty(0, np.int64)})
+        aa, cc = a[s:e], c[s:e]
+        newp = np.concatenate([[True], (aa[1:] != aa[:-1]) | (cc[1:] != cc[:-1])])
+        runs = np.flatnonzero(np.concatenate([[True], aa[1:] != aa[:-1]]))
+        tot = np.cumsum(newp)
+        ends = np.concatenate([runs[1:], [len(aa)]])
+        n = tot[ends - 1] - np.concatenate([[0], tot[ends[:-1] - 1]])
+        return pd.DataFrame({"a": aa[runs], "n": n.astype(np.int64)})
+
+    def block_boundary(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy()
+        c = df["c"].to_numpy()
+        abrk = np.flatnonzero(np.concatenate([[True], a[1:] != a[:-1]]))
+        if len(abrk) <= 1:
+            idx = np.arange(len(a))
+        else:
+            idx = np.concatenate([np.arange(abrk[1]),
+                                  np.arange(abrk[-1], len(a))])
+        u = pd.DataFrame({"a": a[idx], "c": c[idx]}).drop_duplicates()
+        return u
+
+    complete = srt.map_batches(block_counts, batch_format="pandas", batch_size=None)
+    bnd = srt.map_batches(block_boundary, batch_format="pandas", batch_size=None).to_pandas()
+    if len(bnd) > max_boundary_rows:
+        raise ValueError(
+            f"two_hop_counts: {len(bnd)} boundary pair rows exceed "
+            f"max_boundary_rows={max_boundary_rows}; a mega-hub's 2-hop set "
+            "straddles a block edge — cap hub degree upstream")
+    parts = [complete]
+    if len(bnd):
+        g = (bnd.drop_duplicates(["a", "c"]).groupby("a").size()
+             .reset_index(name="n"))
+        g["n"] = g["n"].astype(np.int64)
+        parts.append(rd.from_pandas(g))
+    counts = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    # per-a counts can split across complete/boundary only if an a-run
+    # straddles a block edge AND has interior segments elsewhere — it
+    # cannot (a run is contiguous after the sort), so counts are final;
+    # still sum defensively in the zero-fill join below
+    joined = ids.join(
+        counts.map_batches(lambda t: t.rename_columns(["conv_id", "n"]),
+                           batch_format="pyarrow"),
+        "left_outer", num_partitions, on=("conv_id",),
+        aggregator_ray_remote_args={"num_cpus": 0.25},
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = pc.coalesce(t["n"], pa.scalar(0, pa.int64()))
+        return pa.table({"conv_id": t["conv_id"], "n_two_hop": n})
+
+    return joined.map_batches(fin, batch_format="pyarrow")
 
 
 def label_propagation_incremental(ctx: GraphContext, max_iterations: int = 10,

@@ -28,6 +28,34 @@ def test_bfs_distances(ctx):
     np.testing.assert_array_equal(got, want)
 
 
+def test_two_hop_counts_bruteforce():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    names = np.array([f"v{i:02d}" for i in range(12)])
+    src = names[rng.integers(0, 12, 30)]
+    dst = names[rng.integers(0, 12, 30)]
+    edges = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    ids = rd.from_arrow(pa.table({"conv_id": pa.array(names)}))
+    got = (A.two_hop_counts(edges, ids, num_partitions=4).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    adj = {n: set() for n in names}
+    for a, b in zip(src, dst):
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    want = []
+    for n in names:
+        ball = set(adj[n])
+        for u in adj[n]:
+            ball |= adj[u]
+        ball.discard(n)
+        want.append(len(ball))
+    np.testing.assert_array_equal(got["n_two_hop"].to_numpy(), np.array(want))
+
+
 def test_pseudo_diameter_double_sweep(ctx):
     # sweep 1 from vid 0 reaches vids 4/5 at distance 3 (tie -> vid 4);
     # sweep 2 from vid 4 back across the bridge is also eccentricity 3
