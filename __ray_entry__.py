@@ -1988,6 +1988,15 @@ def _q_audio_energy(sf_dir: str):
     return MM.audio_energy_windows(media, AUDIO_WINDOW)
 
 
+def _q_frame_diffs(sf_dir: str):
+    """Scene-cut signal: exact Σ |pixel_f − pixel_{f−1}| per adjacent
+    video frame pair through the real concatenated-PPM path; the
+    oracle regenerates BOTH frames' pixel streams (two chained
+    splitmix64 emulations per element) and sums the absolute diff."""
+    media = rd.from_arrow(MM.synth_real_media_table(N_MEDIA_STATS))
+    return MM.frame_diffs(media)
+
+
 def _q_frame_sample(sf_dir: str):
     media = rd.from_arrow(MM.synth_media_table(256))
     return MM.sample_frames(media, every_k=10, mode="fake").select_columns(
@@ -2017,6 +2026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_stats": _q_media_stats,
         "image_resize": _q_image_resize,
         "audio_energy": _q_audio_energy,
+        "frame_diffs": _q_frame_diffs,
         "pseudo_diameter": _q_pseudo_diameter,
         "katz_centrality": _q_katz_centrality,
         "common_neighbors": _q_common_neighbors,
@@ -3657,6 +3667,27 @@ FROM (SELECT i AS media_id, j // {w} AS window_idx,
 GROUP BY media_id, window_idx"""
 
 
+def _sql_frame_diffs() -> str:
+    """frame_diffs replayed: per element j of video i, regenerate frame
+    f's and frame f−1's pixels (two chained splitmix64 emulations on
+    the same row) and sum |Δ| per (i, f)."""
+    n, img_elems, vframes = N_MEDIA_STATS, 24 * 32 * 3, 6
+    kinds = _sm64(f"(SELECT unnest(generate_series(0, {n - 1})) AS i)",
+                  "CAST(i + 7 AS UBIGINT)", "hk")
+    elems = (f"(SELECT k.i, f.f, t.j FROM kb k, "
+             f"unnest(generate_series(1, {vframes - 1})) AS f(f), "
+             f"unnest(generate_series(0, {img_elems - 1})) AS t(j) WHERE k.k3 = 2)")
+    both = _sm64(_sm64(elems, "CAST(j + 692 * (i * 1000 + f) AS UBIGINT)", "h0"),
+                 "CAST(j + 692 * (i * 1000 + f + 1) AS UBIGINT)", "h1")
+    return f"""
+WITH kb AS (SELECT i, CAST(hk % 3 AS BIGINT) AS k3 FROM {kinds})
+SELECT media_id, frame_idx, CAST(sum(d) AS BIGINT) AS diff_sum
+FROM (SELECT i AS media_id, f AS frame_idx,
+             abs(CAST(h1 % 256 AS BIGINT) - CAST(h0 % 256 AS BIGINT)) AS d
+      FROM {both})
+GROUP BY media_id, frame_idx"""
+
+
 def _sql_lp_incremental() -> str:
     """Two-phase LP replay: cold rounds over the base 90% of the
     temporally-ordered mention log (row_number over (ts, src, turn_idx)
@@ -4134,6 +4165,7 @@ FROM ids i LEFT JOIN cnt ON cnt.a = i.conv_id""",
         "media_stats": _sql_media_stats(),
         "image_resize": _sql_image_resize(),
         "audio_energy": _sql_audio_energy(),
+        "frame_diffs": _sql_frame_diffs(),
         # quotient graph over distinct unordered non-loop vertex pairs
         "community_graph": _GRAPH_CTE2 + _LP_CTE + """
 SELECT least(l1.lab, l2.lab) AS ca, greatest(l1.lab, l2.lab) AS cb,

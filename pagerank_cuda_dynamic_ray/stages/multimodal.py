@@ -456,3 +456,33 @@ def audio_energy_windows(media: rd.Dataset, window: int = 256) -> rd.Dataset:
 
     return media.map_batches(energies, batch_format="pyarrow",
                              batch_size=64)
+
+
+def frame_diffs(media: rd.Dataset) -> rd.Dataset:
+    """Adjacent-frame absolute-difference sums for video payloads — the
+    scene-cut / motion-energy signal: for frames f-1, f the exact int64
+    Σ |pixel_f − pixel_{f-1}| over all positions and channels. Every
+    frame of the concatenated-PPM container is decoded (real codec
+    path); non-video rows drop. Row-local, no shuffle."""
+
+    def diffs(t: pa.Table) -> pa.Table:
+        ids_out, fidx, dsum = [], [], []
+        for mid, kind, buf in zip(t["media_id"].to_numpy(),
+                                  t["kind"].to_pylist(), t["payload"].to_pylist()):
+            if kind != "video":
+                continue
+            prev = None
+            for f, frame in enumerate(iter_ppm_frames(buf)):
+                cur = frame.astype(np.int64)
+                if prev is not None:
+                    ids_out.append(mid)
+                    fidx.append(f)
+                    dsum.append(int(np.abs(cur - prev).sum()))
+                prev = cur
+        return pa.table({
+            "media_id": pa.array(np.asarray(ids_out, np.int64)),
+            "frame_idx": pa.array(np.asarray(fidx, np.int64)),
+            "diff_sum": pa.array(np.asarray(dsum, np.int64)),
+        })
+
+    return media.map_batches(diffs, batch_format="pyarrow", batch_size=64)

@@ -667,3 +667,22 @@ def test_resize_images_block_mean_and_passthrough():
                 .reshape(orig.shape[0] // 2, 2, orig.shape[1] // 2, 2, 3)
                 .sum(axis=(1, 3)) // 4).astype(np.uint8)
         np.testing.assert_array_equal(small, want)
+
+
+def test_frame_diffs_bruteforce():
+    import numpy as np
+
+    tbl = multimodal.synth_real_media_table(15)
+    out = (multimodal.frame_diffs(rd.from_arrow(tbl)).to_pandas()
+           .sort_values(["media_id", "frame_idx"]).reset_index(drop=True))
+    src = tbl.to_pandas()
+    vids = src[src["kind"] == "video"]
+    assert set(out["media_id"]) == set(vids["media_id"])
+    for _, v in vids.iterrows():
+        frames = [f.astype(np.int64)
+                  for f in multimodal.iter_ppm_frames(v["payload"])]
+        assert len(frames) == 6
+        rows = out[out["media_id"] == v["media_id"]]
+        assert list(rows["frame_idx"]) == [1, 2, 3, 4, 5]
+        for f, d in zip(rows["frame_idx"], rows["diff_sum"]):
+            assert d == np.abs(frames[f] - frames[f - 1]).sum()
