@@ -64,6 +64,28 @@ def test_lp_incremental_matches_two_phase_oracle(parts):
     np.testing.assert_array_equal(got, want)
 
 
+def test_lp_incremental_p2p_matches_driver():
+    rng = np.random.default_rng(17)
+    n = 20
+    base = np.stack([rng.integers(0, n, 45), rng.integers(0, n, 45)])
+    ins = np.stack([rng.integers(0, n, 10), rng.integers(0, n, 10)])
+    labs = {}
+    for mode in ("driver", "p2p"):
+        ctx = GraphContext(n, 3, add_self_loops=True)
+        ctx.ingest_pairs(base[0], base[1])
+        ctx.finalize()
+        try:
+            A.label_propagation(ctx, max_iterations=10, mode=mode)
+            dels, ins_t = ctx.tidy_batch(EMPTY, ins)
+            ctx.apply_batch(dels, ins_t)
+            labs[mode] = (
+                A.label_propagation_incremental(ctx, max_iterations=10, mode=mode)
+                .to_pandas().sort_values("vid")["label"].to_numpy())
+        finally:
+            ctx.shutdown()
+    np.testing.assert_array_equal(labs["driver"], labs["p2p"])
+
+
 def test_lp_incremental_requires_prior_lp():
     ctx = GraphContext(6, 2, add_self_loops=True)
     ctx.ingest_pairs(np.array([0, 1, 2]), np.array([1, 2, 3]))
