@@ -21,18 +21,13 @@ Scale contracts mirror the rest of the engine:
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions import hashing as H
 from .dedup import _shingles_flat, exact_dedup
-
-_WS = re.compile(r"\S+")
 
 
 def _tok(text: str) -> list[str]:
