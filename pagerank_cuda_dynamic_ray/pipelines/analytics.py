@@ -185,12 +185,17 @@ def two_hop_counts(edges: rd.Dataset, ids: rd.Dataset,
         return u
 
     complete = srt.map_batches(block_counts, batch_format="pandas", batch_size=None)
-    bnd = srt.map_batches(block_boundary, batch_format="pandas", batch_size=None).to_pandas()
-    if len(bnd) > max_boundary_rows:
+    bnd_ds = (srt.map_batches(block_boundary, batch_format="pandas", batch_size=None)
+              .materialize())
+    # refuse on the DISTRIBUTED count BEFORE any driver materialization —
+    # the guard must fire before the memory hazard it protects against
+    n_bnd = bnd_ds.count()
+    if n_bnd > max_boundary_rows:
         raise ValueError(
-            f"two_hop_counts: {len(bnd)} boundary pair rows exceed "
+            f"two_hop_counts: {n_bnd} boundary pair rows exceed "
             f"max_boundary_rows={max_boundary_rows}; a mega-hub's 2-hop set "
             "straddles a block edge — cap hub degree upstream")
+    bnd = bnd_ds.to_pandas()
     parts = [complete]
     if len(bnd):
         g = (bnd.drop_duplicates(["a", "c"]).groupby("a").size()
@@ -198,10 +203,11 @@ def two_hop_counts(edges: rd.Dataset, ids: rd.Dataset,
         g["n"] = g["n"].astype(np.int64)
         parts.append(rd.from_pandas(g))
     counts = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
-    # per-a counts can split across complete/boundary only if an a-run
-    # straddles a block edge AND has interior segments elsewhere — it
-    # cannot (a run is contiguous after the sort), so counts are final;
-    # still sum defensively in the zero-fill join below
+    # counts is one row per vertex: an a-run is contiguous after the
+    # global sort, so it lands either wholly in a block's interior
+    # (complete) or wholly in boundary partials — never both. The
+    # left_outer join below relies on this uniqueness (two rows for one
+    # vertex would duplicate output rows, not sum).
     joined = ids.join(
         counts.map_batches(lambda t: t.rename_columns(["conv_id", "n"]),
                            batch_format="pyarrow"),
@@ -577,12 +583,18 @@ def pseudo_diameter(ctx: GraphContext, max_rounds: int = 100_000) -> "pa.Table":
         dd = d[ok]
         m = dd.max()
         sel = np.flatnonzero(ok)[dd == m]
-        keys = (t["conv_id"].to_pylist() if "conv_id" in t.column_names
-                else [str(v) for v in t["vid"].to_pylist()])
+        # dictionaryless graphs tie-break on the NUMERIC vid (zero-padded
+        # so the driver's string sort preserves numeric order; a bare
+        # str(vid) would pick 10 over 9)
+        has_conv = "conv_id" in t.column_names
+        keys = (t["conv_id"].to_pylist() if has_conv
+                else [f"{v:020d}" for v in t["vid"].to_pylist()])
         j = min(sel, key=lambda i: keys[i])
         return pa.table({"vid": pa.array([int(t["vid"][j].as_py())]),
                          "distance": pa.array([int(m)]),
-                         "key": pa.array([keys[j]])})
+                         "key": pa.array([keys[j]]),
+                         "disp": pa.array([t["conv_id"][j].as_py() if has_conv
+                                           else str(t["vid"][j].as_py())])})
 
     d1 = bfs_distances(ctx, 0, max_rounds)
     cand = d1.map_batches(far_partial, batch_format="pyarrow").to_pandas()
@@ -590,7 +602,7 @@ def pseudo_diameter(ctx: GraphContext, max_rounds: int = 100_000) -> "pa.Table":
                             ascending=[False, True]).iloc[0]
     d2 = bfs_distances(ctx, int(best["vid"]), max_rounds)
     diam = int(d2.max("distance"))
-    return pa.table({"far_conv": pa.array([best["key"]]),
+    return pa.table({"far_conv": pa.array([best["disp"]]),
                      "pseudo_diameter": pa.array([diam], pa.int64())})
 
 

@@ -74,20 +74,15 @@ def read_transcripts(path: str, columns: list[str] | None = None,
     return rd.read_parquet(path, columns=columns, override_num_blocks=parallelism)
 
 
-def read_transcripts_jsonl(path: str, columns: list[str] | None = None,
-                           parallelism: int | None = None) -> rd.Dataset:
-    """JSONL transcript source — the same logical table as the Parquet
-    reader, for pipelines whose upstream emits newline-delimited JSON
-    (log shippers, API dumps). Normalizes per batch to the Parquet
-    reader's schema: ``ts`` arrives as int64 epoch-microseconds or an
-    ISO string and is cast to timestamp[us]; ``turn_idx`` to int32 —
-    so every downstream stage (extract/encode/replay) is source-
-    agnostic. Column pruning happens batch-side (JSON has no column
-    projection at the read, unlike Parquet — a documented format cost)."""
-    if parallelism is None:
-        cpus = cluster_cpus()
-        parallelism = max(8, cpus)
-    ds = rd.read_json(path, override_num_blocks=parallelism)
+def _normalize_transcripts(columns: list[str] | None):
+    """Shared per-batch normalizer for the non-Parquet transcript
+    sources (JSONL, CSV): cast to the canonical schema so every
+    downstream stage (extract/encode/replay) is source-agnostic.
+    ``ts`` arrives as int64 epoch-microseconds or an ISO string (with
+    or without fractional seconds — the two common export forms) and
+    becomes timestamp[us]; ``turn_idx`` -> int32; id/text fields ->
+    string (a null from a CSV empty cell stays null, which the mention
+    extractor already treats as "no mention")."""
 
     def norm(t: pa.Table) -> pa.Table:
         cols = {}
@@ -98,9 +93,11 @@ def read_transcripts_jsonl(path: str, columns: list[str] | None = None,
                 if pa.types.is_integer(arr.type):
                     arr = arr.cast(pa.timestamp("us"))
                 else:
-                    arr = pc.strptime(arr.cast(pa.string()),
-                                      format="%Y-%m-%dT%H:%M:%S.%f",
-                                      unit="us")
+                    # Arrow's native string->timestamp cast parses ISO
+                    # 8601 with OR without fractional seconds (pyarrow's
+                    # strptime lacks %f entirely, so the old strptime
+                    # branch rejected '...T00:00:00.123456')
+                    arr = arr.cast(pa.string()).cast(pa.timestamp("us"))
             elif c == "turn_idx":
                 arr = arr.cast(pa.int32())
             elif c in ("conv_id", "text", "tool"):
@@ -108,45 +105,35 @@ def read_transcripts_jsonl(path: str, columns: list[str] | None = None,
             cols[c] = arr
         return pa.table(cols)
 
-    return ds.map_batches(norm, batch_format="pyarrow")
+    return norm
+
+
+def read_transcripts_jsonl(path: str, columns: list[str] | None = None,
+                           parallelism: int | None = None) -> rd.Dataset:
+    """JSONL transcript source — the same logical table as the Parquet
+    reader, for pipelines whose upstream emits newline-delimited JSON
+    (log shippers, API dumps). Column pruning happens batch-side (JSON
+    has no column projection at the read, unlike Parquet — a documented
+    format cost). Schema normalization: :func:`_normalize_transcripts`."""
+    if parallelism is None:
+        cpus = cluster_cpus()
+        parallelism = max(8, cpus)
+    ds = rd.read_json(path, override_num_blocks=parallelism)
+    return ds.map_batches(_normalize_transcripts(columns), batch_format="pyarrow")
 
 
 def read_transcripts_csv(path: str, columns: list[str] | None = None,
                          parallelism: int | None = None) -> rd.Dataset:
     """CSV transcript source — the same logical table as the Parquet /
     JSONL readers for comma-separated upstreams (spreadsheet exports,
-    legacy ETL drops). Normalizes per batch to the canonical schema:
-    ``ts`` arrives as int64 epoch-microseconds (or ISO string) and is
-    cast to timestamp[us]; ``turn_idx`` to int32; a ``tool`` field that
-    CSV null-ified (empty cell) stays null, which the mention extractor
-    already treats as "no mention". As with JSONL, column pruning is
-    batch-side — CSV has no projection at the read (documented format
-    cost vs Parquet)."""
+    legacy ETL drops). Column pruning is batch-side — CSV has no
+    projection at the read (documented format cost vs Parquet). Schema
+    normalization: :func:`_normalize_transcripts`."""
     if parallelism is None:
         cpus = cluster_cpus()
         parallelism = max(8, cpus)
     ds = rd.read_csv(path, override_num_blocks=parallelism)
-
-    def norm(t: pa.Table) -> pa.Table:
-        cols = {}
-        names = columns or ["conv_id", "turn_idx", "text", "tool", "ts"]
-        for c in names:
-            arr = t[c]
-            if c == "ts" and not pa.types.is_timestamp(arr.type):
-                if pa.types.is_integer(arr.type):
-                    arr = arr.cast(pa.timestamp("us"))
-                else:
-                    arr = pc.strptime(arr.cast(pa.string()),
-                                      format="%Y-%m-%dT%H:%M:%S.%f",
-                                      unit="us")
-            elif c == "turn_idx":
-                arr = arr.cast(pa.int32())
-            elif c in ("conv_id", "text", "tool"):
-                arr = arr.cast(pa.string())
-            cols[c] = arr
-        return pa.table(cols)
-
-    return ds.map_batches(norm, batch_format="pyarrow")
+    return ds.map_batches(_normalize_transcripts(columns), batch_format="pyarrow")
 
 
 def _extract_edges_batch(batch: pa.Table) -> pa.Table:

@@ -34,6 +34,23 @@ def _tok(text: str) -> list[str]:
     return text.split() if text else []
 
 
+def _strict_shingles(texts: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc unique word-k-gram hashes with STRICT semantics: a doc
+    shorter than ``k`` tokens contributes NO shingles — matching the
+    SQL oracles' ``generate_series(1, len(ws) - k + 1)`` bound. (The
+    near-dup family deliberately uses rolling_kgram_hashes' combine-all
+    fallback instead, so a 2-token doc can still minhash-match its
+    duplicate; here the fallback would fabricate a phantom k-gram.)"""
+    flat, offs = _shingles_flat(texts, k)
+    lens = np.fromiter((len(_tok(t)) for t in texts), dtype=np.int64,
+                       count=len(texts))
+    counts = np.diff(offs)
+    keep_doc = lens >= k
+    flat = flat[np.repeat(keep_doc, counts)]
+    counts = np.where(keep_doc, counts, 0)
+    return flat, np.concatenate([[0], np.cumsum(counts)])
+
+
 # ----------------------------------------------------------------------
 # chunking
 # ----------------------------------------------------------------------
@@ -170,10 +187,11 @@ def bm25_scores(docs: rd.Dataset, terms: list[str], k1: float = 1.2,
     def stats(batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch[text_col].tolist()
         toks = [_tok(t) for t in texts]
+        sets = [set(w) for w in toks]  # once per doc, not once per (term, doc)
         row = {"n_docs": [len(texts)],
                "total_len": [int(sum(len(w) for w in toks))]}
         for i, term in enumerate(terms):
-            row[f"df{i}"] = [int(sum(term in set(w) for w in toks))]
+            row[f"df{i}"] = [int(sum(term in s for s in sets))]
         return pd.DataFrame(row)
 
     st = docs.map_batches(stats, batch_format="pandas").to_pandas().sum()
@@ -227,7 +245,7 @@ def contamination_screen(docs: rd.Dataset, bench_mod: int = 20,
     def bench_shingles(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch[id_col].to_numpy(np.int64)
         sel = ids % bench_mod == 0
-        flat, _ = _shingles_flat(
+        flat, _ = _strict_shingles(
             batch.loc[sel, text_col].tolist(), shingle_k)
         return pd.DataFrame({"sh": np.unique(flat)})
 
@@ -244,7 +262,7 @@ def contamination_screen(docs: rd.Dataset, bench_mod: int = 20,
         want = ray.get(bench_ref)
         ids = batch[id_col].to_numpy(np.int64)
         keep = ids % bench_mod != 0
-        flat, offs = _shingles_flat(batch.loc[keep, text_col].tolist(), shingle_k)
+        flat, offs = _strict_shingles(batch.loc[keep, text_col].tolist(), shingle_k)
         if len(want) and len(flat):
             pos = np.searchsorted(want, flat).clip(0, len(want) - 1)
             hit = (want[pos] == flat).astype(np.int64)
@@ -278,7 +296,7 @@ def doc_repetition(docs: rd.Dataset, shingle_k: int = 3,
         total = np.fromiter(
             (max(len(_tok(t)) - shingle_k + 1, 0) for t in texts),
             dtype=np.int64, count=len(texts))
-        _, offs = _shingles_flat(texts, shingle_k)  # unique per doc
+        _, offs = _strict_shingles(texts, shingle_k)  # unique per doc, no <k fallback
         return pa.table({
             id_col: pa.array(batch[id_col].to_numpy(np.int64)),
             "n_grams_total": pa.array(total),

@@ -364,8 +364,13 @@ def media_stats(media: rd.Dataset) -> rd.Dataset:
                     n_units[r] = x.size
                     s[r, 0] = x.sum()
                     s[r, 1] = (x * x).sum()
-                else:  # image or concatenated-PPM video
-                    for frame in iter_ppm_frames(buf):
+                else:
+                    # single image: decode_ppm (tolerates trailing bytes
+                    # after the raster, e.g. a netpbm trailing newline);
+                    # video: walk every concatenated frame
+                    frames = ([decode_ppm(buf)] if kind == "image"
+                              else iter_ppm_frames(buf))
+                    for frame in frames:
                         flat = frame.reshape(-1, 3).astype(np.int64)
                         n_units[r] += flat.shape[0]
                         s[r] += flat.sum(axis=0)

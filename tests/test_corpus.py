@@ -19,6 +19,8 @@ def _docs() -> pd.DataFrame:
     texts[3] = ""                      # empty doc
     texts[5] = texts[4]                # exact dup
     texts[9] = texts[8] + " coda"      # shared prefix
+    texts[6] = "solo"                  # shorter than any k-gram
+    texts[7] = "duo coda"              # shorter than k=3 grams
     return pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64), "text": texts})
 
 

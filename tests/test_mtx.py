@@ -158,3 +158,28 @@ def test_jsonl_source_matches_parquet():
     a = a.sort_values(cols).reset_index(drop=True)
     b = b[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_csv_source_iso_timestamps():
+    # ISO ts strings with AND without fractional seconds must both land
+    # on timestamp[us] (pyarrow strptime lacks %f; the reader uses the
+    # native cast)
+    import os
+    import pandas as pd
+
+    from pagerank_cuda_dynamic_ray.sources import edges as E
+
+    out = "/tmp/graft_csv_iso_%d" % os.getpid()
+    os.makedirs(out, exist_ok=True)
+    pd.DataFrame({
+        "conv_id": ["c1", "c2"],
+        "turn_idx": [0, 0],
+        "text": ["see:c2", "hello"],
+        "tool": ["", ""],
+        "ts": ["2024-01-01T00:00:00", "2024-01-01T00:00:00.123456"],
+    }).to_csv(os.path.join(out, "part.csv"), index=False)
+    ts = E.read_transcripts_csv(os.path.join(out, "part.csv")).to_pandas()
+    assert str(ts["ts"].dtype).startswith("datetime64")
+    assert ts["ts"].iloc[1].microsecond == 123456
+    log = E.edge_log(E.read_transcripts_csv(os.path.join(out, "part.csv"))).to_pandas()
+    assert list(log["src"]) == ["c1"] and list(log["dst"]) == ["c2"]

@@ -686,3 +686,24 @@ def test_frame_diffs_bruteforce():
         assert list(rows["frame_idx"]) == [1, 2, 3, 4, 5]
         for f, d in zip(rows["frame_idx"], rows["diff_sum"]):
             assert d == np.abs(frames[f] - frames[f - 1]).sum()
+
+
+def test_media_stats_tolerates_trailing_bytes_on_images():
+    import numpy as np
+    import pyarrow as pa
+
+    rgb = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+    payload = multimodal.encode_ppm(rgb) + b"\n"  # netpbm trailing newline
+    t = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "kind": pa.array(["image"]),
+        "payload": pa.array([payload], pa.binary()),
+        "width": pa.array([3], pa.int32()),
+        "height": pa.array([4], pa.int32()),
+        "n_frames": pa.array([1], pa.int32()),
+        "sample_rate": pa.array([0], pa.int32()),
+    })
+    out = multimodal.media_stats(rd.from_arrow(t)).to_pandas()
+    flat = rgb.reshape(-1, 3).astype(np.int64)
+    assert out["n_units"].iloc[0] == 12
+    assert (out[["s0", "s1", "s2"]].to_numpy()[0] == flat.sum(axis=0)).all()
