@@ -577,9 +577,12 @@ def pseudo_diameter(ctx: GraphContext, max_rounds: int = 100_000) -> "pa.Table":
         d = t["distance"].to_numpy()
         ok = d >= 0
         if not ok.any():
+            # keep the 4-column schema identical to the reached branch so
+            # wholly-unreached blocks never break schema unification
             return pa.table({"vid": pa.array([], pa.int64()),
                              "distance": pa.array([], pa.int64()),
-                             "key": pa.array([], pa.string())})
+                             "key": pa.array([], pa.string()),
+                             "disp": pa.array([], pa.string())})
         dd = d[ok]
         m = dd.max()
         sel = np.flatnonzero(ok)[dd == m]

@@ -66,38 +66,55 @@ def chunk_documents(docs: rd.Dataset, size: int = 32, stride: int = 24,
 
     Row-local and shuffle-free: chunk text is re-joined with single
     spaces so the DuckDB oracle (array_to_string over list slices)
-    replays it byte-for-byte. Returns Dataset(doc_id, chunk_idx,
+    replays it byte-for-byte. Windows whose start would fall past the
+    last token (possible only when stride > size) are dropped, so every
+    emitted chunk is non-empty. Returns Dataset(doc_id, chunk_idx,
     n_tokens, chunk_text)."""
     if stride < 1 or size < 1:
         raise ValueError("size and stride must be >= 1")
 
     def chunks(batch: pd.DataFrame) -> pa.Table:
-        ids_out: list[np.ndarray] = []
-        idx_out: list[np.ndarray] = []
-        ntk_out: list[np.ndarray] = []
-        txt_out: list[str] = []
-        ids = batch[id_col].to_numpy(np.int64)
-        for did, text in zip(ids, batch[text_col].tolist()):
-            ws = _tok(text)
-            n = len(ws)
-            if n == 0:
-                continue
-            nch = 1 + max(0, -(-(n - size) // stride)) if n > size else 1
-            starts = np.arange(nch, dtype=np.int64) * stride
-            ends = np.minimum(starts + size, n)
-            ids_out.append(np.full(nch, did, dtype=np.int64))
-            idx_out.append(np.arange(nch, dtype=np.int64))
-            ntk_out.append(ends - starts)
-            txt_out.extend(" ".join(ws[s:e]) for s, e in zip(starts, ends))
-        if not ids_out:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "chunk_idx": pa.array([], pa.int64()),
-                             "n_tokens": pa.array([], pa.int64()),
-                             "chunk_text": pa.array([], pa.string())})
-        return pa.table({id_col: pa.array(np.concatenate(ids_out)),
-                         "chunk_idx": pa.array(np.concatenate(idx_out)),
-                         "n_tokens": pa.array(np.concatenate(ntk_out)),
-                         "chunk_text": pa.array(txt_out, pa.string())})
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "chunk_idx": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "chunk_text": pa.array([], pa.string())})
+        toks = batch[text_col].fillna("").str.split()  # == _tok per row
+        lens = toks.str.len().to_numpy(np.int64)
+        keep = lens > 0
+        if not keep.any():
+            return empty
+        ids = batch[id_col].to_numpy(np.int64)[keep]
+        toks = toks[keep]
+        lens = lens[keep]
+        joined = toks.str.join(" ").to_numpy()
+        # chunk count: 1 + ceil(max(0, n-size)/stride), minus any window
+        # starting at or past n (stride > size regime)
+        nch = np.where(lens > size, 1 + -(-(lens - size) // stride), 1)
+        nch = np.minimum(nch, -(-lens // stride)).astype(np.int64)
+        total = int(nch.sum())
+        docrep = np.repeat(np.arange(len(ids)), nch)
+        cidx = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(nch) - nch, nch)
+        tstart = cidx * stride
+        tend = np.minimum(tstart + size, lens[docrep])
+        # char offset of each token inside its re-joined doc: exclusive
+        # within-doc cumsum of (token_len + 1)
+        tlen = toks.explode().str.len().to_numpy(np.int64)
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        g = tlen + 1
+        excl = np.cumsum(g) - g
+        tok_cs = excl - np.repeat(excl[bounds[:-1]], lens)
+        tok_ce = tok_cs + tlen
+        cs = tok_cs[bounds[docrep] + tstart]
+        ce = tok_ce[bounds[docrep] + tend - 1]
+        return pa.table({
+            id_col: pa.array(ids[docrep]),
+            "chunk_idx": pa.array(cidx),
+            "n_tokens": pa.array(tend - tstart),
+            "chunk_text": pa.array(
+                [joined[d][s:e] for d, s, e in zip(docrep, cs, ce)],
+                pa.string()),
+        })
 
     return docs.map_batches(chunks, batch_format="pandas")
 
@@ -142,6 +159,13 @@ def pack_token_bins(docs: rd.Dataset, budget: int = 256,
         cr = cr.sort_values("first_id").reset_index(drop=True)
         excl = cr["tot"].cumsum().to_numpy() - cr["tot"].to_numpy()
         bases = dict(zip(cr["first_id"].astype(np.int64), excl.astype(np.int64)))
+        if len(bases) != len(cr):
+            # two blocks share a first doc_id ⇒ a duplicate-id run
+            # straddles a block boundary and the carry would silently
+            # overwrite one block's exclusive prefix — fail loudly
+            raise ValueError(
+                "pack_token_bins: duplicate doc_id spans a block boundary; "
+                "doc ids must be unique for deterministic packing")
 
     def assign(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
@@ -150,8 +174,16 @@ def pack_token_bins(docs: rd.Dataset, budget: int = 256,
                                  "bin": np.empty(0, np.int64),
                                  "bin_offset": np.empty(0, np.int64)})
         n = df["n_tokens"].to_numpy(np.int64)
-        prev = np.cumsum(n) - n + bases.get(int(df[id_col].iloc[0]), 0)
-        return pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
+        ids = df[id_col].to_numpy(np.int64)
+        # ids are sorted within a post-sort block, so adjacent equality
+        # is a full in-block duplicate check; cross-block duplicates are
+        # caught by the carry-dict collision check above
+        if len(ids) > 1 and (ids[1:] == ids[:-1]).any():
+            raise ValueError(
+                "pack_token_bins: duplicate doc_id; doc ids must be "
+                "unique for deterministic packing")
+        prev = np.cumsum(n) - n + bases.get(int(ids[0]), 0)
+        return pd.DataFrame({id_col: ids,
                              "n_tokens": n,
                              "bin": prev // budget,
                              "bin_offset": prev % budget})
@@ -198,6 +230,10 @@ def bm25_scores(docs: rd.Dataset, terms: list[str], k1: float = 1.2,
     N = int(st["n_docs"])
     totlen = int(st["total_len"])
     dfs = [int(st[f"df{i}"]) for i in range(len(terms))]
+    if totlen == 0:
+        # all-empty corpus: every tf is 0 so every score is exactly 0;
+        # substitute 1 to keep (lens*N)/totlen from producing 0/0 NaN
+        totlen = 1
 
     def score(batch: pd.DataFrame) -> pa.Table:
         texts = batch[text_col].tolist()
@@ -249,13 +285,19 @@ def contamination_screen(docs: rd.Dataset, bench_mod: int = 20,
             batch.loc[sel, text_col].tolist(), shingle_k)
         return pd.DataFrame({"sh": np.unique(flat)})
 
-    parts = docs.map_batches(bench_shingles, batch_format="pandas").to_pandas()
-    bench = np.unique(parts["sh"].to_numpy(np.uint64))
-    if len(bench) > max_bench_shingles:
+    parts_ds = docs.map_batches(bench_shingles,
+                                batch_format="pandas").materialize()
+    # guard BEFORE the driver pull: the per-block-unique partial row
+    # count upper-bounds the union size, so refusing on it prevents the
+    # driver-memory hazard rather than reporting it post hoc
+    n_partial = parts_ds.count()
+    if n_partial > max_bench_shingles:
         raise ValueError(
-            f"contamination_screen: benchmark shingle set ({len(bench)}) "
-            f"exceeds max_bench_shingles={max_bench_shingles}; shrink the "
+            f"contamination_screen: benchmark shingle partials ({n_partial}) "
+            f"exceed max_bench_shingles={max_bench_shingles}; shrink the "
             "benchmark subset or raise the limit deliberately")
+    parts = parts_ds.to_pandas()
+    bench = np.unique(parts["sh"].to_numpy(np.uint64))
     bench_ref = ray.put(bench)
 
     def screen(batch: pd.DataFrame) -> pa.Table:

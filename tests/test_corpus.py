@@ -48,6 +48,55 @@ def test_chunk_documents_windows_and_tail():
             assert a.split()[7:] == b.split()[: len(a.split()) - 7]
 
 
+def test_chunk_documents_stride_gt_size_drops_phantom_windows():
+    # stride > size (sampled windows): no chunk may start at/past the
+    # last token — n=10, size=2, stride=7 used to emit a start-14 chunk
+    # with n_tokens == -4 and empty text
+    df = pd.DataFrame({"doc_id": np.array([1, 2], dtype=np.int64),
+                       "text": [" ".join(f"w{i}" for i in range(10)), "a b"]})
+    out = corpus.chunk_documents(
+        rd.from_pandas(df), size=2, stride=7).to_pandas()
+    d1 = out[out["doc_id"] == 1].sort_values("chunk_idx")
+    assert d1["chunk_idx"].tolist() == [0, 1]
+    assert d1["chunk_text"].tolist() == ["w0 w1", "w7 w8"]
+    assert d1["n_tokens"].tolist() == [2, 2]
+    assert (out["n_tokens"] > 0).all()
+    d2 = out[out["doc_id"] == 2]
+    assert d2["chunk_text"].tolist() == ["a b"]
+
+
+def test_pack_token_bins_rejects_duplicate_doc_ids():
+    import pytest
+    import ray
+
+    # duplicate doc_id ⇒ nondeterministic packing order / carry-dict
+    # collision; the guard fires whether the run lands in one block
+    # (sorted-adjacent check) or straddles (carry first_id collision)
+    df = pd.DataFrame({"doc_id": np.array([7, 7], dtype=np.int64),
+                       "text": ["a b c", "d e"]})
+    ds = rd.from_pandas(df).repartition(2)
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError),
+                       match="duplicate doc_id"):
+        corpus.pack_token_bins(ds, budget=4).to_pandas()
+
+
+def test_bm25_all_empty_corpus_scores_zero():
+    df = pd.DataFrame({"doc_id": np.array([1, 2], dtype=np.int64),
+                       "text": ["", "   "]})
+    out = corpus.bm25_scores(rd.from_pandas(df), ["alpha"]).to_pandas()
+    assert (out["score_e6"] == 0).all() and len(out) == 2
+
+
+def test_contamination_refuses_before_driver_pull():
+    import pytest
+
+    df = _docs()
+    with pytest.raises(ValueError, match="max_bench_shingles"):
+        corpus.contamination_screen(
+            rd.from_pandas(df), bench_mod=2, shingle_k=3,
+            max_bench_shingles=1).to_pandas()
+
+
 def test_pack_token_bins_is_exclusive_prefix_and_partition_invariant():
     df = _docs()
     out = corpus.pack_token_bins(rd.from_pandas(df), budget=64).to_pandas()
