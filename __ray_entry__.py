@@ -2009,11 +2009,94 @@ def _q_frame_sample(sf_dir: str):
 # ----------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # Order = driver-verification priority: round-3 additions first,
-    # then the two round-2 hash-fail queries + the rows-only one, then
-    # the entries the round-2 gate's first-50 sample never reached, then
-    # the driver-green rows (the gate samples the registry head).
+    # Order = driver-verification priority: first the 25 entries with
+    # no official driver-green row in any of r01-r03, then the 11 last
+    # checked in r01, then r02-last, then r03-last (the gate samples
+    # the registry head, so least-recently-verified goes first).
     return {
+        "curation_pipeline": _q_curation_pipeline,
+        "hash_split": _q_hash_split,
+        "stratified_sample": _q_stratified_sample,
+        "sample_per_key": _q_sample_per_key,
+        "topk_events_per_user": _q_topk_events_per_user,
+        "mode_event_per_user": _q_mode_per_user,
+        "vocabulary": _q_vocabulary,
+        "inverted_index": _q_inverted_index,
+        "cooccurrence_pmi": _q_cooccurrence_pmi,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "hll_distinct": _q_hll_distinct,
+        "hll_users_by_type": _q_hll_users_by_type,
+        "doc_ntile": _q_doc_ntile,
+        "doc_window_ranks": _q_doc_window_ranks,
+        "doc_len_quantiles": _q_doc_len_quantiles,
+        "value_quantiles_binned": _q_value_quantiles_binned,
+        "len_quantiles_by_lang": _q_len_quantiles_by_lang,
+        "countmin_user_counts": _q_countmin_user_counts,
+        "bloom_semi": _q_bloom_semi,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "ngram_dup_profile": _q_ngram_dup_profile,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "embedding_covariance": _q_embedding_covariance,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "knn_ivf": _q_knn_ivf,
+        "doc_tokens": _q_doc_tokens,
+        "doc_lang": _q_doc_lang,
+        "doc_quality": _q_doc_quality,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "embedding_neardup": _q_embedding_neardup,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "knn_lsh": _q_knn_lsh,
+        "multimodal_decode": _q_multimodal_decode,
+        "frame_sample": _q_frame_sample,
+        "edge_log": _q_edge_log,
+        "vertex_dictionary": _q_vertex_dictionary,
+        "edges_encoded_dist": _q_edges_encoded_dist,
+        "out_degrees": _q_out_degrees,
+        "degree_distribution": _q_degree_distribution,
+        "edges_export": _q_edges_export,
+        "degree_assortativity": _q_degree_assortativity,
+        "self_loops": _q_self_loops,
+        "random_batch": _q_random_batch,
+        "batch_tidy": _q_batch_tidy,
+        "triangle_total": _q_triangle_total,
+        "triangles_per_vertex": _q_triangles_per_vertex,
+        "triangles_incremental": _q_triangles_incremental,
+        "clustering_coefficient": _q_clustering_coefficient,
+        "pagerank_static": _q_pagerank_static,
+        "pagerank_top20": _q_pagerank_top20,
+        "pagerank_personalized": _q_pagerank_personalized,
+        "pagerank_weighted": _q_pagerank_weighted,
+        "hits_scores": _q_hits_scores,
+        "pagerank_dynamic_ranks": _q_pagerank_dynamic_ranks,
+        "connected_components": _q_connected_components,
+        "maximal_independent_set": _q_mis,
+        "sssp_weighted": _q_sssp,
+        "greedy_coloring": _q_coloring,
+        "temporal_arrival": _q_temporal_arrival,
+        "core_numbers": _q_core_numbers,
+        "random_walks": _q_random_walks,
+        "harmonic_centrality": _q_harmonic_centrality,
+        "closeness_sample": _q_closeness_sample,
+        "scc_of_seeds": _q_scc_of_seeds,
+        "eccentricity_sample": _q_eccentricity_sample,
+        "sp_counts": _q_sp_counts,
+        "edge_support": _q_edge_support,
+        "ktruss": _q_ktruss,
+        "neighborhood_jaccard": _q_neighborhood_jaccard,
+        "cc_incremental": _q_cc_incremental,
+        "label_propagation": _q_label_propagation,
+        "community_graph": _q_community_graph,
+        "bfs_distances": _q_bfs_distances,
+        "modularity": _q_modularity,
+        "lineitem_agg": _q_lineitem_agg,
+        "top_customers": _q_top_customers,
+        "distinct_flags": _q_distinct_flags,
+        "events_summary": _q_events_summary,
+        "anti_join_users": _q_anti_join_users,
+        "orders_by_segment": _q_orders_by_segment,
+        "revenue_by_nation": _q_revenue_by_nation,
         "doc_chunks": _q_doc_chunks,
         "pack_bins": _q_pack_bins,
         "bm25_scores": _q_bm25_scores,
@@ -2064,89 +2147,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "pii_scrub": _q_pii_scrub,
         "quality_filter": _q_quality_filter,
-        "curation_pipeline": _q_curation_pipeline,
-        "doc_tokens": _q_doc_tokens,
-        "doc_lang": _q_doc_lang,
-        "doc_quality": _q_doc_quality,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "hash_split": _q_hash_split,
-        "stratified_sample": _q_stratified_sample,
-        "sample_per_key": _q_sample_per_key,
-        "topk_events_per_user": _q_topk_events_per_user,
-        "mode_event_per_user": _q_mode_per_user,
-        "vocabulary": _q_vocabulary,
-        "inverted_index": _q_inverted_index,
-        "cooccurrence_pmi": _q_cooccurrence_pmi,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "hll_distinct": _q_hll_distinct,
-        "hll_users_by_type": _q_hll_users_by_type,
-        "doc_ntile": _q_doc_ntile,
-        "doc_window_ranks": _q_doc_window_ranks,
-        "doc_len_quantiles": _q_doc_len_quantiles,
-        "value_quantiles_binned": _q_value_quantiles_binned,
-        "len_quantiles_by_lang": _q_len_quantiles_by_lang,
-        "countmin_user_counts": _q_countmin_user_counts,
-        "bloom_semi": _q_bloom_semi,
-        "minhash_dedup": _q_minhash_dedup,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "ngram_dup_profile": _q_ngram_dup_profile,
-        "simhash_dedup": _q_simhash_dedup,
-        "embedding_neardup": _q_embedding_neardup,
-        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
-        "embedding_covariance": _q_embedding_covariance,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "knn_bruteforce": _q_knn_bruteforce,
-        "knn_lsh": _q_knn_lsh,
-        "knn_ivf": _q_knn_ivf,
-        "multimodal_decode": _q_multimodal_decode,
-        "frame_sample": _q_frame_sample,
-        "edge_log": _q_edge_log,
-        "vertex_dictionary": _q_vertex_dictionary,
-        "edges_encoded_dist": _q_edges_encoded_dist,
-        "out_degrees": _q_out_degrees,
-        "degree_distribution": _q_degree_distribution,
-        "edges_export": _q_edges_export,
-        "degree_assortativity": _q_degree_assortativity,
-        "self_loops": _q_self_loops,
-        "random_batch": _q_random_batch,
-        "batch_tidy": _q_batch_tidy,
-        "triangle_total": _q_triangle_total,
-        "triangles_per_vertex": _q_triangles_per_vertex,
-        "triangles_incremental": _q_triangles_incremental,
-        "clustering_coefficient": _q_clustering_coefficient,
-        "pagerank_static": _q_pagerank_static,
-        "pagerank_top20": _q_pagerank_top20,
-        "pagerank_personalized": _q_pagerank_personalized,
-        "pagerank_weighted": _q_pagerank_weighted,
-        "hits_scores": _q_hits_scores,
-        "pagerank_dynamic_ranks": _q_pagerank_dynamic_ranks,
-        "connected_components": _q_connected_components,
-        "maximal_independent_set": _q_mis,
-        "sssp_weighted": _q_sssp,
-        "greedy_coloring": _q_coloring,
-        "temporal_arrival": _q_temporal_arrival,
-        "core_numbers": _q_core_numbers,
-        "random_walks": _q_random_walks,
-        "harmonic_centrality": _q_harmonic_centrality,
-        "closeness_sample": _q_closeness_sample,
-        "scc_of_seeds": _q_scc_of_seeds,
-        "eccentricity_sample": _q_eccentricity_sample,
-        "sp_counts": _q_sp_counts,
-        "edge_support": _q_edge_support,
-        "ktruss": _q_ktruss,
-        "neighborhood_jaccard": _q_neighborhood_jaccard,
-        "cc_incremental": _q_cc_incremental,
-        "label_propagation": _q_label_propagation,
-        "community_graph": _q_community_graph,
-        "bfs_distances": _q_bfs_distances,
-        "modularity": _q_modularity,
-        "lineitem_agg": _q_lineitem_agg,
-        "top_customers": _q_top_customers,
-        "distinct_flags": _q_distinct_flags,
-        "events_summary": _q_events_summary,
-        "anti_join_users": _q_anti_join_users,
-        "orders_by_segment": _q_orders_by_segment,
-        "revenue_by_nation": _q_revenue_by_nation,
     }
 
 
