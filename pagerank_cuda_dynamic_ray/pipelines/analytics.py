@@ -1645,33 +1645,40 @@ def modularity(ctx: GraphContext, labels: rd.Dataset | None = None) -> float:
             "first, or pass labels=Dataset(vid, label)"
         )
     if labels is not None:
-        pdf = labels.to_pandas()
+        from ..state.partitioner import route_labels
+
         # pick the label column by NAME, not position: engine outputs
         # carry (vid, component|label[, conv_id]) and column order is
         # not contractual after joins
-        named = [c for c in ("label", "component") if c in pdf.columns]
-        others = [c for c in pdf.columns if c not in ("vid", "conv_id")]
+        cols = labels.schema().names
+        named = [c for c in ("label", "component") if c in cols]
+        others = [c for c in cols if c not in ("vid", "conv_id")]
         if named:
             col = named[0]
         elif len(others) == 1:
             col = others[0]
         else:
             raise ValueError(
-                f"ambiguous label column among {list(pdf.columns)} — "
+                f"ambiguous label column among {cols} — "
                 "name it 'label' or 'component'"
             )
-        if len(pdf) != ctx.N or pdf["vid"].nunique() != ctx.N:
+        # distributed install: stream (vid, label) to owner shards —
+        # the driver never holds a vertex-scale vector; coverage and
+        # duplicate checks fold as O(P) scalars from the shards
+        ray.get([s.begin_label_install.remote() for s in shards])
+        route_labels(labels.select_columns(["vid", col]), shards, col)
+        res = ray.get([s.label_install_stats.remote() for s in shards])
+        n_written = sum(r[0] for r in res)
+        n_dups = sum(r[1] for r in res)
+        if n_dups or n_written != ctx.N:
+            ray.get([s.abort_label_install.remote() for s in shards])
             raise ValueError(
                 f"labels must cover every vertex exactly once "
-                f"({pdf['vid'].nunique()} unique vids for N={ctx.N}) — "
-                "a partial install would silently merge missing vertices "
-                "into community 0"
+                f"({n_written} unique vids, {n_dups} duplicates for "
+                f"N={ctx.N}) — a partial install would silently merge "
+                "missing vertices into community 0"
             )
-        full = np.zeros(ctx.N, dtype=np.int64)
-        full[pdf["vid"].to_numpy()] = pdf[col].to_numpy()
-        ray.get([
-            s.install_labels.remote(full[p::P]) for p, s in enumerate(shards)
-        ])
+        ray.get([s.finish_label_install.remote() for s in shards])
     need_refs = [s.mod_needed_neighbors.options(num_returns=P + 1).remote() for s in shards]
     lab_refs = [
         [shards[q].labels_for.remote(need_refs[p][1 + q]) for q in range(P)]

@@ -61,6 +61,32 @@ def route_edges(encoded: rd.Dataset, shards: list, batch_size: int = 131_072) ->
     return int(sum(r["n"] for r in counts.take_all()))
 
 
+def route_labels(labels: rd.Dataset, shards: list, col: str,
+                 batch_size: int = 262_144) -> int:
+    """Stream an external (vid, label) Dataset into the shard pool's
+    label vectors — the distributed replacement for pulling a
+    vertex-scale label table to the driver. Each batch splits by owner
+    (``vid % P``) and ships (local_idx, label) int64 slices; shards
+    scatter into a pre-zeroed vector and track coverage/duplicates so
+    the caller can verify an exact install with O(P) scalars
+    (``finish_label_install``). Same backpressured 0.5-CPU shape as
+    route_temporal. Returns the total row count routed."""
+    P = len(shards)
+
+    def route(batch: pa.Table) -> pa.Table:
+        vid = batch["vid"].to_numpy().astype(np.int64)
+        val = batch[col].to_numpy().astype(np.int64)
+        outs = split_by_owner(np.stack([vid // P, val]), vid % P, P)
+        refs = [shards[p].ingest_labels.remote(outs[p][0], outs[p][1])
+                for p in range(P) if outs[p].shape[1]]
+        ray.get(refs)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    counts = labels.map_batches(route, batch_format="pyarrow",
+                                batch_size=batch_size, num_cpus=0.5)
+    return int(sum(r["n"] for r in counts.take_all()))
+
+
 def route_temporal(encoded: rd.Dataset, shards: list, batch_size: int = 131_072) -> int:
     """Stream an encoded (src, dst, ts) edge log into the shard pool's
     temporal adjacency (src-owner routed, per-edge timestamps kept as

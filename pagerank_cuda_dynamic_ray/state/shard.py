@@ -2098,6 +2098,39 @@ class GraphShard:
         self.labels = np.asarray(labels, dtype=np.int64).copy()
         self._labels_kind = "installed"
 
+    # --- distributed label install: the external-Dataset path routes
+    # (vid, label) slices to owner shards (state/partitioner.route_labels)
+    # instead of materializing a vertex-scale vector on the driver ---
+
+    def begin_label_install(self) -> None:
+        self._li_vals = np.zeros(self.n_local, dtype=np.int64)
+        self._li_seen = np.zeros(self.n_local, dtype=bool)
+        self._li_dups = 0
+
+    def ingest_labels(self, locals_: np.ndarray, vals: np.ndarray) -> None:
+        if len(locals_) and (locals_.min() < 0 or locals_.max() >= self.n_local):
+            raise ValueError("label vid outside [0, N)")
+        self._li_dups += int(self._li_seen[locals_].sum())
+        u, c = np.unique(locals_, return_counts=True)
+        self._li_dups += int((c - 1).sum())
+        self._li_seen[locals_] = True
+        self._li_vals[locals_] = vals
+
+    def label_install_stats(self) -> tuple[int, int]:
+        """(slots written, duplicate rows seen) — lets the driver verify
+        exact coverage with O(P) scalars BEFORE committing, instead of a
+        vertex-scale pull."""
+        return int(self._li_seen.sum()), self._li_dups
+
+    def finish_label_install(self) -> None:
+        self.labels = self._li_vals
+        self._labels_kind = "installed"
+        self.abort_label_install()
+
+    def abort_label_install(self) -> None:
+        self._li_vals = self._li_seen = None
+        self._li_dups = 0
+
     def has_labels(self) -> bool:
         return self.labels is not None
 

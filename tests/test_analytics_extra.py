@@ -132,6 +132,18 @@ def test_modularity_install_guards(ctx):
     }))
     with pytest.raises(ValueError, match="ambiguous"):
         A.modularity(ctx, ambiguous)
+    # duplicate vids must raise (the distributed install counts them
+    # shard-side; a silent last-writer-wins would be nondeterministic)
+    dup = rd.from_arrow(pa.table({
+        "vid": np.array([0, 1, 2, 3, 4, 5, 6, 6], dtype=np.int64),
+        "label": np.zeros(8, dtype=np.int64),
+    }))
+    with pytest.raises(ValueError, match="cover every vertex"):
+        A.modularity(ctx, dup)
+    # a failed install must not leave partial labels behind: a follow-up
+    # valid install still works and prior ctx labels are intact
+    q2 = A.modularity(ctx, labels)
+    assert abs(q2 - q) < 1e-12
 
 
 # ----------------------------------------------------------------------
