@@ -65,7 +65,7 @@ def profile_table(
                                           "min_v", "max_v"])
         return pa.Table.from_pandas(df_, preserve_index=False)
 
-    def merge(df_: pd.DataFrame) -> pd.DataFrame:
+    def merge(df_: pd.DataFrame) -> pa.Table:
         ok_min = df_["min_v"][df_["min_v"] != ""]
         ok_max = df_["max_v"][df_["max_v"] != ""]
         col = df_["column"].iloc[0]
@@ -76,11 +76,12 @@ def profile_table(
         else:
             mn = ok_min.min() if len(ok_min) else ""
             mx = ok_max.max() if len(ok_max) else ""
-        return pd.DataFrame({
-            "column": [col],
-            "n_rows": np.array([df_["n_rows"].sum()], dtype=np.int64),
-            "n_null": np.array([df_["n_null"].sum()], dtype=np.int64),
-            "min_v": [mn], "max_v": [mx],
+        return pa.table({
+            "column": pa.array([col], pa.string()),
+            "n_rows": pa.array([int(df_["n_rows"].sum())], pa.int64()),
+            "n_null": pa.array([int(df_["n_null"].sum())], pa.int64()),
+            "min_v": pa.array([mn], pa.string()),
+            "max_v": pa.array([mx], pa.string()),
         })
 
     return (

@@ -186,13 +186,13 @@ def mode_per_key(
         g["n"] = g["n"].astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def merge(df_: pd.DataFrame) -> pd.DataFrame:
+    def merge(df_: pd.DataFrame) -> pa.Table:
         s = df_.groupby(val_col, sort=True)["n"].sum()
         arr = s.to_numpy()
         i = int(np.argmax(arr))  # values sorted ascending: first max = smallest
-        return pd.DataFrame({key_col: [df_[key_col].iloc[0]],
-                             val_col: [s.index[i]],
-                             "n": [int(arr[i])]})
+        return pa.table({key_col: pa.array([df_[key_col].iloc[0]]),
+                         val_col: pa.array([s.index[i]]),
+                         "n": pa.array([int(arr[i])], pa.int64())})
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -404,13 +404,15 @@ def inverted_index(
                              for i in range(len(u))], pa.binary()),
         })
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
         ids = np.sort(np.concatenate(
             [np.frombuffer(x, dtype=np.int64) for x in g["ids"]]))[:k]
-        return pd.DataFrame({
-            "token": [g["token"].iloc[0]],
-            "df": np.array([g["pdf"].sum()], np.int64),
-            "postings": [",".join(map(str, ids.tolist()))],
+        return pa.table({
+            "token": pa.array([g["token"].iloc[0]], pa.string()),
+            "df": pa.array([int(g["pdf"].sum())], pa.int64()),
+            "postings": pa.array([",".join(map(str, ids.tolist()))], pa.string()),
         })
 
     partials = ds.map_batches(partial, batch_format="pandas")
@@ -467,7 +469,7 @@ def global_rank_ntile(
     q, r = divmod(n_total, max(tiles, 1))
     cut = r * (q + 1)
 
-    def rank_group(df_: pd.DataFrame) -> pd.DataFrame:
+    def rank_group(df_: pd.DataFrame) -> "pa.Table":
         vals_b, base_b = ray.get(base_ref)
         v = np.int64(df_[value_col].iloc[0])
         b = int(base_b[np.searchsorted(vals_b, v)])
@@ -478,13 +480,12 @@ def global_rank_ntile(
             tile = rk + 1  # more tiles than rows: SQL gives 1 row/tile
         else:
             tile = np.where(rk < cut, rk // (q + 1), r + (rk - cut) // q) + 1
-        out = pd.DataFrame({
-            id_col: df_[id_col].to_numpy(),
-            value_col: df_[value_col].to_numpy(),
-            rn_col: rk + 1,
-            tile_col: tile.astype(np.int64),
+        return pa.table({
+            id_col: pa.array(df_[id_col].to_numpy()),
+            value_col: pa.array(df_[value_col].to_numpy()),
+            rn_col: pa.array(rk + 1),
+            tile_col: pa.array(tile.astype(np.int64)),
         })
-        return out
 
     return ds.groupby(value_col).map_groups(rank_group, batch_format="pandas")
 

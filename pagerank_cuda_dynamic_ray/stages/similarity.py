@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data as rd
 
@@ -25,6 +26,18 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 def _matrix(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return pdf["vec_id"].to_numpy(), _normalize(np.stack(pdf["embedding"].to_list()).astype(np.float64))
+
+
+def _topk_merge(group: pd.DataFrame, k: int, dedup: bool = False) -> pa.Table:
+    """Per-query merge of block partials (Arrow out — this runs right
+    after the groupby shuffle, so its output format is the one blocks
+    downstream see)."""
+    g_ = group.drop_duplicates("neighbor_id") if dedup else group
+    g, s, p, r = K.topk_per_group(
+        g_["query_id"].to_numpy(), g_["cosine"].to_numpy(),
+        g_["neighbor_id"].to_numpy(), k)
+    return pa.table({"query_id": pa.array(g), "neighbor_id": pa.array(p),
+                     "cosine": pa.array(s), "rank": pa.array(r)})
 
 
 def knn_bruteforce(embeddings: rd.Dataset, queries: pd.DataFrame, k: int = 10,
@@ -62,14 +75,9 @@ def knn_bruteforce(embeddings: rd.Dataset, queries: pd.DataFrame, k: int = 10,
 
     partials = embeddings.map_batches(block_topk, batch_format="pandas", batch_size=4096)
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g, s, p, r = K.topk_per_group(
-            group["query_id"].to_numpy(), group["cosine"].to_numpy(),
-            group["neighbor_id"].to_numpy(), k,
-        )
-        return pd.DataFrame({"query_id": g, "neighbor_id": p, "cosine": s, "rank": r})
-
-    out = partials.groupby("query_id").map_groups(merge, batch_format="pandas").to_pandas()
+    out = (partials.groupby("query_id")
+           .map_groups(lambda g: _topk_merge(g, k), batch_format="pandas")
+           .to_pandas())
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
@@ -154,14 +162,10 @@ def knn_ivf(embeddings: rd.Dataset, queries: pd.DataFrame, k: int = 10,
 
     partials = embeddings.map_batches(block_topk, batch_format="pandas", batch_size=4096)
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("neighbor_id")
-        g, s, p, r = K.topk_per_group(
-            g["query_id"].to_numpy(), g["cosine"].to_numpy(), g["neighbor_id"].to_numpy(), k
-        )
-        return pd.DataFrame({"query_id": g, "neighbor_id": p, "cosine": s, "rank": r})
-
-    out = partials.groupby("query_id").map_groups(merge, batch_format="pandas").to_pandas()
+    out = (partials.groupby("query_id")
+           .map_groups(lambda g: _topk_merge(g, k, dedup=True),
+                       batch_format="pandas")
+           .to_pandas())
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
@@ -252,14 +256,10 @@ def knn_lsh(embeddings: rd.Dataset, queries: pd.DataFrame, k: int = 10,
 
     partials = embeddings.map_batches(block_topk, batch_format="pandas", batch_size=4096)
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("neighbor_id")
-        g, s, p, r = K.topk_per_group(
-            g["query_id"].to_numpy(), g["cosine"].to_numpy(), g["neighbor_id"].to_numpy(), k
-        )
-        return pd.DataFrame({"query_id": g, "neighbor_id": p, "cosine": s, "rank": r})
-
-    out = partials.groupby("query_id").map_groups(merge, batch_format="pandas").to_pandas()
+    out = (partials.groupby("query_id")
+           .map_groups(lambda g: _topk_merge(g, k, dedup=True),
+                       batch_format="pandas")
+           .to_pandas())
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 

@@ -127,14 +127,14 @@ def hll_distinct_by_key(
         g = df_.groupby([key_col, "bucket"], sort=True)["rho"].max().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def readoff(df_: pd.DataFrame) -> pd.DataFrame:
+    def readoff(df_: pd.DataFrame) -> pa.Table:
         rho = df_.groupby("bucket")["rho"].max().to_numpy()
         est = hll_estimate(rho, p)
-        return pd.DataFrame({
-            key_col: [df_[key_col].iloc[0]],
-            "distinct_est": np.array([est["distinct_est"]], dtype=np.int64),
-            "n_zero_regs": np.array([est["n_zero_regs"]], dtype=np.int64),
-            "reg_sum_rho": np.array([est["reg_sum_rho"]], dtype=np.int64),
+        return pa.table({
+            key_col: pa.array([df_[key_col].iloc[0]]),
+            "distinct_est": pa.array([int(est["distinct_est"])], pa.int64()),
+            "n_zero_regs": pa.array([int(est["n_zero_regs"])], pa.int64()),
+            "reg_sum_rho": pa.array([int(est["reg_sum_rho"])], pa.int64()),
         })
 
     return (
@@ -280,16 +280,16 @@ def grouped_quantiles_hist(
         g["cnt"] = g["cnt"].astype(np.int64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def readoff(df_: pd.DataFrame) -> pd.DataFrame:
+    def readoff(df_: pd.DataFrame) -> pa.Table:
         h = df_.groupby("value", sort=True)["cnt"].sum()
         n = int(h.sum())
         cum = h.cumsum().to_numpy()
         values = h.index.to_numpy()
         picks = [int(values[np.searchsorted(cum, int(np.floor((n - 1) * p)) + 1)])
                  for p in qs.values()]
-        return pd.DataFrame({key_col: [df_[key_col].iloc[0]] * len(qs),
-                             "q": list(qs.keys()),
-                             "value": np.array(picks, dtype=np.int64)})
+        return pa.table({key_col: pa.array([df_[key_col].iloc[0]] * len(qs)),
+                         "q": pa.array(list(qs.keys()), pa.string()),
+                         "value": pa.array(np.array(picks, dtype=np.int64))})
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")

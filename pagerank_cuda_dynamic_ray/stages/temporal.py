@@ -106,13 +106,14 @@ def windowed_aggregate(events: rd.Dataset, ts: str = "ts", key: str = "event_typ
         g["__gk"] = g["__win"].astype(str) + "|" + g[key].astype(str)
         return g
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "window_start": np.array([g["__win"].iloc[0]], "datetime64[us]"),
-            key: [g[key].iloc[0]],
-            "n_events": np.array([g["n_events"].sum()], np.int64),
-            "min_value": [g["min_value"].min()],
-            "max_value": [g["max_value"].max()],
+    def merge(g: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "window_start": pa.array(
+                np.array([g["__win"].iloc[0]], "datetime64[us]")),
+            key: pa.array([g[key].iloc[0]]),
+            "n_events": pa.array([int(g["n_events"].sum())], pa.int64()),
+            "min_value": pa.array([g["min_value"].min()]),
+            "max_value": pa.array([g["max_value"].max()]),
         })
 
     partials = events.map_batches(partial, batch_format="pandas")
