@@ -854,6 +854,19 @@ def _q_two_hop(sf_dir: str):
     return A.two_hop_counts(edges, ids)
 
 
+def _q_two_hop_capped(sf_dir: str):
+    """Capped-exact 2-hop sizes (the power-law-graph posture): neighbor
+    lists truncated to the 3 smallest neighbors per vertex, plus the
+    honest ``truncated`` lower-bound flag — pipelines/analytics.py
+    _cap_adjacency's two-phase prefix-filter combiner."""
+    fx = _fixture(sf_dir)
+    ts = E.read_transcripts(fx, columns=["conv_id", "turn_idx", "text", "tool", "ts"])
+    edges = E.extract_edges(ts).select_columns(["src", "dst"])
+    d = _graph(sf_dir).dictionary
+    ids = rd.from_arrow(pa.table({"conv_id": pa.array(d)}))
+    return A.two_hop_counts(edges, ids, cap=3)
+
+
 def _q_lp_incremental(sf_dir: str):
     """Incremental label propagation, phase-exact: cold LP (10 rounds)
     on the base 90% of the ordered log, one insertion batch applied,
@@ -2014,6 +2027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # checked in r01, then r02-last, then r03-last (the gate samples
     # the registry head, so least-recently-verified goes first).
     return {
+        "two_hop_capped": _q_two_hop_capped,
         "curation_pipeline": _q_curation_pipeline,
         "hash_split": _q_hash_split,
         "stratified_sample": _q_stratified_sample,
@@ -4162,6 +4176,23 @@ th AS (SELECT DISTINCT n1.a AS a, n2.b AS c
 cnt AS (SELECT a, CAST(count(*) AS BIGINT) AS n FROM th GROUP BY a)
 SELECT i.conv_id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_two_hop
 FROM ids i LEFT JOIN cnt ON cnt.a = i.conv_id""",
+        "two_hop_capped": _GRAPH_CTE2 + """,
+rk AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS rn,
+              count(*) OVER (PARTITION BY a) AS deg FROM nbr),
+kept AS (SELECT a, b FROM rk WHERE rn <= 3),
+ovr AS (SELECT a, max(CASE WHEN deg > 3 THEN 1 ELSE 0 END) AS ov
+        FROM rk GROUP BY a),
+th AS (SELECT DISTINCT k1.a AS a, k2.b AS c
+       FROM kept k1 JOIN kept k2 ON k2.a = k1.b WHERE k2.b <> k1.a
+       UNION SELECT a, b FROM kept),
+cnt AS (SELECT a, CAST(count(*) AS BIGINT) AS n FROM th GROUP BY a),
+fl AS (SELECT k.a, max(CASE WHEN o1.ov = 1 OR o2.ov = 1 THEN 1 ELSE 0 END) AS tr
+       FROM kept k JOIN ovr o1 ON o1.a = k.a JOIN ovr o2 ON o2.a = k.b
+       GROUP BY k.a)
+SELECT i.conv_id, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_two_hop,
+       CAST(coalesce(fl.tr, 0) AS BIGINT) AS truncated
+FROM ids i LEFT JOIN cnt ON cnt.a = i.conv_id
+LEFT JOIN fl ON fl.a = i.conv_id""",
         "media_stats": _sql_media_stats(),
         "image_resize": _sql_image_resize(),
         "audio_energy": _sql_audio_energy(),

@@ -104,9 +104,81 @@ def connected_components_incremental(ctx: GraphContext, inserted_edges: np.ndarr
     return _with_conv(ctx, tables)
 
 
+def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int):
+    """Truncate every vertex's neighbor list to its ``cap`` smallest
+    distinct neighbors and derive per-vertex truncation flags — the
+    graceful-hub path of :func:`two_hop_counts`.
+
+    Two-phase combiner (the sample_per_key shape): each block ships at
+    most ``cap`` smallest distinct (a, b) rows per vertex plus a
+    block-overflow bit, so the per-vertex merge group is bounded by
+    cap × blocks. Each per-block smallest-cap list is a lossless
+    prefix filter for the global smallest-cap, and
+    deg(a) > cap ⇔ any block overflowed OR the union exceeds cap —
+    no exact-degree pass anywhere.
+
+    Returns (capped (a, b) Dataset, flags Dataset(a, truncated:int64))
+    with truncated(a) = own overflow OR any KEPT neighbor's overflow
+    (the vertices whose capped 2-hop count can undercount)."""
+
+    def cap_partial(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return pa.table({"a": t["a"], "b": t["b"],
+                             "ov": pa.array([], pa.int64())})
+        order = np.lexsort((b, a))
+        aa, bb = a[order], b[order]
+        starts = np.concatenate([[0], np.flatnonzero(aa[1:] != aa[:-1]) + 1])
+        cnt = np.diff(np.append(starts, len(aa)))
+        rank = np.arange(len(aa)) - np.repeat(starts, cnt)
+        keep = rank < cap
+        ov = np.repeat((cnt > cap).astype(np.int64), np.minimum(cnt, cap))
+        return pa.table({"a": pa.array(aa[keep]), "b": pa.array(bb[keep]),
+                         "ov": pa.array(ov)})
+
+    def cap_merge(g: pd.DataFrame) -> pa.Table:
+        bs = np.unique(g["b"].to_numpy())
+        over = int(bool(g["ov"].max()) or len(bs) > cap)
+        kept = bs[:cap]
+        return pa.table({"a": pa.array([g["a"].iloc[0]] * len(kept)),
+                         "b": pa.array(kept),
+                         "ov": pa.array(np.full(len(kept), over, np.int64))})
+
+    capped = (sym.map_batches(cap_partial, batch_format="pyarrow")
+              .groupby("a").map_groups(cap_merge, batch_format="pandas")
+              .materialize())
+
+    def vf(t: pa.Table) -> pa.Table:
+        u = pd.DataFrame({"m": t["a"].to_numpy(zero_copy_only=False),
+                          "ovm": t["ov"].to_numpy()}).drop_duplicates("m")
+        return pa.Table.from_pandas(u, preserve_index=False)
+
+    # truncated(a) = ov(a) OR any kept neighbor's ov — computed over the
+    # capped pair stream (≤ cap rows per vertex), so the join and the
+    # per-vertex max stay bounded regardless of hub degree
+    vflag = capped.map_batches(vf, batch_format="pyarrow")
+    j = capped.join(vflag, "inner", num_partitions, on=("b",),
+                    right_on=("m",),
+                    aggregator_ray_remote_args={"num_cpus": 0.25})
+
+    def orf(t: pa.Table) -> pa.Table:
+        tr = t["ov"].to_numpy() | t["ovm"].to_numpy()
+        return pa.table({"a": t["a"], "truncated": pa.array(tr)})
+
+    flags = (j.map_batches(orf, batch_format="pyarrow")
+             .groupby("a").max("truncated")
+             .map_batches(lambda t: t.rename_columns(["a", "truncated"]),
+                          batch_format="pyarrow"))
+    sym2 = capped.map_batches(lambda t: t.select(["a", "b"]),
+                              batch_format="pyarrow")
+    return sym2, flags
+
+
 def two_hop_counts(edges: rd.Dataset, ids: rd.Dataset,
                    num_partitions: int = 8,
-                   max_boundary_rows: int = 20_000_000) -> rd.Dataset:
+                   max_boundary_rows: int = 20_000_000,
+                   cap: int | None = None) -> rd.Dataset:
     """Per-vertex 2-hop neighborhood size (friend-of-friend count, the
     classic feature-engineering primitive): distinct vertices within
     undirected distance <= 2, self excluded. Pure Ray-Data-native plan —
@@ -122,7 +194,17 @@ def two_hop_counts(edges: rd.Dataset, ids: rd.Dataset,
     ``ids``: one ``conv_id`` row per vertex (isolated vertices get 0).
     Returns Dataset(conv_id, n_two_hop). Scale note: the join fan-out
     is Σ deg² — inherent to the exact operator (the SQL self-join pays
-    the same); cap hub degrees upstream for power-law graphs."""
+    the same); for power-law graphs pass ``cap``.
+
+    ``cap``: capped-exact mode for hub-heavy graphs. Every vertex's
+    neighbor list is truncated to its ``cap`` SMALLEST distinct
+    neighbors (deterministic, partitioning-invariant), both as source
+    and as mid-hop, bounding the join fan-out at cap² per vertex; the
+    result gains a ``truncated`` column, true iff the vertex's own
+    degree exceeded the cap or any KEPT mid-neighbor's did — i.e.
+    exactly the vertices whose ``n_two_hop`` is a lower bound of the
+    uncapped count. Vertices with ``truncated == false`` carry the
+    exact uncapped value."""
 
     def symx(t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy(zero_copy_only=False)
@@ -134,6 +216,9 @@ def two_hop_counts(edges: rd.Dataset, ids: rd.Dataset,
         return pa.Table.from_pandas(u, preserve_index=False)
 
     sym = edges.map_batches(symx, batch_format="pyarrow").materialize()
+    flags = None
+    if cap is not None:
+        sym, flags = _cap_adjacency(sym, cap, num_partitions)
 
     def ren(t: pa.Table) -> pa.Table:
         return pa.table({"m": t["a"], "c": t["b"]})
@@ -214,11 +299,23 @@ def two_hop_counts(edges: rd.Dataset, ids: rd.Dataset,
         "left_outer", num_partitions, on=("conv_id",),
         aggregator_ray_remote_args={"num_cpus": 0.25},
     )
+    if flags is not None:
+        joined = joined.join(
+            flags.map_batches(
+                lambda t: t.rename_columns(["conv_id", "truncated"]),
+                batch_format="pyarrow"),
+            "left_outer", num_partitions, on=("conv_id",),
+            aggregator_ray_remote_args={"num_cpus": 0.25},
+        )
 
     def fin(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         n = pc.coalesce(t["n"], pa.scalar(0, pa.int64()))
-        return pa.table({"conv_id": t["conv_id"], "n_two_hop": n})
+        cols = {"conv_id": t["conv_id"], "n_two_hop": n}
+        if "truncated" in t.column_names:
+            cols["truncated"] = pc.coalesce(t["truncated"],
+                                            pa.scalar(0, pa.int64()))
+        return pa.table(cols)
 
     return joined.map_batches(fin, batch_format="pyarrow")
 

@@ -56,6 +56,52 @@ def test_two_hop_counts_bruteforce():
     np.testing.assert_array_equal(got["n_two_hop"].to_numpy(), np.array(want))
 
 
+def test_two_hop_counts_capped_flag_semantics():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    names = np.array([f"v{i:02d}" for i in range(14)])
+    src = names[rng.integers(0, 14, 40)].tolist()
+    dst = names[rng.integers(0, 14, 40)].tolist()
+    # a deliberate hub: v00 adjacent to everyone
+    src += ["v00"] * 13
+    dst += [f"v{i:02d}" for i in range(1, 14)]
+    edges = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    ids = rd.from_arrow(pa.table({"conv_id": pa.array(names)}))
+    cap = 4
+    got = (A.two_hop_counts(edges, ids, num_partitions=4, cap=cap).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    # brute force the capped semantics: per vertex keep the cap SMALLEST
+    # distinct neighbors; 2-hop over capped lists; truncated = own
+    # overflow or any kept mid's overflow
+    adj = {n: set() for n in names}
+    for a, b in zip(src, dst):
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    kept = {n: sorted(adj[n])[:cap] for n in names}
+    over = {n: len(adj[n]) > cap for n in names}
+    for i, n in enumerate(names):
+        ball = set(kept[n])
+        for u in kept[n]:
+            ball |= set(kept[u])
+        ball.discard(n)
+        assert got.loc[i, "n_two_hop"] == len(ball), n
+        want_tr = over[n] or any(over[u] for u in kept[n])
+        assert bool(got.loc[i, "truncated"]) == want_tr, n
+    # the hub must be flagged; with a generous cap nothing is flagged
+    assert got.loc[0, "truncated"] == 1
+    big = (A.two_hop_counts(edges, ids, num_partitions=4, cap=100).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    unc = (A.two_hop_counts(edges, ids, num_partitions=4).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    assert (big["truncated"] == 0).all()
+    assert (big["n_two_hop"].to_numpy() == unc["n_two_hop"].to_numpy()).all()
+    assert "truncated" not in unc.columns  # uncapped schema unchanged
+
+
 def test_pseudo_diameter_double_sweep(ctx):
     # sweep 1 from vid 0 reaches vids 4/5 at distance 3 (tie -> vid 4);
     # sweep 2 from vid 4 back across the bridge is also eccentricity 3
