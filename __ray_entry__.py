@@ -1319,6 +1319,19 @@ def _q_copurchase_pairs(sf_dir: str):
     return R.copair_counts(j, "l_partkey", "o_custkey", top=100)
 
 
+def _q_copurchase_capped(sf_dir: str):
+    """Capped-exact co-purchase (the power-law-group posture): every
+    part's buyer set truncated to its 4 smallest customers before
+    pairing, with the per-pair ``truncated`` lower-bound flag —
+    relational.copair_counts(cap=4)."""
+    from pagerank_cuda_dynamic_ray.stages import relational as R
+
+    li = _tbl(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    od = _tbl(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = li.join(od, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",))
+    return R.copair_counts(j, "l_partkey", "o_custkey", top=100, cap=4)
+
+
 def _q_lineitem_profile(sf_dir: str):
     """Data-profiling pass (relational.profile_table): per-column row
     count, null count, min, max over lineitem in ONE streaming scan —
@@ -2028,6 +2041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the registry head, so least-recently-verified goes first).
     return {
         "two_hop_capped": _q_two_hop_capped,
+        "copurchase_capped": _q_copurchase_capped,
         "curation_pipeline": _q_curation_pipeline,
         "hash_split": _q_hash_split,
         "stratified_sample": _q_stratified_sample,
@@ -4401,6 +4415,18 @@ WITH cp AS (SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
             FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
 SELECT a.c AS a, b.c AS b, count(*)::BIGINT AS shared
 FROM cp a JOIN cp b ON b.p = a.p AND a.c < b.c
+GROUP BY 1, 2
+ORDER BY shared DESC, a, b LIMIT 100""",
+        "copurchase_capped": """
+WITH cp AS (SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+rk AS (SELECT p, c, row_number() OVER (PARTITION BY p ORDER BY c) AS rn,
+              count(*) OVER (PARTITION BY p) AS sz FROM cp),
+kept AS (SELECT p, c, CASE WHEN sz > 4 THEN 1 ELSE 0 END AS fl
+         FROM rk WHERE rn <= 4)
+SELECT a.c AS a, b.c AS b, count(*)::BIGINT AS shared,
+       max(a.fl)::BIGINT AS truncated
+FROM kept a JOIN kept b ON b.p = a.p AND a.c < b.c
 GROUP BY 1, 2
 ORDER BY shared DESC, a, b LIMIT 100""",
         "lineitem_profile": _sql_lineitem_profile(),

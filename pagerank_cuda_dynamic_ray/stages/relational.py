@@ -228,6 +228,7 @@ def copair_counts(
     top: int = 100,
     max_edge_pairs: int = 20_000_000,
     edge_chunk_rows: int = 2_000_000,
+    cap: int | None = None,
 ) -> "pa.Table":
     """EXACT bipartite projection (co-occurrence join): for every
     unordered pair of members sharing a group, the number of groups
@@ -247,9 +248,21 @@ def copair_counts(
     groups emit distributed; a hot group straddling a block edge pairs
     driver-side in ``edge_chunk_rows`` chunks (bounded peak memory) and
     the run REFUSES past ``max_edge_pairs`` total boundary pairs rather
-    than quietly attempting an O(M²) driver materialization — cap the
-    group fan-out upstream for power-law group sizes.
-    Returns a pa.Table of (a, b, shared) in (shared desc, a, b) order.
+    than quietly attempting an O(M²) driver materialization — or pass
+    ``cap`` for the graceful degradation below.
+
+    ``cap``: capped-exact mode for power-law group sizes. Groups larger
+    than ``cap`` members are truncated to their ``cap`` SMALLEST
+    distinct members (deterministic, partitioning-invariant), bounding
+    the fan-out at cap·(cap−1)/2 pairs per group; the result gains a
+    ``truncated`` column, 1 iff any group contributing to the pair's
+    count was truncated (those counts are lower bounds of the uncapped
+    projection; untruncated pairs may still be lower bounds if a
+    DROPPED membership would have linked them — the flag is per
+    surviving pair, not a global completeness certificate).
+
+    Returns a pa.Table of (a, b, shared[, truncated]) in
+    (shared desc, a, b) order.
     """
     def dedup_part(t: pa.Table) -> pa.Table:
         df_ = pd.DataFrame({group_col: t[group_col].to_numpy(zero_copy_only=False),
@@ -260,29 +273,39 @@ def copair_counts(
     srt = (ds.map_batches(dedup_part, batch_format="pyarrow")
            .sort([group_col, member_col]).materialize())
 
-    def seg_pairs(g: np.ndarray, m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """All unordered member pairs within each group run of (g, m)."""
-        out_a, out_b = [], []
+    def seg_pairs(g: np.ndarray, m: np.ndarray):
+        """All unordered member pairs within each group run of (g, m);
+        in capped mode each run truncates to its cap smallest members
+        and every emitted pair carries the run's truncation flag."""
+        out_a, out_b, out_t = [], [], []
         bounds = np.concatenate([[0], np.flatnonzero(np.diff(g)) + 1, [len(g)]])
         for s, e in zip(bounds[:-1], bounds[1:]):
             k = e - s
             if k < 2:
                 continue
             mem = np.sort(m[s:e])
+            fl = 0
+            if cap is not None and k > cap:
+                mem, fl = mem[:cap], 1
+                k = cap
+            if k < 2:
+                continue
             iu = np.triu_indices(k, 1)
             out_a.append(mem[iu[0]])
             out_b.append(mem[iu[1]])
+            out_t.append(np.full(len(iu[0]), fl, dtype=np.int64))
         if not out_a:
             z = np.empty(0, dtype=np.int64)
-            return z, z
-        return np.concatenate(out_a), np.concatenate(out_b)
+            return z, z, z
+        return (np.concatenate(out_a), np.concatenate(out_b),
+                np.concatenate(out_t))
 
     def block_pairs(batch: pd.DataFrame) -> pa.Table:
         g = batch[group_col].to_numpy()
         m = batch[member_col].to_numpy()
         bounds = np.flatnonzero(np.diff(g)) + 1
         if len(bounds) == 0:  # single run: all boundary
-            a = b = np.empty(0, dtype=np.int64)
+            a = b = tfl = np.empty(0, dtype=np.int64)
         else:
             gg = g[bounds[0]:bounds[-1]]
             mm = m[bounds[0]:bounds[-1]]
@@ -292,9 +315,12 @@ def copair_counts(
             keep = np.ones(len(gg), dtype=bool)
             if len(gg) > 1:
                 keep[1:] = (np.diff(gg) != 0) | (mm[1:] != mm[:-1])
-            a, b = seg_pairs(gg[keep], mm[keep])
-        return pa.table({"a": pa.array(a.astype(np.int64)),
-                         "b": pa.array(b.astype(np.int64))})
+            a, b, tfl = seg_pairs(gg[keep], mm[keep])
+        cols = {"a": pa.array(a.astype(np.int64)),
+                "b": pa.array(b.astype(np.int64))}
+        if cap is not None:
+            cols["t"] = pa.array(tfl if len(a) else np.empty(0, np.int64))
+        return pa.table(cols)
 
     def block_edge_runs(batch: pd.DataFrame) -> pa.Table:
         g = batch[group_col].to_numpy()
@@ -333,25 +359,34 @@ def copair_counts(
         chunk_tables: list = []
         buf_a: list = []
         buf_b: list = []
+        buf_t: list = []
         buf_n = 0
+
+        def _flush():
+            cols = {"a": pa.array(np.concatenate(buf_a)),
+                    "b": pa.array(np.concatenate(buf_b))}
+            if cap is not None:
+                cols["t"] = pa.array(np.concatenate(buf_t))
+            chunk_tables.append(pa.table(cols))
+
         for s, e in zip(run_bounds[:-1], run_bounds[1:]):
             k = int(e - s)
             if k < 2:
                 continue
             mem = np.sort(em[s:e])
+            fl = 0
+            if cap is not None and k > cap:
+                mem, fl, k = mem[:cap], 1, cap
             for i in range(k - 1):
                 buf_a.append(np.full(k - 1 - i, mem[i], dtype=np.int64))
                 buf_b.append(mem[i + 1:].astype(np.int64))
+                buf_t.append(np.full(k - 1 - i, fl, dtype=np.int64))
                 buf_n += k - 1 - i
                 if buf_n >= edge_chunk_rows:
-                    chunk_tables.append(pa.table({
-                        "a": pa.array(np.concatenate(buf_a)),
-                        "b": pa.array(np.concatenate(buf_b))}))
-                    buf_a, buf_b, buf_n = [], [], 0
+                    _flush()
+                    buf_a, buf_b, buf_t, buf_n = [], [], [], 0
         if buf_n:
-            chunk_tables.append(pa.table({
-                "a": pa.array(np.concatenate(buf_a)),
-                "b": pa.array(np.concatenate(buf_b))}))
+            _flush()
         if chunk_tables:
             pairs = pairs.union(rd.from_arrow(chunk_tables))
 
@@ -360,53 +395,80 @@ def copair_counts(
     # because each pair key totals in exactly one place)
     psrt = pairs.sort(["a", "b"]).materialize()
 
-    def _run_totals(a: np.ndarray, b: np.ndarray):
+    def _run_totals(a: np.ndarray, b: np.ndarray, t: np.ndarray | None):
         if len(a) == 0:
             z = np.empty(0, dtype=np.int64)
-            return z, z, z
+            return z, z, z, z
         chg = np.flatnonzero((np.diff(a) != 0) | (np.diff(b) != 0)) + 1
         starts = np.concatenate([[0], chg])
         cnt = np.diff(np.concatenate([starts, [len(a)]]))
-        return a[starts], b[starts], cnt.astype(np.int64)
+        tm = (np.maximum.reduceat(t, starts) if t is not None
+              else np.empty(0, np.int64))
+        return a[starts], b[starts], cnt.astype(np.int64), tm
 
     def block_tot(batch: pd.DataFrame) -> pa.Table:
         a = batch["a"].to_numpy()
         b = batch["b"].to_numpy()
+        t = batch["t"].to_numpy() if cap is not None else None
         chg = np.flatnonzero((np.diff(a) != 0) | (np.diff(b) != 0)) + 1
         if len(chg) == 0:
             z = np.empty(0, dtype=np.int64)
-            return pa.table({"a": pa.array(z), "b": pa.array(z), "shared": pa.array(z)})
+            cols = {"a": pa.array(z), "b": pa.array(z), "shared": pa.array(z)}
+            if cap is not None:
+                cols["truncated"] = pa.array(z)
+            return pa.table(cols)
         s, e = chg[0], chg[-1]
-        ua, ub, cnt = _run_totals(a[s:e], b[s:e])
+        ua, ub, cnt, tm = _run_totals(a[s:e], b[s:e],
+                                      t[s:e] if t is not None else None)
         sel = np.lexsort((ub, ua, -cnt))[:top]
-        return pa.table({"a": pa.array(ua[sel].astype(np.int64)),
-                         "b": pa.array(ub[sel].astype(np.int64)),
-                         "shared": pa.array(cnt[sel])})
+        cols = {"a": pa.array(ua[sel].astype(np.int64)),
+                "b": pa.array(ub[sel].astype(np.int64)),
+                "shared": pa.array(cnt[sel])}
+        if cap is not None:
+            cols["truncated"] = pa.array(tm[sel])
+        return pa.table(cols)
 
     def block_tot_bnd(batch: pd.DataFrame) -> pa.Table:
         a = batch["a"].to_numpy()
         b = batch["b"].to_numpy()
+        t = batch["t"].to_numpy() if cap is not None else None
         chg = np.flatnonzero((np.diff(a) != 0) | (np.diff(b) != 0)) + 1
         if len(chg) == 0:
             idx = np.arange(len(a))
         else:
             idx = np.concatenate([np.arange(chg[0]), np.arange(chg[-1], len(a))])
-        ua, ub, cnt = _run_totals(a[idx], b[idx])
-        return pa.table({"a": pa.array(ua.astype(np.int64)),
-                         "b": pa.array(ub.astype(np.int64)),
-                         "cnt": pa.array(cnt)})
+        ua, ub, cnt, tm = _run_totals(a[idx], b[idx],
+                                      t[idx] if t is not None else None)
+        cols = {"a": pa.array(ua.astype(np.int64)),
+                "b": pa.array(ub.astype(np.int64)),
+                "cnt": pa.array(cnt)}
+        if cap is not None:
+            cols["tm"] = pa.array(tm)
+        return pa.table(cols)
 
     tops = psrt.map_batches(block_tot, batch_format="pandas", batch_size=None).to_pandas()
     bnd = psrt.map_batches(block_tot_bnd, batch_format="pandas", batch_size=None).to_pandas()
     if len(bnd):
-        g = bnd.groupby(["a", "b"], sort=False)["cnt"].sum().reset_index()
-        tops = pd.concat([tops, g.rename(columns={"cnt": "shared"})], ignore_index=True)
+        if cap is not None:
+            g = (bnd.groupby(["a", "b"], sort=False)
+                 .agg(shared=("cnt", "sum"), truncated=("tm", "max"))
+                 .reset_index())
+        else:
+            g = (bnd.groupby(["a", "b"], sort=False)["cnt"].sum().reset_index()
+                 .rename(columns={"cnt": "shared"}))
+        tops = pd.concat([tops, g], ignore_index=True)
     if len(tops) == 0:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "shared": pa.array([], pa.int64())})
+        cols = {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                "shared": pa.array([], pa.int64())}
+        if cap is not None:
+            cols["truncated"] = pa.array([], pa.int64())
+        return pa.table(cols)
     av = tops["a"].to_numpy(np.int64)
     bv = tops["b"].to_numpy(np.int64)
     sv = tops["shared"].to_numpy(np.int64)
     sel = np.lexsort((bv, av, -sv))[:top]
-    return pa.table({"a": pa.array(av[sel]), "b": pa.array(bv[sel]),
-                     "shared": pa.array(sv[sel])})
+    cols = {"a": pa.array(av[sel]), "b": pa.array(bv[sel]),
+            "shared": pa.array(sv[sel])}
+    if cap is not None:
+        cols["truncated"] = pa.array(tops["truncated"].to_numpy(np.int64)[sel])
+    return pa.table(cols)

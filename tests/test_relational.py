@@ -119,3 +119,47 @@ def test_copair_counts_vs_bruteforce():
                .to_pandas())
         got = got.astype({"a": np.int64, "b": np.int64, "shared": np.int64})
         pd.testing.assert_frame_equal(got, wdf.astype({"shared": np.int64}))
+
+
+def test_copair_counts_capped_flag_semantics():
+    rng = np.random.RandomState(8)
+    n = 3000
+    cap = 5
+    df = pd.DataFrame({"g": rng.randint(0, 50, n).astype(np.int64),
+                       "m": rng.randint(0, 40, n).astype(np.int64)})
+    cp = df.drop_duplicates()
+    # brute force the capped semantics: each group truncated to its cap
+    # smallest members; pair flag = any contributing group truncated
+    want_cnt, want_tr = {}, {}
+    for _, grp in cp.groupby("g"):
+        mem = np.sort(grp["m"].unique())
+        fl = int(len(mem) > cap)
+        mem = mem[:cap]
+        for i in range(len(mem)):
+            for j in range(i + 1, len(mem)):
+                k = (mem[i], mem[j])
+                want_cnt[k] = want_cnt.get(k, 0) + 1
+                want_tr[k] = max(want_tr.get(k, 0), fl)
+    wdf = (pd.DataFrame([(a, b, c, want_tr[(a, b)])
+                         for (a, b), c in want_cnt.items()],
+                        columns=["a", "b", "shared", "truncated"])
+           .sort_values(["shared", "a", "b"], ascending=[False, True, True])
+           .head(50).reset_index(drop=True))
+    assert wdf["truncated"].max() == 1  # the fixture does truncate
+    for parts in (1, 9):
+        got = (relational.copair_counts(
+                   rd.from_pandas(df).repartition(parts), "g", "m",
+                   top=50, cap=cap)
+               .to_pandas()
+               .astype({"a": np.int64, "b": np.int64, "shared": np.int64,
+                        "truncated": np.int64}))
+        pd.testing.assert_frame_equal(
+            got, wdf.astype({"shared": np.int64, "truncated": np.int64}))
+    # a cap no group reaches reproduces the exact projection, unflagged
+    loose = (relational.copair_counts(rd.from_pandas(df), "g", "m",
+                                      top=50, cap=1000).to_pandas())
+    exact = (relational.copair_counts(rd.from_pandas(df), "g", "m",
+                                      top=50).to_pandas())
+    assert (loose["truncated"] == 0).all()
+    assert (loose[["a", "b", "shared"]].to_numpy()
+            == exact.to_numpy()).all()
