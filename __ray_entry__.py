@@ -535,6 +535,39 @@ def _q_pagerank_dynamic_ranks(sf_dir: str):
         ctx.shutdown()
 
 
+def _q_pagerank_weighted_dynamic(sf_dir: str):
+    """Weights × warm restart — the dynamic protocol on a
+    multiplicity-weighted graph: weighted static PR on the first 80% of
+    the ordered log, then two insertion batches folded through the
+    multiset update (+1 weight per mention instance,
+    state/kernels.weighted_set_update) with DF warm restarts. Every run
+    at fixed PR_ORACLE_ITERS / zero tolerances, so the final quantized
+    ranks must equal the weighted recursive-CTE power iteration over
+    the COMPLETE log (same oracle body as pagerank_weighted — the
+    replayed weights are exactly the one-shot build's)."""
+    ctx, batches = api.build_graph(
+        _fixture(sf_dir), num_parts=NUM_PARTS, temporal=True,
+        base_fraction=0.8, batch_fraction=0.1, num_batches=2, weighted=True,
+    )
+    try:
+        o = PagerankOptions(
+            tolerance=0.0, max_iterations=PR_ORACLE_ITERS, frontier_tolerance=0.0
+        )
+        res = ctx.pagerank("static", options=o)
+        warm = list(res.ranks)
+        empty = np.empty((2, 0), dtype=np.int64)
+        for batch in batches:
+            dels, ins = ctx.tidy_batch(empty, batch)
+            ctx.apply_batch(dels, ins)
+            marks = ctx.compute_frontier_marks(empty, ins)
+            r = ctx.pagerank("df", warm=warm, initial_marks=marks, options=o)
+            warm = list(r.ranks)
+        e10 = np.round(ctx.assemble(warm) * 1e10).astype(np.int64)
+        return pa.table({"conv_id": pa.array(ctx.dictionary), "rank_e10": pa.array(e10)})
+    finally:
+        ctx.shutdown()
+
+
 def _q_bfs_distances(sf_dir: str):
     ctx = _graph(sf_dir)
     return A.bfs_distances(ctx, 0).select_columns(["conv_id", "distance"])
@@ -2042,6 +2075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "two_hop_capped": _q_two_hop_capped,
         "copurchase_capped": _q_copurchase_capped,
+        "pagerank_weighted_dynamic": _q_pagerank_weighted_dynamic,
         "curation_pipeline": _q_curation_pipeline,
         "hash_split": _q_hash_split,
         "stratified_sample": _q_stratified_sample,
@@ -3979,6 +4013,11 @@ FROM tpv t LEFT JOIN degs d ON d.v = t.conv_id""",
         "pagerank_personalized": _GRAPH_CTE2 + _PPR_CTE
         + "\nSELECT v AS conv_id, rank_e10 FROM pprr",
         "pagerank_weighted": _GRAPH_CTE + _WPR_CTE
+        + "\nSELECT v AS conv_id, rank_e10 FROM wprr",
+        # weighted dynamic replay lands on the one-shot weighted build's
+        # exact weights (multiset +1 per instance), so the oracle IS the
+        # full-log weighted power iteration
+        "pagerank_weighted_dynamic": _GRAPH_CTE + _WPR_CTE
         + "\nSELECT v AS conv_id, rank_e10 FROM wprr",
         # HITS: h recursion steps through the co-citation operator
         # (h_i = A Aᵀ h_{i-1} as one flat two-hop sum); authority at the

@@ -66,8 +66,10 @@ def build_graph(
 
     ``weighted=True``: edge weight = mention multiplicity — each
     (src, dst) pair carries the number of times dst is mentioned across
-    src's turns (plus 1 for the structural self-loop). Static-only
-    (apply_update refuses), so it composes with ``temporal=False`` only.
+    src's turns (plus 1 for the structural self-loop). Composes with
+    ``temporal=True``: insertion batches fold through the multiset
+    update (+1 weight per instance), so the post-replay weights equal a
+    one-shot weighted build of the full log.
 
     ``dictionary_mode``: ``"broadcast"`` builds the id->vid dictionary
     as one sorted numpy array shipped via ``ray.put`` (fast, fine up to
@@ -124,8 +126,6 @@ def build_graph(
             ]))
     else:
         encoded = encoded_all
-    if weighted and temporal:
-        raise ValueError("weighted graphs are static-only (batch updates carry no weights)")
     ctx = GraphContext.from_edges(
         encoded.select_columns(["src", "dst"]), n, num_parts, dictionary, add_self_loops,
         num_cpus_per_shard=num_cpus_per_shard, hub_split_threshold=hub_split_threshold,

@@ -396,7 +396,35 @@ class GraphContext:
         """Canonicalize a batch: existence filter + sort + exact dedup —
         tidyBatchUpdateU (/root/reference/inc/batch.hxx:201-208).
         Inputs/outputs are (2,k) [src,dst] vid arrays; the existence
-        check runs against each src-owner shard's current edge set."""
+        check runs against each src-owner shard's current edge set.
+
+        Weighted graphs tidy differently: insertions keep their full
+        instance multiplicity (dedup or an existence filter would lose
+        the +1-weight-per-mention meaning), deletions filter per
+        instance to currently-present edges. Replaying a temporal split
+        therefore reproduces a one-shot weighted build's exact weights."""
+        if self.weighted:
+            def wtidy(pairs: np.ndarray, kind: str) -> np.ndarray:
+                pairs = np.asarray(pairs).reshape(2, -1)
+                if pairs.shape[1] == 0:
+                    return pairs
+                order = np.lexsort((pairs[1], pairs[0]))
+                pairs = pairs[:, order]
+                if kind == "insertions":
+                    return pairs
+                parts = split_pairs_by_owner(pairs[0], pairs[1], self.P, "src")
+                masks = ray.get([
+                    self.shards[p].filter_batch_by_existence.remote(
+                        parts[p][0], parts[p][1], kind)
+                    for p in range(self.P)
+                ])
+                kept = [parts[p][:, masks[p]] for p in range(self.P)]
+                merged = np.concatenate(kept, axis=1)
+                order = np.lexsort((merged[1], merged[0]))
+                return merged[:, order]
+
+            return (wtidy(np.asarray(deletions), "deletions"),
+                    wtidy(np.asarray(insertions), "insertions"))
 
         def tidy(pairs: np.ndarray, kind: str) -> np.ndarray:
             if pairs.size == 0:

@@ -162,6 +162,37 @@ def set_minus_union(current: np.ndarray, deletions: np.ndarray, insertions: np.n
     return kept
 
 
+def weighted_set_update(keys: np.ndarray, w: np.ndarray,
+                        delk: np.ndarray, insk: np.ndarray
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Multiset analogue of :func:`set_minus_union` for weighted edge
+    sets: every insertion INSTANCE adds one unit of weight, every
+    deletion instance removes one (clamped at zero — the edge drops out
+    when its multiplicity is exhausted). ``keys``/``w`` are the current
+    sorted-unique keys and their multiplicities; ``delk``/``insk`` are
+    raw instance key arrays (duplicates meaningful). Returns the new
+    (sorted-unique keys, weights) pair."""
+    parts = [keys]
+    ik = ic = dk = dc = None
+    if len(insk):
+        ik, ic = np.unique(insk, return_counts=True)
+        parts.append(ik)
+    if len(delk):
+        dk, dc = np.unique(delk, return_counts=True)
+        parts.append(dk)
+    allk = np.unique(np.concatenate(parts)) if len(parts) > 1 else keys
+    neww = np.zeros(len(allk), dtype=np.float64)
+    if len(keys):
+        neww[np.searchsorted(allk, keys)] += w
+    if ik is not None:
+        neww[np.searchsorted(allk, ik)] += ic
+    if dk is not None:
+        pos = np.searchsorted(allk, dk)
+        neww[pos] = np.maximum(neww[pos] - dc, 0.0)
+    keep = neww > 0
+    return allk[keep], neww[keep]
+
+
 def norm_delta_partial(x: np.ndarray, y: np.ndarray, ord: int | float) -> float:
     """Per-shard partial of ||x - y||_ord: sum of |d| (ord=1), sum of d²
     (ord=2 — caller takes the sqrt after the tree-reduce), max |d|

@@ -143,8 +143,8 @@ class GraphShard:
         transcript graph that is the mention count per (src, dst) pair.
         The unique-key aggregation the unweighted build already performs
         doubles as the weight reduction, so weighting adds no extra
-        exchange. Weighted graphs are static: ``apply_update`` refuses
-        (the set-algebra batch path has no weight bookkeeping)."""
+        exchange. Batch updates fold through the multiset path of
+        ``apply_update`` (each insertion instance = +1 multiplicity)."""
         chunks_out, chunks_in = self._out_chunks, self._in_chunks
         if add_self_loops and self.n_local:
             loops = K.encode_pairs(np.arange(self.n_local, dtype=np.int64), self.owned_vids(), self.N)
@@ -196,8 +196,21 @@ class GraphShard:
             self.outw = np.bincount(o_local, weights=self.out_w, minlength=n)
             with np.errstate(divide="ignore"):
                 self.inv_outdeg = np.where(self.outw > 0, 1.0 / self.outw, 0.0)
+            # per-row self-loop WEIGHT (for the DF-P closed form, which
+            # factors the self-loop term out of the fixpoint): CSR order
+            # == key order, so offset + loop_rel indexes out_w directly
+            if n and len(self.out_w):
+                own = np.arange(n, dtype=np.int64)
+                pos = np.minimum(self.out_offsets[own]
+                                 + np.maximum(self.out_loop_rel, 0),
+                                 len(self.out_w) - 1)
+                self._loop_w = np.where(self.out_loop_rel >= 0,
+                                        self.out_w[pos], 0.0)
+            else:
+                self._loop_w = np.zeros(n, dtype=np.float64)
         else:
             self.outw = None
+            self._loop_w = None
             with np.errstate(divide="ignore"):
                 self.inv_outdeg = np.where(self.outdeg > 0, 1.0 / self.outdeg, 0.0)
         # pull index: unique needed sources, grouped by owner then local id
@@ -527,15 +540,13 @@ class GraphShard:
         """Fold a tidied batch into this shard's edge sets and rebuild —
         applyBatchUpdateU (/root/reference/inc/batch.hxx:222-248) as a
         per-partition Arrow/numpy set operation. Arguments are (2,n)
-        [src,dst] arrays routed by src owner (out) / dst owner (in)."""
+        [src,dst] arrays routed by src owner (out) / dst owner (in).
 
-        if self.out_w is not None:
-            raise ValueError(
-                "batch updates are unsupported on a weighted graph: the "
-                "set-algebra update path (set_minus_union) carries no "
-                "weight bookkeeping — rebuild with weighted=False or "
-                "re-ingest"
-            )
+        Weighted graphs fold through the multiset analogue
+        (kernels.weighted_set_update): each insertion INSTANCE adds one
+        unit of multiplicity, each deletion instance removes one —
+        replaying a temporally-split log therefore reproduces the exact
+        weights of a one-shot weighted build of the full log."""
 
         def keys_of(pairs, by_dst):
             if pairs is None or pairs.shape[1] == 0:
@@ -545,6 +556,15 @@ class GraphShard:
                 K.encode_pairs(d // self.P, s, self.N) if by_dst
                 else K.encode_pairs(s // self.P, d, self.N)
             )
+
+        if self.out_w is not None:
+            self.out_keys, self.out_w = K.weighted_set_update(
+                self.out_keys, self.out_w,
+                keys_of(del_out, False), keys_of(ins_out, False))
+            self.in_keys, self.in_w = K.weighted_set_update(
+                self.in_keys, self.in_w,
+                keys_of(del_in, True), keys_of(ins_in, True))
+            return self._rebuild()
 
         self.out_keys = K.set_minus_union(self.out_keys, keys_of(del_out, False), keys_of(ins_out, False))
         self.in_keys = K.set_minus_union(self.in_keys, keys_of(del_in, True), keys_of(ins_in, True))
@@ -727,16 +747,21 @@ class GraphShard:
                 sums = K.segment_sums(per_edge, bounds)
                 br = base if self.tele is None else base[rows]
                 if prune:
-                    # weighted out-degree when weighted (note: dynamic
-                    # variants are unreachable on weighted graphs today —
-                    # apply_update refuses — and the closed form assumes
-                    # a unit-weight self-loop)
-                    deg = (self.outw if self.outw is not None else self.outdeg)[rows]
                     # closed-form self-loop fixpoint (pagerankPrune.hxx:38-39);
                     # deg >= 1 guaranteed by the self-loop transform, which
                     # pagerank() enforces for dfp (base == C0 there: the
-                    # self-loop graph has no dangling mass)
-                    a[rows] = (br + d * (sums - r[rows] / deg)) / (1.0 - d / deg)
+                    # self-loop graph has no dangling mass). Weighted
+                    # graphs factor the self-loop's WEIGHT w_vv out of
+                    # the weighted out-degree: a_v = (b + d(s − r_v·w_vv/W_v))
+                    # / (1 − d·w_vv/W_v) — reduces to the unit form when
+                    # w_vv == 1 and W_v == outdeg
+                    if self.outw is not None:
+                        W = self.outw[rows]
+                        lw = self._loop_w[rows] / W
+                        a[rows] = (br + d * (sums - r[rows] * lw)) / (1.0 - d * lw)
+                    else:
+                        deg = self.outdeg[rows]
+                        a[rows] = (br + d * (sums - r[rows] / deg)) / (1.0 - d / deg)
                 else:
                     a[rows] = br + d * sums
         delta = self._delta

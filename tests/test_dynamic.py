@@ -75,6 +75,84 @@ def test_variant_with_deletions(ctx, variant):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+@pytest.mark.parametrize("variant", ["nd", "dt", "df", "dfp"])
+def test_weighted_variant_converges_to_weighted_static_fixpoint(variant):
+    # weights × warm restart: the one protocol combination the static
+    # weighted build and the unweighted dynamic path each cover half of
+    src, dst = _random_graph(13)
+    c = GraphContext(N, 3, weighted=True)
+    c.ingest_pairs(src, dst)
+    c.finalize()
+    try:
+        base = c.pagerank("static")
+        rng = np.random.RandomState(17)
+        ins = np.stack([rng.randint(0, N, 20),
+                        rng.randint(0, N, 20)]).astype(np.int64)
+        # deliberate duplicate instances: multiplicity must accumulate
+        ins = np.concatenate([ins, ins[:, :6]], axis=1)
+        dels, ins_t = c.tidy_batch(EMPTY, ins)
+        assert ins_t.shape[1] == ins.shape[1]  # weighted tidy keeps instances
+        c.apply_batch(dels, ins_t)
+        marks = c.compute_frontier_marks(EMPTY, ins_t)
+        res = c.pagerank(variant, warm=list(base.ranks), initial_marks=marks)
+        got = c.assemble(res.ranks)
+        # oracle: weighted static over ALL instances (base + batch)
+        want, _ = pagerank_oracle(np.concatenate([src, ins[0]]),
+                                  np.concatenate([dst, ins[1]]),
+                                  N, weighted=True)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    finally:
+        c.shutdown()
+
+
+def test_weighted_deletion_decrements_multiplicity():
+    # (0,1) has multiplicity 2: deleting ONE instance must leave weight
+    # 1, not remove the edge; deleting both removes it (clamped at 0)
+    src = np.array([0, 0, 1, 1, 1, 2], dtype=np.int64)
+    dst = np.array([1, 1, 2, 2, 2, 0], dtype=np.int64)
+    n = 3
+    c = GraphContext(n, 2, weighted=True)
+    c.ingest_pairs(src, dst)
+    c.finalize()
+    try:
+        base = c.pagerank("static")
+        one = np.array([[0], [1]], dtype=np.int64)
+        dels, _ = c.tidy_batch(one, EMPTY)
+        marks = c.compute_frontier_marks(dels, EMPTY)
+        c.apply_batch(dels, EMPTY)
+        res = c.pagerank("df", warm=list(base.ranks), initial_marks=marks)
+        got = c.assemble(res.ranks)
+        want, _ = pagerank_oracle(src[1:], dst[1:], n, weighted=True)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        # delete the remaining instance twice over: clamps, edge gone
+        two = np.array([[0, 0], [1, 1]], dtype=np.int64)
+        dels2, _ = c.tidy_batch(two, EMPTY)
+        marks2 = c.compute_frontier_marks(dels2, EMPTY)
+        c.apply_batch(dels2, EMPTY)
+        res2 = c.pagerank("df", warm=list(res.ranks), initial_marks=marks2)
+        got2 = c.assemble(res2.ranks)
+        want2, _ = pagerank_oracle(src[2:], dst[2:], n, weighted=True)
+        np.testing.assert_allclose(got2, want2, atol=1e-6)
+    finally:
+        c.shutdown()
+
+
+def test_weighted_set_update_kernel():
+    from pagerank_cuda_dynamic_ray.state import kernels as K
+
+    keys = np.array([3, 7, 9], dtype=np.int64)
+    w = np.array([2.0, 1.0, 5.0])
+    ins = np.array([7, 7, 11], dtype=np.int64)   # +2 on 7, new edge 11
+    dels = np.array([3, 3, 3, 9], dtype=np.int64)  # over-delete 3 (clamp)
+    nk, nw = K.weighted_set_update(keys, w, dels, ins)
+    assert nk.tolist() == [7, 9, 11]
+    assert nw.tolist() == [3.0, 4.0, 1.0]
+    nk2, nw2 = K.weighted_set_update(
+        np.empty(0, np.int64), np.empty(0), np.empty(0, np.int64),
+        np.array([5, 5], np.int64))
+    assert nk2.tolist() == [5] and nw2.tolist() == [2.0]
+
+
 def test_tidy_batch_semantics(ctx):
     src, dst = ctx._test_edges
     from .oracle import dedup_edges
