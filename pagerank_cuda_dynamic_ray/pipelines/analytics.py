@@ -166,10 +166,15 @@ def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int):
         tr = t["ov"].to_numpy() | t["ovm"].to_numpy()
         return pa.table({"a": t["a"], "truncated": pa.array(tr)})
 
+    # materialize: releases this join's aggregator pool before the
+    # caller's own joins spin up — on a small cluster the shard pool +
+    # several concurrent aggregator pools would otherwise reserve every
+    # CPU slot and starve the map tasks that feed them (deadlock)
     flags = (j.map_batches(orf, batch_format="pyarrow")
              .groupby("a").max("truncated")
              .map_batches(lambda t: t.rename_columns(["a", "truncated"]),
-                          batch_format="pyarrow"))
+                          batch_format="pyarrow")
+             .materialize())
     sym2 = capped.map_batches(lambda t: t.select(["a", "b"]),
                               batch_format="pyarrow")
     return sym2, flags
@@ -300,7 +305,9 @@ def two_hop_counts(edges: rd.Dataset, ids: rd.Dataset,
         aggregator_ray_remote_args={"num_cpus": 0.25},
     )
     if flags is not None:
-        joined = joined.join(
+        # barrier between the two joins: one aggregator pool at a time
+        # (see _cap_adjacency's materialize note)
+        joined = joined.materialize().join(
             flags.map_batches(
                 lambda t: t.rename_columns(["conv_id", "truncated"]),
                 batch_format="pyarrow"),

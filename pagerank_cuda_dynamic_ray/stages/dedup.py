@@ -474,7 +474,8 @@ def _join_safe(ds: rd.Dataset, num_partitions: int) -> rd.Dataset:
     and, only when the dataset actually leads with an empty block
     (metadata check — no block fetch), coalesce via ``repartition`` so
     rows front-load into block 0. Remove once Ray's join handles empty
-    leading blocks."""
+    leading blocks (re-checked against the container's Ray 2.49.2 in
+    round 4: the raw join still raises — workaround stays)."""
     ds = ds.materialize()
     for bundle in ds.iter_internal_ref_bundles():
         for _, md in bundle.blocks:

@@ -111,6 +111,25 @@ def test_pseudo_diameter_double_sweep(ctx):
     assert out["pseudo_diameter"].iloc[0] == 3
 
 
+def test_pseudo_diameter_wholly_unreached_shard_blocks():
+    # vertices 1,4,7 (shard 1 at P=3) and 2,5,8 (shard 2) are isolated:
+    # their far_partial blocks take the all-unreached early return, whose
+    # schema must match the reached branch (4 columns incl. disp) or
+    # to_pandas fails schema unification
+    src = np.array([0, 3])
+    dst = np.array([3, 6])
+    c = GraphContext(9, 3, add_self_loops=False)
+    c.ingest_pairs(src, dst)
+    c.finalize()
+    try:
+        out = A.pseudo_diameter(c).to_pandas()
+        assert len(out) == 1
+        assert out["pseudo_diameter"].iloc[0] == 2  # path 0-3-6
+        assert out["far_conv"].iloc[0] == "6"
+    finally:
+        c.shutdown()
+
+
 def test_modularity_matches_bruteforce(ctx):
     cc = A.connected_components(ctx)
     q = A.modularity(ctx)
