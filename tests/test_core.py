@@ -246,15 +246,21 @@ def test_weighted_personalized_composes(tiny_path):
     ctx.shutdown()
 
 
-def test_weighted_graph_refuses_updates_and_hub_split(tiny_path):
+def test_weighted_graph_updates_add_multiplicity_and_hub_split_refused(tiny_path):
+    # round 4: weighted batch updates are SUPPORTED (multiset fold, +1
+    # weight per insertion instance); hub splitting still refuses
     src, dst, n, _ = _edge_arrays(tiny_path)
     ctx = GraphContext(n, 2, weighted=True)
     ctx.ingest_pairs(src, dst)
     ctx.finalize()
     empty = np.empty((2, 0), dtype=np.int64)
     ins = np.stack([src[:2].astype(np.int64), dst[:2].astype(np.int64)])
-    with pytest.raises(Exception, match="weighted"):
-        ctx.apply_batch(empty, ins)
+    base = ctx.pagerank("static")
+    ctx.apply_batch(empty, ins)
+    got = ctx.assemble(ctx.pagerank("static", warm=list(base.ranks)).ranks)
+    want, _ = pagerank_oracle(np.concatenate([src, ins[0]]),
+                              np.concatenate([dst, ins[1]]), n, weighted=True)
+    np.testing.assert_allclose(got, want, atol=1e-9)
     ctx.shutdown()
     with pytest.raises(ValueError, match="weighted"):
         GraphContext(n, 2, weighted=True, hub_split_threshold=64)
