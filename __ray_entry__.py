@@ -568,6 +568,32 @@ def _q_pagerank_weighted_dynamic(sf_dir: str):
         ctx.shutdown()
 
 
+def _q_pagerank_weighted_personalized(sf_dir: str):
+    """Weights × teleport — the two §2.10 extension seams composed:
+    multiplicity-weighted pull (r_u·w_uv/W_u) with restart mass on the
+    10 highest-out-degree vertices (same seed rule as
+    pagerank_personalized; structural out-degrees, which weighted builds
+    share with unweighted ones). Fixed-iteration, 1e10-quantized."""
+    ctx, _ = api.build_graph(_fixture(sf_dir), num_parts=NUM_PARTS, weighted=True)
+    try:
+        top = (
+            ctx.out_degrees()
+            .sort(["outdeg", "vid"], descending=[True, False])
+            .limit(PPR_SEEDS)
+            .to_pandas()
+        )
+        pers = np.zeros(ctx.N)
+        pers[top["vid"].to_numpy()] = 1.0
+        res = ctx.pagerank(
+            "static", personalization=pers,
+            options=PagerankOptions(tolerance=0.0, max_iterations=PR_ORACLE_ITERS),
+        )
+        e10 = np.round(ctx.assemble(res.ranks) * 1e10).astype(np.int64)
+        return pa.table({"conv_id": pa.array(ctx.dictionary), "rank_e10": pa.array(e10)})
+    finally:
+        ctx.shutdown()
+
+
 def _q_bfs_distances(sf_dir: str):
     ctx = _graph(sf_dir)
     return A.bfs_distances(ctx, 0).select_columns(["conv_id", "distance"])
@@ -1728,6 +1754,27 @@ def _q_sample_per_key(sf_dir: str):
     return SP.sample_per_key(docs, PER_KEY_K, seed=2).select_columns(["doc_id", "lang"])
 
 
+TEMP_ALPHA = 0.5
+
+
+def _q_temperature_resample(sf_dir: str):
+    """Temperature-flattening language resample (stages/sampling.py):
+    per-key keep rate (c_min/c_key)^(1-alpha) realized as a pure
+    deterministic hash filter after a distinct-key-sized count pass —
+    the multilingual head-downsampler."""
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "lang"])
+    return SP.temperature_resample(
+        docs, alpha=TEMP_ALPHA, seed=7).select_columns(["doc_id", "lang"])
+
+
+def _q_exact_dedup_norm(sf_dir: str):
+    """Exact dedup after canonical normalization (lowercase, strip
+    non-alphanumerics, collapse whitespace) — stages/dedup.py
+    normalized_exact_dedup, reusing the 24 B/row hash sort."""
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return D.normalized_exact_dedup(docs)
+
+
 TOPK_PER_USER = 3
 
 
@@ -2076,6 +2123,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_hop_capped": _q_two_hop_capped,
         "copurchase_capped": _q_copurchase_capped,
         "pagerank_weighted_dynamic": _q_pagerank_weighted_dynamic,
+        "pagerank_weighted_personalized": _q_pagerank_weighted_personalized,
+        "temperature_resample": _q_temperature_resample,
+        "exact_dedup_norm": _q_exact_dedup_norm,
         "curation_pipeline": _q_curation_pipeline,
         "hash_split": _q_hash_split,
         "stratified_sample": _q_stratified_sample,
@@ -2318,6 +2368,33 @@ wprr AS (
     FROM pr WHERE i = {PR_ORACLE_ITERS}
 )"""
 
+# Weighted-personalized-PR oracle: the WPR recursion with the PPR
+# restart term — (1-d)·tele_v plus the weighted pull, teleport mass
+# uniform over the PPR_SEEDS highest-(structural)-out-degree vertices.
+_WPPR_CTE = f""",
+nverts AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ids),
+wed AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+        FROM (SELECT src, dst FROM mention UNION ALL SELECT conv_id, conv_id FROM ids)
+        GROUP BY src, dst),
+wdeg AS (SELECT src AS v, sum(w) AS wd FROM wed GROUP BY src),
+seeds AS (SELECT v FROM odeg ORDER BY outdeg DESC, v LIMIT {PPR_SEEDS}),
+tele AS (SELECT conv_id AS v,
+  CASE WHEN conv_id IN (SELECT v FROM seeds) THEN 1.0 / {PPR_SEEDS} ELSE 0.0 END AS t
+  FROM ids),
+wpprr AS (
+  WITH RECURSIVE pr(i, v, r) AS (
+    SELECT 0, conv_id, (SELECT 1.0 / n FROM nverts) FROM ids
+    UNION ALL
+    SELECT pr.i + 1, e.dst,
+           (1.0 - 0.85) * max(t.t) + 0.85 * sum((pr.r * (1.0 / od.wd)) * e.w)
+    FROM pr JOIN wed e ON e.src = pr.v JOIN wdeg od ON od.v = pr.v
+         JOIN tele t ON t.v = e.dst
+    WHERE pr.i < {PR_ORACLE_ITERS}
+    GROUP BY pr.i + 1, e.dst
+  ) SELECT v, CAST(round(r * 1e10) AS BIGINT) AS rank_e10
+    FROM pr WHERE i = {PR_ORACLE_ITERS}
+)"""
+
 # LP oracle: 10 synchronous rounds; every vertex adopts the most frequent
 # neighbor label (ties -> lexicographically lowest), isolated vertices
 # keep their own label (identity self-vote).
@@ -2516,6 +2593,22 @@ def _sql_stratified_sample() -> str:
         f"WHERE h < CASE lang {whens} "
         f"ELSE CAST('{_sm_threshold(STRAT_DEFAULT)}' AS UBIGINT) END"
     )
+
+
+def _sql_temperature_resample() -> str:
+    """Replays temperature_resample bit-for-bit: per-lang keep rate
+    (c_min/c)^(1-alpha), threshold = floor(rate·2^64) clamped in the
+    HUGEINT domain (the engine uses floor, not round, precisely so this
+    double-precision expression computes the identical integer)."""
+    x = 1.0 - TEMP_ALPHA
+    return f"""
+WITH cnt AS (SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY lang),
+mn AS (SELECT min(c) AS cmin FROM cnt),
+thr AS (SELECT lang,
+  CAST(least(CAST(floor(pow((SELECT cmin FROM mn) / c, {x}) * 18446744073709551616.0) AS HUGEINT),
+             CAST('18446744073709551615' AS HUGEINT)) AS UBIGINT) AS t FROM cnt)
+SELECT d.doc_id, d.lang FROM {_sql_doc_hash(7, 'doc_id, lang')} d
+JOIN thr ON thr.lang = d.lang WHERE d.h < thr.t"""
 
 
 def _sql_sample_per_key() -> str:
@@ -4019,6 +4112,9 @@ FROM tpv t LEFT JOIN degs d ON d.v = t.conv_id""",
         # full-log weighted power iteration
         "pagerank_weighted_dynamic": _GRAPH_CTE + _WPR_CTE
         + "\nSELECT v AS conv_id, rank_e10 FROM wprr",
+        # both §2.10 seams composed: weighted pull + personalized restart
+        "pagerank_weighted_personalized": _GRAPH_CTE2 + _WPPR_CTE
+        + "\nSELECT v AS conv_id, rank_e10 FROM wpprr",
         # HITS: h recursion steps through the co-citation operator
         # (h_i = A Aᵀ h_{i-1} as one flat two-hop sum); authority at the
         # final step derives from h_{K-1}; both end-normalized to unit L2
@@ -4583,6 +4679,13 @@ SELECT event_id, user_id,
          PARTITION BY user_id ORDER BY ts, event_id)), -1)::BIGINT AS gap_us
 FROM events""",
         "exact_dedup": "SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY text",
+        "exact_dedup_norm": r"""
+WITH nrm AS (SELECT doc_id,
+  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+                      '\s+', ' ', 'g')) AS t
+  FROM documents)
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM nrm GROUP BY t""",
+        "temperature_resample": _sql_temperature_resample(),
         "doc_tokens": r"""
 SELECT doc_id, length(text) AS n_chars,
        CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens_ws,

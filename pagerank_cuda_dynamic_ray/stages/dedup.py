@@ -466,6 +466,28 @@ def _semi_filter(ds: rd.Dataset, col: str, uids: np.ndarray) -> rd.Dataset:
     return ds.map_batches(semi, batch_format="pyarrow")
 
 
+def normalized_exact_dedup(docs: rd.Dataset, text_col: str = "text",
+                           id_col: str = "doc_id") -> rd.Dataset:
+    """Exact dedup after canonical text normalization — lowercase, strip
+    non-alphanumerics, collapse whitespace — the cheap first rung of the
+    near-dup ladder that catches casing/punctuation mirror variants
+    plain :func:`exact_dedup` misses. Normalization is row-local
+    (vectorized pandas str ops, patterns in the RE2 ∩ Python-re
+    agreement subset so a SQL oracle replays it byte-for-byte); the
+    dedup then reuses exact_dedup's 24 B/row hash sort unchanged.
+    Returns (doc_id, n_dups), one row per distinct normalized text."""
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].fillna("").str.lower()
+        s = s.str.replace(r"[^a-z0-9\s]", " ", regex=True)
+        s = s.str.replace(r"\s+", " ", regex=True).str.strip()
+        return pd.DataFrame({id_col: df[id_col].to_numpy(np.int64),
+                             "norm_text": s})
+
+    return exact_dedup(docs.map_batches(norm, batch_format="pandas"),
+                       text_col="norm_text", id_col=id_col)
+
+
 def _join_safe(ds: rd.Dataset, num_partitions: int) -> rd.Dataset:
     """Ray 2.49's hash-shuffle ``Dataset.join`` infers each side's
     schema from its FIRST block and raises ``ArrowInvalid: No match

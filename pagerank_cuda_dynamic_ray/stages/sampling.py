@@ -99,6 +99,45 @@ def stratified_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def temperature_resample(
+    ds: rd.Dataset,
+    alpha: float = 0.5,
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> rd.Dataset:
+    """Temperature-flattening resample (the multilingual-pretraining
+    head-downsampler, Devlin et al. 2019 §A / XLM-R style): per-key
+    keep rate ``(c_min / c_key)^(1-alpha)`` — the rarest key keeps
+    everything, heads are Bernoulli-downsampled toward a flattened
+    distribution; ``alpha=1`` keeps all rows, ``alpha→0`` flattens to
+    the rarest key's size. Pass 1 is a distinct-key-sized distributed
+    count (O(keys) driver state); pass 2 is a pure deterministic hash
+    filter — no shuffle, partitioning-invariant, SQL-replayable.
+    Thresholds use floor (not round) so the SQL oracle's
+    ``floor(pow(...)*2^64)`` computes the identical integer."""
+    cnt = ds.groupby(key_col).count().to_pandas()
+    keys = cnt[key_col].to_numpy().astype(object)
+    c = cnt["count()"].to_numpy(np.float64)
+    cmin = float(c.min())
+    thr = np.array(
+        [min(int(np.floor((cmin / x) ** (1.0 - alpha) * 2.0**64)), 2**64 - 1)
+         for x in c], dtype=np.uint64)
+    order = np.argsort(keys)
+    keys_sorted, thr_sorted = keys[order], thr[order]
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = _row_hash(t[id_col].to_numpy(), seed)
+        k = t[key_col].to_numpy(zero_copy_only=False).astype(object)
+        pos = np.minimum(np.searchsorted(keys_sorted, k),
+                         len(keys_sorted) - 1)
+        known = keys_sorted[pos] == k
+        row_thr = np.where(known, thr_sorted[pos], np.uint64(0))
+        return t.filter(pa.array(h < row_thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def _topk_by_hash(t: pa.Table, key_col: str, k: int, h: np.ndarray,
                   ids: np.ndarray) -> pa.Table:
     """Rows with the k smallest (hash, id) per key value — one lexsort,

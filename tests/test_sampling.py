@@ -284,3 +284,38 @@ def test_global_rank_ntile_more_tiles_than_rows():
     # order: (1,2), (5,0), (5,1); NTILE(10) over 3 rows = 1 row per tile
     assert got["doc_id"].tolist() == [2, 0, 1]
     assert got["tile"].tolist() == [1, 2, 3]
+
+
+def test_temperature_resample_flattens_heads_only():
+    rng = np.random.default_rng(3)
+    langs = np.array(["en"] * 800 + ["de"] * 200 + ["fr"] * 50)
+    df = pd.DataFrame({"doc_id": np.arange(len(langs), dtype=np.int64),
+                       "lang": langs})
+    from pagerank_cuda_dynamic_ray.stages.sampling import _row_hash
+
+    alpha = 0.5
+    for parts in (1, 7):
+        got = (sampling.temperature_resample(
+                   rd.from_pandas(df).repartition(parts), alpha=alpha, seed=7)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # brute force: identical threshold formula per row
+        cmin = 50.0
+        thr = {k: min(int(np.floor((cmin / c) ** (1.0 - alpha) * 2.0**64)),
+                      2**64 - 1)
+               for k, c in (("en", 800.0), ("de", 200.0), ("fr", 50.0))}
+        h = _row_hash(df["doc_id"].to_numpy(), 7)
+        keep = np.array([h[i] < thr[l] for i, l in enumerate(langs)])
+        assert got["doc_id"].tolist() == df["doc_id"].to_numpy()[keep].tolist()
+        # the rarest key keeps EVERYTHING; heads are downsampled toward it
+        kept = got.groupby("lang").size()
+        assert kept.get("fr", 0) == 50
+        assert kept["en"] < 800 and kept["de"] < 200
+        # flattening: head/tail ratio shrinks from 16x toward ~sqrt(16)=4x
+        assert kept["en"] / kept.get("fr", 1) < 8
+
+
+def test_temperature_alpha_one_keeps_all():
+    df = pd.DataFrame({"doc_id": np.arange(100, dtype=np.int64),
+                       "lang": np.array(["en"] * 90 + ["fr"] * 10)})
+    got = sampling.temperature_resample(rd.from_pandas(df), alpha=1.0).to_pandas()
+    assert len(got) == 100

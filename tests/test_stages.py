@@ -707,3 +707,16 @@ def test_media_stats_tolerates_trailing_bytes_on_images():
     flat = rgb.reshape(-1, 3).astype(np.int64)
     assert out["n_units"].iloc[0] == 12
     assert (out[["s0", "s1", "s2"]].to_numpy()[0] == flat.sum(axis=0)).all()
+
+
+def test_normalized_exact_dedup_catches_case_and_punct_variants():
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["Hello, World!", "hello world", "  HELLO   world  ",
+                 "different doc", "Different   DOC?", "unique one"],
+    })
+    for parts in (1, 4):
+        got = (dedup.normalized_exact_dedup(rd.from_pandas(df).repartition(parts))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        # groups: {0,1,2} -> min 0 x3; {3,4} -> min 3 x2; {5} -> 5 x1
+        assert list(zip(got["doc_id"], got["n_dups"])) == [(0, 3), (3, 2), (5, 1)]
