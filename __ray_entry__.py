@@ -276,6 +276,14 @@ def _q_doc_repetition(sf_dir: str):
     return CO.doc_repetition(docs, 3)
 
 
+def _q_crossdoc_dup(sf_dir: str):
+    """Cross-document duplicate-gram mass (stages/corpus.py): per doc,
+    distinct 3-grams and how many occur in >= 1 OTHER document — the
+    span-dedup signal, three bounded 16 B/row exchanges."""
+    docs = _tbl(sf_dir, "documents", columns=["doc_id", "text"])
+    return CO.crossdoc_dup_mass(docs, 3)
+
+
 def _q_vertex_dictionary(sf_dir: str):
     d = _graph(sf_dir).dictionary
     return pa.table({"conv_id": pa.array(d), "vid": pa.array(np.arange(len(d), dtype=np.int64))})
@@ -564,6 +572,51 @@ def _q_pagerank_weighted_dynamic(sf_dir: str):
             warm = list(r.ranks)
         e10 = np.round(ctx.assemble(warm) * 1e10).astype(np.int64)
         return pa.table({"conv_id": pa.array(ctx.dictionary), "rank_e10": pa.array(e10)})
+    finally:
+        ctx.shutdown()
+
+
+PFX_STAGES = 2  # insertion batches after the base prefix (3 stages total)
+
+
+def _q_pagerank_prefix_stages(sf_dir: str):
+    """Rank evolution across the ordered log — the STRONGER form of
+    pagerank_dynamic_ranks: every intermediate state hash-verified, not
+    just the final one. Static fixpoint on the 80% prefix (stage 0),
+    then per insertion batch a DF warm restart (stages 1..2); each run
+    at fixed PR_ORACLE_ITERS / zero tolerances, so stage s sits at the
+    numerical fixpoint of prefix-graph s and must match a cold SQL
+    power iteration over that prefix (the DF reachability argument,
+    /root/reference/inc/pagerank.hxx:645-676, applied per stage).
+    Returns (stage, conv_id, rank_e10)."""
+    ctx, batches = api.build_graph(
+        _fixture(sf_dir), num_parts=NUM_PARTS, temporal=True,
+        base_fraction=0.8, batch_fraction=0.1, num_batches=PFX_STAGES,
+    )
+    try:
+        o = PagerankOptions(
+            tolerance=0.0, max_iterations=PR_ORACLE_ITERS, frontier_tolerance=0.0
+        )
+        res = ctx.pagerank("static", options=o)
+        warm = list(res.ranks)
+        stages = [ctx.assemble(warm)]
+        empty = np.empty((2, 0), dtype=np.int64)
+        for batch in batches:
+            dels, ins = ctx.tidy_batch(empty, batch)
+            ctx.apply_batch(dels, ins)
+            marks = ctx.compute_frontier_marks(empty, ins)
+            r = ctx.pagerank("df", warm=warm, initial_marks=marks, options=o)
+            warm = list(r.ranks)
+            stages.append(ctx.assemble(warm))
+        d = ctx.dictionary
+        return pa.concat_tables([
+            pa.table({
+                "stage": pa.array(np.full(len(d), s, dtype=np.int64)),
+                "conv_id": pa.array(d),
+                "rank_e10": pa.array(np.round(rk * 1e10).astype(np.int64)),
+            })
+            for s, rk in enumerate(stages)
+        ])
     finally:
         ctx.shutdown()
 
@@ -2124,8 +2177,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_capped": _q_copurchase_capped,
         "pagerank_weighted_dynamic": _q_pagerank_weighted_dynamic,
         "pagerank_weighted_personalized": _q_pagerank_weighted_personalized,
+        "pagerank_prefix_stages": _q_pagerank_prefix_stages,
         "temperature_resample": _q_temperature_resample,
         "exact_dedup_norm": _q_exact_dedup_norm,
+        "crossdoc_dup": _q_crossdoc_dup,
         "curation_pipeline": _q_curation_pipeline,
         "hash_split": _q_hash_split,
         "stratified_sample": _q_stratified_sample,
@@ -3992,6 +4047,18 @@ d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total,
 SELECT w.doc_id, coalesce(d.n_total, 0) AS n_grams_total,
        coalesce(d.n_distinct, 0) AS n_grams_distinct
 FROM w LEFT JOIN d ON d.doc_id = w.doc_id""",
+        "crossdoc_dup": r"""
+WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+g AS (SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
+      FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i) WHERE len(ws) >= 3),
+dfq AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+dd AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS nd
+       FROM g JOIN dfq USING (gram) GROUP BY g.doc_id),
+base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ngd FROM g GROUP BY doc_id)
+SELECT w.doc_id, coalesce(b.ngd, 0) AS n_grams_distinct,
+       coalesce(dd.nd, 0) AS n_dup_grams
+FROM w LEFT JOIN base b ON b.doc_id = w.doc_id
+LEFT JOIN dd ON dd.doc_id = w.doc_id""",
         "edge_log_csv": _GRAPH_CTE + "\nSELECT src, dst, turn_idx FROM mention",
         "pseudo_diameter": _GRAPH_CTE2 + f""",
 pd1 AS (
@@ -4115,6 +4182,44 @@ FROM tpv t LEFT JOIN degs d ON d.v = t.conv_id""",
         # both §2.10 seams composed: weighted pull + personalized restart
         "pagerank_weighted_personalized": _GRAPH_CTE2 + _WPPR_CTE
         + "\nSELECT v AS conv_id, rank_e10 FROM wpprr",
+        # cold per-stage power iteration over the temporal prefixes the
+        # engine reaches via DF warm restarts: stage s = first
+        # min(m, floor(0.8 m) + s*max(1, ceil(0.1 m))) rows of the
+        # ordered log, self-loops on the FULL vertex universe
+        "pagerank_prefix_stages": f"""WITH tr AS (SELECT * FROM read_parquet('{_FX01}')),
+raw AS (SELECT conv_id AS src,
+    coalesce(nullif(regexp_extract(tool, '^ref:([A-Za-z0-9_-]+)$', 1), ''),
+             nullif(regexp_extract(text, 'see:([A-Za-z0-9_-]+)', 1), '')) AS dst,
+    turn_idx, ts FROM tr),
+mention AS (SELECT src, dst, turn_idx, ts FROM raw WHERE dst IS NOT NULL),
+ids AS (SELECT DISTINCT conv_id FROM
+        (SELECT conv_id FROM tr UNION SELECT dst AS conv_id FROM mention)),
+ordered AS (SELECT src, dst, row_number() OVER (ORDER BY ts, src, turn_idx) AS rn FROM mention),
+mm AS (SELECT count(*) AS m FROM mention),
+stages AS (SELECT s, least((SELECT m FROM mm),
+                 CAST(floor(0.8 * (SELECT m FROM mm)) AS BIGINT)
+                 + s * greatest(1, CAST(ceil(0.1 * (SELECT m FROM mm)) AS BIGINT))) AS cut
+           FROM (SELECT unnest(range(0, {PFX_STAGES} + 1)) AS s)),
+sed AS (SELECT DISTINCT st.s, o.src, o.dst FROM stages st JOIN ordered o ON o.rn <= st.cut
+        UNION SELECT st.s, i.conv_id, i.conv_id FROM stages st CROSS JOIN ids i),
+sodeg AS (SELECT s, src AS v, count(*) AS outdeg FROM sed GROUP BY s, src),
+nverts AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ids),
+prr AS (
+  WITH RECURSIVE pr(s, i, v, r) AS (
+    SELECT st.s, 0, i.conv_id, (SELECT 1.0 / n FROM nverts)
+    FROM stages st CROSS JOIN ids i
+    UNION ALL
+    SELECT pr.s, pr.i + 1, e.dst,
+           (SELECT (1.0 - 0.85) / n FROM nverts)
+           + 0.85 * sum(pr.r * (1.0 / od.outdeg))
+    FROM pr JOIN sed e ON e.s = pr.s AND e.src = pr.v
+         JOIN sodeg od ON od.s = pr.s AND od.v = pr.v
+    WHERE pr.i < {PR_ORACLE_ITERS}
+    GROUP BY pr.s, pr.i + 1, e.dst
+  ) SELECT s, v, CAST(round(r * 1e10) AS BIGINT) AS rank_e10
+    FROM pr WHERE i = {PR_ORACLE_ITERS}
+)
+SELECT s AS stage, v AS conv_id, rank_e10 FROM prr""",
         # HITS: h recursion steps through the co-citation operator
         # (h_i = A Aᵀ h_{i-1} as one flat two-hop sum); authority at the
         # final step derives from h_{K-1}; both end-normalized to unit L2

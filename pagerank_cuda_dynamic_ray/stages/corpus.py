@@ -349,6 +349,68 @@ def doc_repetition(docs: rd.Dataset, shingle_k: int = 3,
 
 
 # ----------------------------------------------------------------------
+# cross-document duplicate-gram mass
+# ----------------------------------------------------------------------
+
+def crossdoc_dup_mass(docs: rd.Dataset, shingle_k: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_partitions: int = 8) -> rd.Dataset:
+    """Cross-document duplicate-gram mass — the Lee et al. 2021
+    (arXiv:2107.06499) span-dedup signal: per document, its distinct
+    word-``shingle_k``-gram count and how many of those grams occur in
+    at least one OTHER document. A span-level dedup pass thresholds on
+    the ratio; unlike :func:`doc_repetition` (within-doc) this measures
+    corpus-wide duplication.
+
+    Three bounded exchanges, never text: distinct (gram-hash, doc)
+    pairs (16 B/row) → gram doc-frequency via a native Ray groupby
+    count → hash-join of the pairs against the df≥2 gram set → per-doc
+    count. Joins are materialize-serialized so only one aggregator pool
+    is ever alive (the small-cluster deadlock posture of
+    pipelines/analytics._cap_adjacency). Returns Dataset(doc_id,
+    n_grams_distinct, n_dup_grams) including zero rows."""
+    import pyarrow.compute as pc
+
+    def pairs(batch: pd.DataFrame) -> pa.Table:
+        flat, offs = _strict_shingles(batch[text_col].tolist(), shingle_k)
+        ids = np.repeat(batch[id_col].to_numpy(np.int64), np.diff(offs))
+        return pa.table({"h": pa.array(flat.astype(np.int64)),
+                         id_col: pa.array(ids)})
+
+    prs = docs.map_batches(pairs, batch_format="pandas").materialize()
+    dup = (prs.groupby("h").count()
+           .map_batches(lambda t: t.filter(
+               pc.greater_equal(t["count()"], 2)).select(["h"]),
+               batch_format="pyarrow")
+           .materialize())
+    ndup = (prs.join(dup, "inner", num_partitions, on=("h",),
+                     aggregator_ray_remote_args={"num_cpus": 0.25})
+            .groupby(id_col).count()
+            .map_batches(lambda t: t.rename_columns([id_col, "n_dup_grams"]),
+                         batch_format="pyarrow")
+            .materialize())
+
+    def nd(batch: pd.DataFrame) -> pa.Table:
+        _, offs = _strict_shingles(batch[text_col].tolist(), shingle_k)
+        return pa.table({id_col: pa.array(batch[id_col].to_numpy(np.int64)),
+                         "n_grams_distinct": pa.array(np.diff(offs))})
+
+    base = docs.map_batches(nd, batch_format="pandas")
+    joined = base.join(ndup, "left_outer", num_partitions, on=(id_col,),
+                       aggregator_ray_remote_args={"num_cpus": 0.25})
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            "n_grams_distinct": t["n_grams_distinct"],
+            "n_dup_grams": pc.coalesce(t["n_dup_grams"],
+                                       pa.scalar(0, pa.int64())),
+        })
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------------------
 # prefix-duplicate grouping
 # ----------------------------------------------------------------------
 

@@ -190,3 +190,30 @@ def test_prefix_dup_groups():
     assert m[4] == 2
     if len(df.loc[8, "text"].split()) >= 5:
         assert m[8] == 2
+
+
+def test_crossdoc_dup_mass_bruteforce():
+    df = _docs()
+    k = 3
+    grams = {}
+    for _, r in df.iterrows():
+        ws = r["text"].split()
+        gs = {tuple(ws[i:i + k]) for i in range(len(ws) - k + 1)} if len(ws) >= k else set()
+        grams[int(r["doc_id"])] = gs
+    dfreq = {}
+    for gs in grams.values():
+        for g in gs:
+            dfreq[g] = dfreq.get(g, 0) + 1
+    for parts in (1, 6):
+        got = (corpus.crossdoc_dup_mass(
+                   rd.from_pandas(df).repartition(parts), shingle_k=k)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert len(got) == len(df)
+        for _, r in got.iterrows():
+            gs = grams[int(r["doc_id"])]
+            assert r["n_grams_distinct"] == len(gs)
+            assert r["n_dup_grams"] == sum(1 for g in gs if dfreq[g] >= 2)
+    # the deliberate dup pair (4,5): every gram of doc 4 is duplicated
+    g4 = got[got["doc_id"] == 4].iloc[0]
+    if len(grams[4]):
+        assert g4["n_dup_grams"] == g4["n_grams_distinct"]
