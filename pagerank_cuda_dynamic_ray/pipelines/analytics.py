@@ -109,13 +109,17 @@ def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int):
     distinct neighbors and derive per-vertex truncation flags — the
     graceful-hub path of :func:`two_hop_counts`.
 
-    Two-phase combiner (the sample_per_key shape): each block ships at
-    most ``cap`` smallest distinct (a, b) rows per vertex plus a
-    block-overflow bit, so the per-vertex merge group is bounded by
-    cap × blocks. Each per-block smallest-cap list is a lossless
-    prefix filter for the global smallest-cap, and
-    deg(a) > cap ⇔ any block overflowed OR the union exceeds cap —
-    no exact-degree pass anywhere.
+    Combiner + sorted-segment plan (the exact_dedup shape — NO
+    per-vertex map_groups, which would cost one Python call per vertex):
+    each block ships at most ``cap`` smallest distinct (a, b) rows per
+    vertex plus a block-overflow bit; one sort on (a, b) makes each
+    vertex's candidates adjacent, and a vectorized segment pass dedups,
+    ranks and truncates. Each per-block smallest-cap list is a lossless
+    prefix filter for the global smallest-cap, and deg(a) > cap ⇔ any
+    block overflowed OR the union exceeds cap — no exact-degree pass
+    anywhere. Runs straddling a block edge merge driver-side as
+    O(blocks × cap) already-capped rows (the exact_dedup boundary
+    contract).
 
     Returns (capped (a, b) Dataset, flags Dataset(a, truncated:int64))
     with truncated(a) = own overflow OR any KEPT neighbor's overflow
@@ -137,17 +141,73 @@ def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int):
         return pa.table({"a": pa.array(aa[keep]), "b": pa.array(bb[keep]),
                          "ov": pa.array(ov)})
 
-    def cap_merge(g: pd.DataFrame) -> pa.Table:
-        bs = np.unique(g["b"].to_numpy())
-        over = int(bool(g["ov"].max()) or len(bs) > cap)
-        kept = bs[:cap]
-        return pa.table({"a": pa.array([g["a"].iloc[0]] * len(kept)),
-                         "b": pa.array(kept),
-                         "ov": pa.array(np.full(len(kept), over, np.int64))})
+    def seg_cap(a: np.ndarray, b: np.ndarray, ov: np.ndarray):
+        """Vectorized per-vertex cap over rows SORTED by (a, b):
+        adjacent-dedup, rank-within-run < cap keep mask, and per-run
+        over = any block-overflow bit OR distinct count > cap. Returns
+        (kept a, kept b, kept over-per-row, run a, run over)."""
+        first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+        # a run's over bit must see every duplicate row's ov, so fold ov
+        # over the ORIGINAL rows per a-run before deduping
+        astart = np.concatenate([[True], a[1:] != a[:-1]])
+        rid = np.cumsum(astart) - 1
+        ov_any = np.zeros(int(rid[-1]) + 1, dtype=np.int64)
+        np.maximum.at(ov_any, rid, ov)
+        ad, bd, rd_ = a[first], b[first], rid[first]
+        dstart = np.concatenate([[True], ad[1:] != ad[:-1]])
+        starts = np.flatnonzero(dstart)
+        cnt = np.diff(np.append(starts, len(ad)))
+        rank = np.arange(len(ad)) - np.repeat(starts, cnt)
+        over = (ov_any[rd_[starts]] | (cnt > cap)).astype(np.int64)
+        keep = rank < cap
+        return (ad[keep], bd[keep], np.repeat(over, np.minimum(cnt, cap)),
+                ad[starts], over)
 
-    capped = (sym.map_batches(cap_partial, batch_format="pyarrow")
-              .groupby("a").map_groups(cap_merge, batch_format="pandas")
-              .materialize())
+    srt = (sym.map_batches(cap_partial, batch_format="pyarrow")
+           .sort(["a", "b"]).materialize())
+
+    def block_capped(df: pd.DataFrame) -> pa.Table:
+        a = df["a"].to_numpy()
+        runs = np.flatnonzero(a[1:] != a[:-1]) + 1 if len(a) else np.array([])
+        if len(runs) == 0:  # single run (or empty): all boundary
+            return pa.table({"a": pa.array(a[:0]), "b": pa.array(a[:0]),
+                             "ov": pa.array([], pa.int64())})
+        s, e = int(runs[0]), int(runs[-1])
+        ka, kb, kov, _, _ = seg_cap(a[s:e], df["b"].to_numpy()[s:e],
+                                    df["ov"].to_numpy()[s:e])
+        return pa.table({"a": pa.array(ka), "b": pa.array(kb),
+                         "ov": pa.array(kov)})
+
+    def block_edge(df: pd.DataFrame) -> pa.Table:
+        a = df["a"].to_numpy()
+        runs = np.flatnonzero(a[1:] != a[:-1]) + 1 if len(a) else np.array([])
+        if len(runs) == 0:
+            idx = np.arange(len(a))
+        else:
+            idx = np.concatenate([np.arange(runs[0]),
+                                  np.arange(runs[-1], len(a))])
+        return pa.table({"a": pa.array(a[idx]),
+                         "b": pa.array(df["b"].to_numpy()[idx]),
+                         "ov": pa.array(df["ov"].to_numpy()[idx])})
+
+    interior = srt.map_batches(block_capped, batch_format="pandas",
+                               batch_size=None)
+    # boundary runs: <= 2 per block, each already capped to <= cap rows
+    # per (block, vertex) by cap_partial — O(blocks x cap) driver rows
+    edge = (srt.map_batches(block_edge, batch_format="pandas",
+                            batch_size=None).to_pandas())
+    parts = [interior]
+    if len(edge):
+        ea = edge["a"].to_numpy()
+        eb = edge["b"].to_numpy()
+        eo = edge["ov"].to_numpy()
+        order = np.lexsort((eb, ea))
+        ka, kb, kov, _, _ = seg_cap(ea[order], eb[order], eo[order])
+        if len(ka):
+            parts.append(rd.from_arrow(pa.table({
+                "a": pa.array(ka), "b": pa.array(kb), "ov": pa.array(kov)})))
+    capped = (parts[0].union(*parts[1:]) if len(parts) > 1
+              else parts[0]).materialize()
 
     def vf(t: pa.Table) -> pa.Table:
         u = pd.DataFrame({"m": t["a"].to_numpy(zero_copy_only=False),
