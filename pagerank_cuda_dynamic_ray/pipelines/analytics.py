@@ -104,6 +104,41 @@ def connected_components_incremental(ctx: GraphContext, inserted_edges: np.ndarr
     return _with_conv(ctx, tables)
 
 
+def _pa_col(x: np.ndarray) -> "pa.Array":
+    """Typed Arrow column even when empty: an empty object array must
+    become string, never null — mixed null/string block schemas fail
+    unification downstream (the pseudo_diameter lesson)."""
+    import pyarrow as pa
+
+    if getattr(x, "dtype", None) == object:
+        return pa.array(x, pa.string())
+    return pa.array(x)
+
+
+def _seg_cap(a: np.ndarray, b: np.ndarray, ov: np.ndarray, cap: int):
+    """Vectorized per-vertex cap over rows SORTED by (a, b):
+    adjacent-dedup, rank-within-run < cap keep mask, and per-run
+    over = any block-overflow bit OR distinct count > cap. Safe on
+    empty input. Returns (kept a, kept b, kept over-per-row)."""
+    if len(a) == 0:
+        return a, b, np.empty(0, dtype=np.int64)
+    first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+    # a run's over bit must see every duplicate row's ov, so fold ov
+    # over the ORIGINAL rows per a-run before deduping
+    astart = np.concatenate([[True], a[1:] != a[:-1]])
+    rid = np.cumsum(astart) - 1
+    ov_any = np.zeros(int(rid[-1]) + 1, dtype=np.int64)
+    np.maximum.at(ov_any, rid, ov)
+    ad, bd, rd_ = a[first], b[first], rid[first]
+    dstart = np.concatenate([[True], ad[1:] != ad[:-1]])
+    starts = np.flatnonzero(dstart)
+    cnt = np.diff(np.append(starts, len(ad)))
+    rank = np.arange(len(ad)) - np.repeat(starts, cnt)
+    over = (ov_any[rd_[starts]] | (cnt > cap)).astype(np.int64)
+    keep = rank < cap
+    return ad[keep], bd[keep], np.repeat(over, np.minimum(cnt, cap))
+
+
 def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int):
     """Truncate every vertex's neighbor list to its ``cap`` smallest
     distinct neighbors and derive per-vertex truncation flags — the
@@ -141,28 +176,6 @@ def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int):
         return pa.table({"a": pa.array(aa[keep]), "b": pa.array(bb[keep]),
                          "ov": pa.array(ov)})
 
-    def seg_cap(a: np.ndarray, b: np.ndarray, ov: np.ndarray):
-        """Vectorized per-vertex cap over rows SORTED by (a, b):
-        adjacent-dedup, rank-within-run < cap keep mask, and per-run
-        over = any block-overflow bit OR distinct count > cap. Returns
-        (kept a, kept b, kept over-per-row, run a, run over)."""
-        first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
-        # a run's over bit must see every duplicate row's ov, so fold ov
-        # over the ORIGINAL rows per a-run before deduping
-        astart = np.concatenate([[True], a[1:] != a[:-1]])
-        rid = np.cumsum(astart) - 1
-        ov_any = np.zeros(int(rid[-1]) + 1, dtype=np.int64)
-        np.maximum.at(ov_any, rid, ov)
-        ad, bd, rd_ = a[first], b[first], rid[first]
-        dstart = np.concatenate([[True], ad[1:] != ad[:-1]])
-        starts = np.flatnonzero(dstart)
-        cnt = np.diff(np.append(starts, len(ad)))
-        rank = np.arange(len(ad)) - np.repeat(starts, cnt)
-        over = (ov_any[rd_[starts]] | (cnt > cap)).astype(np.int64)
-        keep = rank < cap
-        return (ad[keep], bd[keep], np.repeat(over, np.minimum(cnt, cap)),
-                ad[starts], over)
-
     srt = (sym.map_batches(cap_partial, batch_format="pyarrow")
            .sort(["a", "b"]).materialize())
 
@@ -170,12 +183,14 @@ def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int):
         a = df["a"].to_numpy()
         runs = np.flatnonzero(a[1:] != a[:-1]) + 1 if len(a) else np.array([])
         if len(runs) == 0:  # single run (or empty): all boundary
-            return pa.table({"a": pa.array(a[:0]), "b": pa.array(a[:0]),
-                             "ov": pa.array([], pa.int64())})
-        s, e = int(runs[0]), int(runs[-1])
-        ka, kb, kov, _, _ = seg_cap(a[s:e], df["b"].to_numpy()[s:e],
-                                    df["ov"].to_numpy()[s:e])
-        return pa.table({"a": pa.array(ka), "b": pa.array(kb),
+            s = e = 0
+        else:
+            s, e = int(runs[0]), int(runs[-1])
+        # s == e (a block with <= 2 runs) yields empty slices; _seg_cap
+        # and _pa_col keep the schema typed either way
+        ka, kb, kov = _seg_cap(a[s:e], df["b"].to_numpy()[s:e],
+                               df["ov"].to_numpy()[s:e], cap)
+        return pa.table({"a": _pa_col(ka), "b": _pa_col(kb),
                          "ov": pa.array(kov)})
 
     def block_edge(df: pd.DataFrame) -> pa.Table:
@@ -186,9 +201,9 @@ def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int):
         else:
             idx = np.concatenate([np.arange(runs[0]),
                                   np.arange(runs[-1], len(a))])
-        return pa.table({"a": pa.array(a[idx]),
-                         "b": pa.array(df["b"].to_numpy()[idx]),
-                         "ov": pa.array(df["ov"].to_numpy()[idx])})
+        return pa.table({"a": _pa_col(a[idx]),
+                         "b": _pa_col(df["b"].to_numpy()[idx]),
+                         "ov": pa.array(df["ov"].to_numpy()[idx].astype(np.int64))})
 
     interior = srt.map_batches(block_capped, batch_format="pandas",
                                batch_size=None)
@@ -202,10 +217,10 @@ def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int):
         eb = edge["b"].to_numpy()
         eo = edge["ov"].to_numpy()
         order = np.lexsort((eb, ea))
-        ka, kb, kov, _, _ = seg_cap(ea[order], eb[order], eo[order])
+        ka, kb, kov = _seg_cap(ea[order], eb[order], eo[order], cap)
         if len(ka):
             parts.append(rd.from_arrow(pa.table({
-                "a": pa.array(ka), "b": pa.array(kb), "ov": pa.array(kov)})))
+                "a": _pa_col(ka), "b": _pa_col(kb), "ov": pa.array(kov)})))
     capped = (parts[0].union(*parts[1:]) if len(parts) > 1
               else parts[0]).materialize()
 
@@ -216,11 +231,16 @@ def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int):
 
     # truncated(a) = ov(a) OR any kept neighbor's ov — computed over the
     # capped pair stream (≤ cap rows per vertex), so the join and the
-    # per-vertex max stay bounded regardless of hub degree
+    # per-vertex max stay bounded regardless of hub degree. _join_safe:
+    # block_capped legitimately emits EMPTY blocks (≤2-run inputs), and
+    # Ray 2.49's join chokes on an empty leading block (dedup.py repro)
+    from ..stages.dedup import _join_safe
+
     vflag = capped.map_batches(vf, batch_format="pyarrow")
-    j = capped.join(vflag, "inner", num_partitions, on=("b",),
-                    right_on=("m",),
-                    aggregator_ray_remote_args={"num_cpus": 0.25})
+    j = _join_safe(capped, num_partitions).join(
+        _join_safe(vflag, num_partitions), "inner", num_partitions,
+        on=("b",), right_on=("m",),
+        aggregator_ray_remote_args={"num_cpus": 0.25})
 
     def orf(t: pa.Table) -> pa.Table:
         tr = t["ov"].to_numpy() | t["ovm"].to_numpy()

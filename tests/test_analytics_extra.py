@@ -102,6 +102,60 @@ def test_two_hop_counts_capped_flag_semantics():
     assert "truncated" not in unc.columns  # uncapped schema unchanged
 
 
+def test_seg_cap_edge_regimes():
+    from pagerank_cuda_dynamic_ray.pipelines.analytics import _seg_cap
+
+    # empty input (a block with <= 2 a-runs slices an empty interior)
+    a = np.array([], dtype=object)
+    ka, kb, kov = _seg_cap(a, a, np.empty(0, np.int64), 3)
+    assert len(ka) == 0 and len(kb) == 0 and len(kov) == 0
+    # duplicates across blocks + block-overflow bit folding: the run's
+    # over bit must see EVERY duplicate row's ov, not just the kept ones
+    av = np.array(["x", "x", "x", "y"], dtype=object)
+    bv = np.array(["1", "1", "2", "9"], dtype=object)
+    ov = np.array([0, 1, 0, 0], dtype=np.int64)  # dup row carries the bit
+    ka, kb, kov = _seg_cap(av, bv, ov, 2)
+    assert ka.tolist() == ["x", "x", "y"]
+    assert kb.tolist() == ["1", "2", "9"]
+    assert kov.tolist() == [1, 1, 0]  # x over (block bit), y clean
+    # truncation: distinct count > cap flags over even with no block bit
+    av = np.array(["z"] * 4, dtype=object)
+    bv = np.array(["1", "2", "3", "4"], dtype=object)
+    ka, kb, kov = _seg_cap(av, bv, np.zeros(4, np.int64), 2)
+    assert kb.tolist() == ["1", "2"] and kov.tolist() == [1, 1]
+
+
+def test_two_hop_capped_many_tiny_blocks():
+    # stress the sorted-segment boundary machinery: enough partitions
+    # that most post-sort blocks hold only 1-2 vertex runs (the regime
+    # that used to crash the interior slice / emit null-typed empties)
+    import pyarrow as pa
+    import ray.data as rd
+
+    names = np.array([f"n{i:02d}" for i in range(10)])
+    src = names[[0, 0, 1, 2, 3, 4, 5, 6, 7, 8]].tolist()
+    dst = names[[1, 2, 2, 3, 4, 5, 6, 7, 8, 9]].tolist()
+    edges = rd.from_arrow(pa.table({"src": pa.array(src),
+                                    "dst": pa.array(dst)})).repartition(8)
+    ids = rd.from_arrow(pa.table({"conv_id": pa.array(names)}))
+    got = (A.two_hop_counts(edges, ids, num_partitions=4, cap=2).to_pandas()
+           .sort_values("conv_id").reset_index(drop=True))
+    adj = {n: set() for n in names}
+    for a, b in zip(src, dst):
+        adj[a].add(b)
+        adj[b].add(a)
+    kept = {n: sorted(adj[n])[:2] for n in names}
+    over = {n: len(adj[n]) > 2 for n in names}
+    for i, n in enumerate(names):
+        ball = set(kept[n])
+        for u in kept[n]:
+            ball |= set(kept[u])
+        ball.discard(n)
+        assert got.loc[i, "n_two_hop"] == len(ball), n
+        assert bool(got.loc[i, "truncated"]) == (
+            over[n] or any(over[u] for u in kept[n])), n
+
+
 def test_pseudo_diameter_double_sweep(ctx):
     # sweep 1 from vid 0 reaches vids 4/5 at distance 3 (tie -> vid 4);
     # sweep 2 from vid 4 back across the bridge is also eccentricity 3
