@@ -377,25 +377,34 @@ def crossdoc_dup_mass(docs: rd.Dataset, shingle_k: int = 3,
         return pa.table({"h": pa.array(flat.astype(np.int64)),
                          id_col: pa.array(ids)})
 
-    prs = docs.map_batches(pairs, batch_format="pandas").materialize()
-    dup = (prs.groupby("h").count()
-           .map_batches(lambda t: t.filter(
-               pc.greater_equal(t["count()"], 2)).select(["h"]),
-               batch_format="pyarrow")
-           .materialize())
-    ndup = (prs.join(dup, "inner", num_partitions, on=("h",),
-                     aggregator_ray_remote_args={"num_cpus": 0.25})
-            .groupby(id_col).count()
-            .map_batches(lambda t: t.rename_columns([id_col, "n_dup_grams"]),
-                         batch_format="pyarrow")
-            .materialize())
+    from .dedup import _join_safe
+
+    # _join_safe on every join input: a block of only-short docs emits
+    # an empty pairs block, and Ray 2.49's join chokes on an empty
+    # LEADING block (dedup.py repro)
+    prs = _join_safe(docs.map_batches(pairs, batch_format="pandas"),
+                     num_partitions)
+    dup = _join_safe(
+        prs.groupby("h").count()
+        .map_batches(lambda t: t.filter(
+            pc.greater_equal(t["count()"], 2)).select(["h"]),
+            batch_format="pyarrow"),
+        num_partitions)
+    ndup = _join_safe(
+        prs.join(dup, "inner", num_partitions, on=("h",),
+                 aggregator_ray_remote_args={"num_cpus": 0.25})
+        .groupby(id_col).count()
+        .map_batches(lambda t: t.rename_columns([id_col, "n_dup_grams"]),
+                     batch_format="pyarrow"),
+        num_partitions)
 
     def nd(batch: pd.DataFrame) -> pa.Table:
         _, offs = _strict_shingles(batch[text_col].tolist(), shingle_k)
         return pa.table({id_col: pa.array(batch[id_col].to_numpy(np.int64)),
                          "n_grams_distinct": pa.array(np.diff(offs))})
 
-    base = docs.map_batches(nd, batch_format="pandas")
+    base = _join_safe(docs.map_batches(nd, batch_format="pandas"),
+                      num_partitions)
     joined = base.join(ndup, "left_outer", num_partitions, on=(id_col,),
                        aggregator_ray_remote_args={"num_cpus": 0.25})
 
