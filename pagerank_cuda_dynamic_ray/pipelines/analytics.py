@@ -385,12 +385,17 @@ def two_hop_counts(edges: rd.Dataset, ids: rd.Dataset,
         aggregator_ray_remote_args={"num_cpus": 0.25},
     )
     if flags is not None:
+        from ..stages.dedup import _join_safe
+
         # barrier between the two joins: one aggregator pool at a time
-        # (see _cap_adjacency's materialize note)
-        joined = joined.materialize().join(
-            flags.map_batches(
-                lambda t: t.rename_columns(["conv_id", "truncated"]),
-                batch_format="pyarrow"),
+        # (see _cap_adjacency's materialize note); _join_safe also
+        # covers empty leading blocks in either join input
+        joined = _join_safe(joined, num_partitions).join(
+            _join_safe(
+                flags.map_batches(
+                    lambda t: t.rename_columns(["conv_id", "truncated"]),
+                    batch_format="pyarrow"),
+                num_partitions),
             "left_outer", num_partitions, on=("conv_id",),
             aggregator_ray_remote_args={"num_cpus": 0.25},
         )
