@@ -262,6 +262,19 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     CO.contamination_screen(docs, 20, 5).materialize()
     extra["contamination_s"] = time.perf_counter() - t0
+    # round-4 additions
+    t0 = time.perf_counter()
+    CO.crossdoc_dup_mass(docs, 3).materialize()
+    extra["crossdoc_dup_s"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    D.normalized_exact_dedup(docs).materialize()
+    extra["exact_dedup_norm_s"] = time.perf_counter() - t0
+    docs_lang = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                columns=["doc_id", "lang"],
+                                override_num_blocks=num_cpus)
+    t0 = time.perf_counter()
+    SP.temperature_resample(docs_lang, alpha=0.5).materialize()
+    extra["temperature_resample_s"] = time.perf_counter() - t0
 
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"],
                           override_num_blocks=num_cpus)

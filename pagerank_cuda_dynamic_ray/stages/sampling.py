@@ -117,6 +117,8 @@ def temperature_resample(
     Thresholds use floor (not round) so the SQL oracle's
     ``floor(pow(...)*2^64)`` computes the identical integer."""
     cnt = ds.groupby(key_col).count().to_pandas()
+    if not len(cnt):
+        return ds  # empty corpus: nothing to resample
     keys = cnt[key_col].to_numpy().astype(object)
     c = cnt["count()"].to_numpy(np.float64)
     cmin = float(c.min())
