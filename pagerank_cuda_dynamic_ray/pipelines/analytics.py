@@ -1855,7 +1855,13 @@ def modularity(ctx: GraphContext, labels: rd.Dataset | None = None) -> float:
         # the driver never holds a vertex-scale vector; coverage and
         # duplicate checks fold as O(P) scalars from the shards
         ray.get([s.begin_label_install.remote() for s in shards])
-        route_labels(labels.select_columns(["vid", col]), shards, col)
+        try:
+            route_labels(labels.select_columns(["vid", col]), shards, col)
+        except Exception as e:
+            # routing failure (e.g. a vid outside [0, N)) must release
+            # the shards' install buffers and surface the contract error
+            ray.get([s.abort_label_install.remote() for s in shards])
+            raise ValueError(f"label install failed during routing: {e}") from e
         res = ray.get([s.label_install_stats.remote() for s in shards])
         n_written = sum(r[0] for r in res)
         n_dups = sum(r[1] for r in res)

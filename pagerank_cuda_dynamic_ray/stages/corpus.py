@@ -149,8 +149,10 @@ def pack_token_bins(docs: rd.Dataset, budget: int = 256,
     def carry(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):
             return pd.DataFrame({"first_id": np.empty(0, np.int64),
+                                 "last_id": np.empty(0, np.int64),
                                  "tot": np.empty(0, np.int64)})
         return pd.DataFrame({"first_id": [int(df[id_col].iloc[0])],
+                             "last_id": [int(df[id_col].iloc[-1])],
                              "tot": [int(df["n_tokens"].sum())]})
 
     cr = srt.map_batches(carry, batch_format="pandas", batch_size=None).to_pandas()
@@ -159,10 +161,15 @@ def pack_token_bins(docs: rd.Dataset, budget: int = 256,
         cr = cr.sort_values("first_id").reset_index(drop=True)
         excl = cr["tot"].cumsum().to_numpy() - cr["tot"].to_numpy()
         bases = dict(zip(cr["first_id"].astype(np.int64), excl.astype(np.int64)))
-        if len(bases) != len(cr):
-            # two blocks share a first doc_id ⇒ a duplicate-id run
-            # straddles a block boundary and the carry would silently
-            # overwrite one block's exclusive prefix — fail loudly
+        # a duplicate-id run straddling a block boundary shows up as
+        # consecutive blocks whose id ranges OVERLAP (prev last >= next
+        # first) — the carry would silently misassign its rows; ids are
+        # sorted, so strict inter-block ordering is the full check
+        # (in-block duplicates are caught in assign below)
+        lasts = cr["last_id"].to_numpy(np.int64)
+        firsts = cr["first_id"].to_numpy(np.int64)
+        if len(bases) != len(cr) or (len(cr) > 1
+                                     and (lasts[:-1] >= firsts[1:]).any()):
             raise ValueError(
                 "pack_token_bins: duplicate doc_id spans a block boundary; "
                 "doc ids must be unique for deterministic packing")
@@ -177,7 +184,7 @@ def pack_token_bins(docs: rd.Dataset, budget: int = 256,
         ids = df[id_col].to_numpy(np.int64)
         # ids are sorted within a post-sort block, so adjacent equality
         # is a full in-block duplicate check; cross-block duplicates are
-        # caught by the carry-dict collision check above
+        # caught by the carry pass's inter-block range-overlap check
         if len(ids) > 1 and (ids[1:] == ids[:-1]).any():
             raise ValueError(
                 "pack_token_bins: duplicate doc_id; doc ids must be "
@@ -287,15 +294,20 @@ def contamination_screen(docs: rd.Dataset, bench_mod: int = 20,
 
     parts_ds = docs.map_batches(bench_shingles,
                                 batch_format="pandas").materialize()
-    # guard BEFORE the driver pull: the per-block-unique partial row
-    # count upper-bounds the union size, so refusing on it prevents the
-    # driver-memory hazard rather than reporting it post hoc
+    # two-tier guard BEFORE the driver pull: the per-block-unique
+    # partial row count upper-bounds the union, so when it passes the
+    # pull is safe with zero extra work; when it exceeds the limit
+    # (the bound is loose by up to the block count), fall back to an
+    # EXACT distributed distinct count and refuse only on that — a
+    # spurious refusal would otherwise scale with block count
     n_partial = parts_ds.count()
     if n_partial > max_bench_shingles:
-        raise ValueError(
-            f"contamination_screen: benchmark shingle partials ({n_partial}) "
-            f"exceed max_bench_shingles={max_bench_shingles}; shrink the "
-            "benchmark subset or raise the limit deliberately")
+        n_exact = parts_ds.groupby("sh").count().count()
+        if n_exact > max_bench_shingles:
+            raise ValueError(
+                f"contamination_screen: benchmark shingle set ({n_exact}) "
+                f"exceeds max_bench_shingles={max_bench_shingles}; shrink "
+                "the benchmark subset or raise the limit deliberately")
     parts = parts_ds.to_pandas()
     bench = np.unique(parts["sh"].to_numpy(np.uint64))
     bench_ref = ray.put(bench)
@@ -362,13 +374,16 @@ def crossdoc_dup_mass(docs: rd.Dataset, shingle_k: int = 3,
     the ratio; unlike :func:`doc_repetition` (within-doc) this measures
     corpus-wide duplication.
 
-    Three bounded exchanges, never text: distinct (gram-hash, doc)
-    pairs (16 B/row) → gram doc-frequency via a native Ray groupby
-    count → hash-join of the pairs against the df≥2 gram set → per-doc
-    count. Joins are materialize-serialized so only one aggregator pool
-    is ever alive (the small-cluster deadlock posture of
-    pipelines/analytics._cap_adjacency). Returns Dataset(doc_id,
-    n_grams_distinct, n_dup_grams) including zero rows."""
+    Three bounded exchanges, never text — and the corpus is tokenized
+    exactly ONCE: distinct (gram-hash, doc) pairs (16 B/row) feed both
+    the per-doc distinct count (a per-doc groupby) and the gram
+    doc-frequency (groupby count → df≥2 set → hash-join back → per-doc
+    count). Joins are materialize-serialized so only one aggregator
+    pool is ever alive (the small-cluster deadlock posture of
+    pipelines/analytics._cap_adjacency), and an all-unique corpus
+    (empty df≥2 set) short-circuits instead of joining against an
+    empty Dataset. Returns Dataset(doc_id, n_grams_distinct,
+    n_dup_grams) including zero rows."""
     import pyarrow.compute as pc
 
     def pairs(batch: pd.DataFrame) -> pa.Table:
@@ -384,36 +399,49 @@ def crossdoc_dup_mass(docs: rd.Dataset, shingle_k: int = 3,
     # LEADING block (dedup.py repro)
     prs = _join_safe(docs.map_batches(pairs, batch_format="pandas"),
                      num_partitions)
-    dup = _join_safe(
-        prs.groupby("h").count()
-        .map_batches(lambda t: t.filter(
-            pc.greater_equal(t["count()"], 2)).select(["h"]),
-            batch_format="pyarrow"),
-        num_partitions)
-    ndup = _join_safe(
-        prs.join(dup, "inner", num_partitions, on=("h",),
-                 aggregator_ray_remote_args={"num_cpus": 0.25})
-        .groupby(id_col).count()
-        .map_batches(lambda t: t.rename_columns([id_col, "n_dup_grams"]),
+    # per-doc distinct gram count from the SAME pair stream (pairs are
+    # already per-doc distinct) — no second tokenization pass
+    gcnt = _join_safe(
+        prs.groupby(id_col).count()
+        .map_batches(lambda t: t.rename_columns([id_col, "n_grams_distinct"]),
                      batch_format="pyarrow"),
         num_partitions)
+    dup = (prs.groupby("h").count()
+           .map_batches(lambda t: t.filter(
+               pc.greater_equal(t["count()"], 2)).select(["h"]),
+               batch_format="pyarrow")
+           .materialize())
+    ndup = None
+    if dup.count() > 0:  # all-unique corpus: skip the empty-side joins
+        ndup = _join_safe(
+            prs.join(_join_safe(dup, num_partitions), "inner",
+                     num_partitions, on=("h",),
+                     aggregator_ray_remote_args={"num_cpus": 0.25})
+            .groupby(id_col).count()
+            .map_batches(lambda t: t.rename_columns([id_col, "n_dup_grams"]),
+                         batch_format="pyarrow"),
+            num_partitions)
 
-    def nd(batch: pd.DataFrame) -> pa.Table:
-        _, offs = _strict_shingles(batch[text_col].tolist(), shingle_k)
-        return pa.table({id_col: pa.array(batch[id_col].to_numpy(np.int64)),
-                         "n_grams_distinct": pa.array(np.diff(offs))})
-
-    base = _join_safe(docs.map_batches(nd, batch_format="pandas"),
-                      num_partitions)
-    joined = base.join(ndup, "left_outer", num_partitions, on=(id_col,),
-                       aggregator_ray_remote_args={"num_cpus": 0.25})
+    ids_only = _join_safe(
+        docs.map_batches(
+            lambda t: t.select([id_col]), batch_format="pyarrow"),
+        num_partitions)
+    joined = ids_only.join(gcnt, "left_outer", num_partitions, on=(id_col,),
+                           aggregator_ray_remote_args={"num_cpus": 0.25})
+    if ndup is not None:
+        joined = _join_safe(joined, num_partitions).join(
+            ndup, "left_outer", num_partitions, on=(id_col,),
+            aggregator_ray_remote_args={"num_cpus": 0.25})
 
     def fin(t: pa.Table) -> pa.Table:
+        nd_col = (pc.coalesce(t["n_dup_grams"], pa.scalar(0, pa.int64()))
+                  if "n_dup_grams" in t.column_names
+                  else pa.nulls(t.num_rows, pa.int64()).fill_null(0))
         return pa.table({
             id_col: t[id_col],
-            "n_grams_distinct": t["n_grams_distinct"],
-            "n_dup_grams": pc.coalesce(t["n_dup_grams"],
-                                       pa.scalar(0, pa.int64())),
+            "n_grams_distinct": pc.coalesce(t["n_grams_distinct"],
+                                            pa.scalar(0, pa.int64())),
+            "n_dup_grams": nd_col,
         })
 
     return joined.map_batches(fin, batch_format="pyarrow")

@@ -349,7 +349,12 @@ def copair_counts(
         run_bounds = np.concatenate([[0], np.flatnonzero(eg[1:] != eg[:-1]) + 1, [len(eg)]]) \
             if len(eg) else np.array([0, 0])
         run_len = np.diff(run_bounds).astype(np.int64)
-        n_pairs = int((run_len * (run_len - 1) // 2).sum())
+        # capped mode truncates each run to <= cap members BEFORE
+        # pairing, so the refusal bound must use the capped lengths —
+        # an uncapped bound would spuriously abort the exact run cap
+        # was passed to survive
+        eff_len = np.minimum(run_len, cap) if cap is not None else run_len
+        n_pairs = int((eff_len * (eff_len - 1) // 2).sum())
         if n_pairs > max_edge_pairs:
             raise ValueError(
                 f"copair_counts: {n_pairs} boundary pairs exceed "

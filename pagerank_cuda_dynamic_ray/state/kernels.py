@@ -166,12 +166,15 @@ def weighted_set_update(keys: np.ndarray, w: np.ndarray,
                         delk: np.ndarray, insk: np.ndarray
                         ) -> tuple[np.ndarray, np.ndarray]:
     """Multiset analogue of :func:`set_minus_union` for weighted edge
-    sets: every insertion INSTANCE adds one unit of weight, every
-    deletion instance removes one (clamped at zero — the edge drops out
-    when its multiplicity is exhausted). ``keys``/``w`` are the current
-    sorted-unique keys and their multiplicities; ``delk``/``insk`` are
-    raw instance key arrays (duplicates meaningful). Returns the new
-    (sorted-unique keys, weights) pair."""
+    sets: every deletion INSTANCE removes one unit of weight (clamped
+    at zero — the edge drops out when its multiplicity is exhausted),
+    THEN every insertion instance adds one — the same minus-then-union
+    order as the unweighted path (batch.hxx applyBatchUpdateU), so a
+    batch that over-deletes and re-inserts the same edge leaves it
+    present on both paths. ``keys``/``w`` are the current sorted-unique
+    keys and their multiplicities; ``delk``/``insk`` are raw instance
+    key arrays (duplicates meaningful). Returns the new (sorted-unique
+    keys, weights) pair."""
     parts = [keys]
     ik = ic = dk = dc = None
     if len(insk):
@@ -184,11 +187,11 @@ def weighted_set_update(keys: np.ndarray, w: np.ndarray,
     neww = np.zeros(len(allk), dtype=np.float64)
     if len(keys):
         neww[np.searchsorted(allk, keys)] += w
-    if ik is not None:
-        neww[np.searchsorted(allk, ik)] += ic
     if dk is not None:
         pos = np.searchsorted(allk, dk)
         neww[pos] = np.maximum(neww[pos] - dc, 0.0)
+    if ik is not None:
+        neww[np.searchsorted(allk, ik)] += ic
     keep = neww > 0
     return allk[keep], neww[keep]
 

@@ -217,3 +217,24 @@ def test_crossdoc_dup_mass_bruteforce():
     g4 = got[got["doc_id"] == 4].iloc[0]
     if len(grams[4]):
         assert g4["n_dup_grams"] == g4["n_grams_distinct"]
+
+
+def test_crossdoc_dup_mass_all_unique_corpus():
+    # no gram occurs in 2+ docs: the df>=2 set is EMPTY and the operator
+    # must short-circuit to all-zero dup counts, not crash joining an
+    # empty dataset (Ray 2.49 empty-side join bug)
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["aa bb cc dd", "ee ff gg hh", "ii jj kk ll"],
+    })
+    got = (corpus.crossdoc_dup_mass(rd.from_pandas(df), shingle_k=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["n_grams_distinct"].tolist() == [2, 2, 2]
+    assert (got["n_dup_grams"] == 0).all()
+    # short docs (no grams at all) keep their zero rows
+    df2 = pd.DataFrame({"doc_id": np.array([0, 1], dtype=np.int64),
+                        "text": ["one two", "x y z x y z"]})
+    got2 = (corpus.crossdoc_dup_mass(rd.from_pandas(df2), shingle_k=3)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # "x y z x y z": 4 gram instances but only 3 DISTINCT
+    assert got2["n_grams_distinct"].tolist() == [0, 3]

@@ -151,6 +151,13 @@ def test_weighted_set_update_kernel():
         np.empty(0, np.int64), np.empty(0), np.empty(0, np.int64),
         np.array([5, 5], np.int64))
     assert nk2.tolist() == [5] and nw2.tolist() == [2.0]
+    # minus-then-union order: over-delete + re-insert of the same edge
+    # leaves it present with the inserted weight (matching the
+    # unweighted set_minus_union / batch.hxx semantics), NOT dropped
+    nk3, nw3 = K.weighted_set_update(
+        np.array([4], np.int64), np.array([1.0]),
+        np.array([4, 4], np.int64), np.array([4], np.int64))
+    assert nk3.tolist() == [4] and nw3.tolist() == [1.0]
 
 
 def test_tidy_batch_semantics(ctx):
