@@ -1754,10 +1754,12 @@ def degree_distribution(ctx: GraphContext) -> rd.Dataset:
     groupby touches at most P rows per (kind, degree)."""
     import pandas as pd
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"kind": [g["kind"].iloc[0]],
-                             "degree": np.array([g["degree"].iloc[0]], np.int64),
-                             "n_vertices": np.array([g["n_vertices"].sum()], np.int64)})
+    def merge(g: pd.DataFrame) -> "pa.Table":
+        import pyarrow as pa
+
+        return pa.table({"kind": pa.array([g["kind"].iloc[0]], pa.string()),
+                         "degree": pa.array([int(g["degree"].iloc[0])], pa.int64()),
+                         "n_vertices": pa.array([int(g["n_vertices"].sum())], pa.int64())})
 
     tables = ray.get([s.degree_hist_table.remote() for s in ctx.shards])
     both = tables_dataset(tables)
