@@ -576,6 +576,45 @@ def _q_pagerank_weighted_dynamic(sf_dir: str):
         ctx.shutdown()
 
 
+def _q_pagerank_dynamic_deletions(sf_dir: str):
+    """Deletions-bearing dynamic protocol — the one path the reference
+    driver never replays (main.cu:62-84 is insertion-only) but its
+    kernels fully support (deletion targets enter the DF frontier,
+    /root/reference/inc/pagerankCuda.hxx:273-299): static fixpoint on
+    the full graph, then the seed-11 random batch (64 deletions + 64
+    insertions) tidied and applied in ONE batch — existence filter,
+    multiset minus-then-union, DF marking over BOTH deletion and
+    insertion endpoints — followed by a DF warm restart. Every run at
+    fixed PR_ORACLE_ITERS / zero tolerances, so the final quantized
+    ranks must equal a cold SQL power iteration over the POST-BATCH
+    edge set (generator + tidy replayed relationally, the batch_tidy
+    oracle's machinery). Fresh context: the batch mutates the graph, so
+    the shared _graph() cache must not see it."""
+    ctx, _ = api.build_graph(_fixture(sf_dir), num_parts=NUM_PARTS)
+    try:
+        o = PagerankOptions(
+            tolerance=0.0, max_iterations=PR_ORACLE_ITERS, frontier_tolerance=0.0
+        )
+        res = ctx.pagerank("static", options=o)
+        warm = list(res.ranks)
+        dels, inss = ctx.random_batch(64, 64, seed=11)
+        tdel, tins = ctx.tidy_batch(dels, inss)
+        empty = np.empty((2, 0), dtype=np.int64)
+        # deletion marks expand in the OLD graph (the deleted edge's
+        # target is no longer an out-neighbor afterwards); insertion
+        # marks in the updated one — pagerank.hxx:645-676 ordering
+        marks_del = ctx.compute_frontier_marks(tdel, empty)
+        ctx.apply_batch(tdel, tins)
+        marks_ins = ctx.compute_frontier_marks(empty, tins)
+        marks = [np.unique(np.concatenate([a, b]))
+                 for a, b in zip(marks_del, marks_ins)]
+        r = ctx.pagerank("df", warm=warm, initial_marks=marks, options=o)
+        e10 = np.round(ctx.assemble(r.ranks) * 1e10).astype(np.int64)
+        return pa.table({"conv_id": pa.array(ctx.dictionary), "rank_e10": pa.array(e10)})
+    finally:
+        ctx.shutdown()
+
+
 PFX_STAGES = 2  # insertion batches after the base prefix (3 stages total)
 
 
@@ -1203,8 +1242,7 @@ def _q_revenue_by_nation(sf_dir: str):
         nat["n_regionkey"].to_numpy(),
     ))
     joined = li.join(
-        orders, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",),
-        aggregator_ray_remote_args={"num_cpus": 0.5},
+        orders, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",)
     )
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1678,11 +1716,9 @@ def _q_curation_pipeline(sf_dir: str):
     docs = _tbl(sf_dir, "documents", ["doc_id", "text"])
     kept = TS.quality_filter(docs, min_quality=0.2, min_tokens=5) \
         .select_columns(["doc_id", "lang"])
-    kd = docs.join(kept, "inner", NUM_PARTS, on=("doc_id",),
-                   aggregator_ray_remote_args={"num_cpus": 0.25})
+    kd = docs.join(kept, "inner", NUM_PARTS, on=("doc_id",))
     reps = D.exact_dedup(kd)
-    reps_lang = reps.join(kept, "inner", NUM_PARTS, on=("doc_id",),
-                          aggregator_ray_remote_args={"num_cpus": 0.25})
+    reps_lang = reps.join(kept, "inner", NUM_PARTS, on=("doc_id",))
     sp = SP.hash_split(reps_lang, SPLIT_WEIGHTS, seed=0)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -2168,61 +2204,13 @@ def _q_frame_sample(sf_dir: str):
 # ----------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # Order = driver-verification priority: first the 25 entries with
-    # no official driver-green row in any of r01-r03, then the 11 last
-    # checked in r01, then r02-last, then r03-last (the gate samples
-    # the registry head, so least-recently-verified goes first).
+    # Order = driver-verification priority (the gate samples the
+    # registry head): first the never-driver-checked r5 addition, then
+    # the 41 entries whose latest green row is r02, then r03-last, then
+    # r04-last — so CORRECTNESS_r05's first 50 re-verifies the stalest
+    # cohort (VERDICT r4 #7).
     return {
-        "two_hop_capped": _q_two_hop_capped,
-        "copurchase_capped": _q_copurchase_capped,
-        "pagerank_weighted_dynamic": _q_pagerank_weighted_dynamic,
-        "pagerank_weighted_personalized": _q_pagerank_weighted_personalized,
-        "pagerank_prefix_stages": _q_pagerank_prefix_stages,
-        "temperature_resample": _q_temperature_resample,
-        "exact_dedup_norm": _q_exact_dedup_norm,
-        "crossdoc_dup": _q_crossdoc_dup,
-        "curation_pipeline": _q_curation_pipeline,
-        "hash_split": _q_hash_split,
-        "stratified_sample": _q_stratified_sample,
-        "sample_per_key": _q_sample_per_key,
-        "topk_events_per_user": _q_topk_events_per_user,
-        "mode_event_per_user": _q_mode_per_user,
-        "vocabulary": _q_vocabulary,
-        "inverted_index": _q_inverted_index,
-        "cooccurrence_pmi": _q_cooccurrence_pmi,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "hll_distinct": _q_hll_distinct,
-        "hll_users_by_type": _q_hll_users_by_type,
-        "doc_ntile": _q_doc_ntile,
-        "doc_window_ranks": _q_doc_window_ranks,
-        "doc_len_quantiles": _q_doc_len_quantiles,
-        "value_quantiles_binned": _q_value_quantiles_binned,
-        "len_quantiles_by_lang": _q_len_quantiles_by_lang,
-        "countmin_user_counts": _q_countmin_user_counts,
-        "bloom_semi": _q_bloom_semi,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "ngram_dup_profile": _q_ngram_dup_profile,
-        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
-        "embedding_covariance": _q_embedding_covariance,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "knn_ivf": _q_knn_ivf,
-        "doc_tokens": _q_doc_tokens,
-        "doc_lang": _q_doc_lang,
-        "doc_quality": _q_doc_quality,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "minhash_dedup": _q_minhash_dedup,
-        "simhash_dedup": _q_simhash_dedup,
-        "embedding_neardup": _q_embedding_neardup,
-        "knn_bruteforce": _q_knn_bruteforce,
-        "knn_lsh": _q_knn_lsh,
-        "multimodal_decode": _q_multimodal_decode,
-        "frame_sample": _q_frame_sample,
-        "edge_log": _q_edge_log,
-        "vertex_dictionary": _q_vertex_dictionary,
-        "edges_encoded_dist": _q_edges_encoded_dist,
-        "out_degrees": _q_out_degrees,
-        "degree_distribution": _q_degree_distribution,
-        "edges_export": _q_edges_export,
+        "pagerank_dynamic_deletions": _q_pagerank_dynamic_deletions,
         "degree_assortativity": _q_degree_assortativity,
         "self_loops": _q_self_loops,
         "random_batch": _q_random_batch,
@@ -2314,6 +2302,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "pii_scrub": _q_pii_scrub,
         "quality_filter": _q_quality_filter,
+        "two_hop_capped": _q_two_hop_capped,
+        "copurchase_capped": _q_copurchase_capped,
+        "pagerank_weighted_dynamic": _q_pagerank_weighted_dynamic,
+        "pagerank_weighted_personalized": _q_pagerank_weighted_personalized,
+        "pagerank_prefix_stages": _q_pagerank_prefix_stages,
+        "temperature_resample": _q_temperature_resample,
+        "exact_dedup_norm": _q_exact_dedup_norm,
+        "crossdoc_dup": _q_crossdoc_dup,
+        "curation_pipeline": _q_curation_pipeline,
+        "hash_split": _q_hash_split,
+        "stratified_sample": _q_stratified_sample,
+        "sample_per_key": _q_sample_per_key,
+        "topk_events_per_user": _q_topk_events_per_user,
+        "mode_event_per_user": _q_mode_per_user,
+        "vocabulary": _q_vocabulary,
+        "inverted_index": _q_inverted_index,
+        "cooccurrence_pmi": _q_cooccurrence_pmi,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "hll_distinct": _q_hll_distinct,
+        "hll_users_by_type": _q_hll_users_by_type,
+        "doc_ntile": _q_doc_ntile,
+        "doc_window_ranks": _q_doc_window_ranks,
+        "doc_len_quantiles": _q_doc_len_quantiles,
+        "value_quantiles_binned": _q_value_quantiles_binned,
+        "len_quantiles_by_lang": _q_len_quantiles_by_lang,
+        "countmin_user_counts": _q_countmin_user_counts,
+        "bloom_semi": _q_bloom_semi,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "ngram_dup_profile": _q_ngram_dup_profile,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
+        "embedding_covariance": _q_embedding_covariance,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "knn_ivf": _q_knn_ivf,
+        "doc_tokens": _q_doc_tokens,
+        "doc_lang": _q_doc_lang,
+        "doc_quality": _q_doc_quality,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "embedding_neardup": _q_embedding_neardup,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "knn_lsh": _q_knn_lsh,
+        "multimodal_decode": _q_multimodal_decode,
+        "frame_sample": _q_frame_sample,
+        "edge_log": _q_edge_log,
+        "vertex_dictionary": _q_vertex_dictionary,
+        "edges_encoded_dist": _q_edges_encoded_dist,
+        "out_degrees": _q_out_degrees,
+        "degree_distribution": _q_degree_distribution,
+        "edges_export": _q_edges_export,
     }
 
 
@@ -3455,6 +3493,41 @@ SELECT 'ins' AS kind, src, dst FROM rbi
 WHERE (src, dst) NOT IN (SELECT (src, dst) FROM uedges)
 ORDER BY kind, src, dst"""
 
+# pagerank_dynamic_deletions replay: generator + tidy (as in
+# _RB_TAIL_TIDY), then a COLD power iteration over the post-batch edge
+# set (uedges minus tidy-dels plus tidy-ins). Structural self-loops are
+# undeletable (the generator draws non-loop out-edges only), so every
+# vertex keeps outdeg >= 1 and an in-edge — no dangling terms.
+_RB_TAIL_PR_DELS = f""",
+rbd AS (SELECT DISTINCT dc.conv_id AS src, a.dst AS dst
+        FROM dvi x JOIN dict dc ON dc.vid = x.uvid
+        JOIN adj a ON a.src = dc.conv_id AND a.rk = x.vi),
+rbi AS (SELECT DISTINCT da.conv_id AS src, db.conv_id AS dst
+        FROM insr i JOIN dict da ON da.vid = i.uvid JOIN dict db ON db.vid = i.vvid),
+tdel AS (SELECT src, dst FROM rbd
+         WHERE (src, dst) IN (SELECT (src, dst) FROM uedges)),
+tins AS (SELECT src, dst FROM rbi
+         WHERE (src, dst) NOT IN (SELECT (src, dst) FROM uedges)),
+pedges AS (SELECT src, dst FROM uedges
+           WHERE (src, dst) NOT IN (SELECT (src, dst) FROM tdel)
+           UNION SELECT src, dst FROM tins),
+podeg AS (SELECT src AS v, count(*) AS outdeg FROM pedges GROUP BY src),
+nverts AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ids),
+prr AS (
+  WITH RECURSIVE pr(i, v, r) AS (
+    SELECT 0, conv_id, (SELECT 1.0 / n FROM nverts) FROM ids
+    UNION ALL
+    SELECT pr.i + 1, e.dst,
+           (SELECT (1.0 - 0.85) / n FROM nverts)
+           + 0.85 * sum(pr.r * (1.0 / od.outdeg))
+    FROM pr JOIN pedges e ON e.src = pr.v JOIN podeg od ON od.v = pr.v
+    WHERE pr.i < {PR_ORACLE_ITERS}
+    GROUP BY pr.i, e.dst
+  ) SELECT v, CAST(round(r * 1e10) AS BIGINT) AS rank_e10
+    FROM pr WHERE i = {PR_ORACLE_ITERS}
+)
+SELECT v AS conv_id, rank_e10 FROM prr"""
+
 
 def _sql_dsh_ctes() -> str:
     """tokh/trio/dsh CTE block shared by the shingle-based dedup
@@ -4109,6 +4182,9 @@ SELECT count(*)::BIGINT AS m,
 FROM uedges e JOIN od x ON x.v = e.src JOIN idg y ON y.v = e.dst""",
         "random_batch": _sql_random_batch(),
         "batch_tidy": _sql_random_batch(tail=_RB_TAIL_TIDY),
+        # deletions-bearing dynamic run == cold power iteration on the
+        # post-batch edge set (generator + tidy replayed relationally)
+        "pagerank_dynamic_deletions": _sql_random_batch(tail=_RB_TAIL_PR_DELS),
         "self_loops": _GRAPH_CTE
         + "\nSELECT count(*) AS self_loops FROM uedges WHERE src = dst",
         "triangle_total": _GRAPH_CTE

@@ -177,6 +177,17 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     A.walk_count_centrality(ctx).materialize()
     extra["walk_counts_s"] = time.perf_counter() - t0
+    # round-5: time the r4 capped-exact ops so regressions are visible
+    import pyarrow as _pa
+
+    from pagerank_cuda_dynamic_ray.sources import edges as EDG
+    ts_ds = EDG.read_transcripts(
+        fixture, columns=["conv_id", "turn_idx", "text", "tool", "ts"])
+    th_edges = EDG.extract_edges(ts_ds).select_columns(["src", "dst"])
+    th_ids = rd.from_arrow(_pa.table({"conv_id": _pa.array(ctx.dictionary)}))
+    t0 = time.perf_counter()
+    A.two_hop_counts(th_edges, th_ids, cap=3).materialize()
+    extra["two_hop_capped_s"] = time.perf_counter() - t0
     ctx.shutdown()
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
@@ -248,6 +259,18 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     RL.profile_table(li, ["l_orderkey"], ["l_quantity"], ["l_returnflag"]).materialize()
     extra["profile_s"] = time.perf_counter() - t0
+    # round-5: capped co-purchase projection timing
+    li2 = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                          columns=["l_orderkey", "l_partkey"],
+                          override_num_blocks=num_cpus)
+    od2 = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                          columns=["o_orderkey", "o_custkey"],
+                          override_num_blocks=num_cpus)
+    t0 = time.perf_counter()
+    RL.copair_counts(
+        li2.join(od2, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",)),
+        "l_partkey", "o_custkey", top=100, cap=4).materialize()
+    extra["copurchase_capped_s"] = time.perf_counter() - t0
 
     from pagerank_cuda_dynamic_ray.stages import corpus as CO
     t0 = time.perf_counter()

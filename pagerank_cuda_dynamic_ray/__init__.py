@@ -18,6 +18,14 @@ Nothing here calls ``ray.init``/``ray.shutdown`` — sessions are owned by
 the caller (tests' conftest, bench.py, or the verification driver).
 """
 
+from .state import ray_join_patch as _ray_join_patch
+
+# Fix Ray 2.49's hash-shuffle join schema-broadcast bug at the source so
+# every Dataset.join in the engine streams (see state/ray_join_patch.py);
+# stages.dedup._join_safe degrades to its materialize workaround if this
+# returns False on a future Ray.
+_ray_join_patch.apply()
+
 from .options import PagerankOptions, PagerankResult  # noqa: F401
 from .pipelines.graph import GraphContext  # noqa: F401
 

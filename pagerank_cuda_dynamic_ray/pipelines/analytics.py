@@ -227,7 +227,13 @@ def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int):
     def vf(t: pa.Table) -> pa.Table:
         u = pd.DataFrame({"m": t["a"].to_numpy(zero_copy_only=False),
                           "ovm": t["ov"].to_numpy()}).drop_duplicates("m")
-        return pa.Table.from_pandas(u, preserve_index=False)
+        # typed columns even on an EMPTY capped block (<=2-run input):
+        # from_pandas would infer an empty object column as type null,
+        # which fails schema unification in the join shuffle (the
+        # pseudo_diameter lesson _pa_col exists for)
+        return pa.table({"m": _pa_col(u["m"].to_numpy()),
+                         "ovm": pa.array(u["ovm"].to_numpy()
+                                         .astype(np.int64))})
 
     # truncated(a) = ov(a) OR any kept neighbor's ov — computed over the
     # capped pair stream (≤ cap rows per vertex), so the join and the
@@ -239,22 +245,18 @@ def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int):
     vflag = capped.map_batches(vf, batch_format="pyarrow")
     j = _join_safe(capped, num_partitions).join(
         _join_safe(vflag, num_partitions), "inner", num_partitions,
-        on=("b",), right_on=("m",),
-        aggregator_ray_remote_args={"num_cpus": 0.25})
+        on=("b",), right_on=("m",))
 
     def orf(t: pa.Table) -> pa.Table:
         tr = t["ov"].to_numpy() | t["ovm"].to_numpy()
         return pa.table({"a": t["a"], "truncated": pa.array(tr)})
 
-    # materialize: releases this join's aggregator pool before the
-    # caller's own joins spin up — on a small cluster the shard pool +
-    # several concurrent aggregator pools would otherwise reserve every
-    # CPU slot and starve the map tasks that feed them (deadlock)
+    # streams into the caller's flag join — concurrent aggregator pools
+    # are schedulable now that ray_join_patch caps their CPU declaration
     flags = (j.map_batches(orf, batch_format="pyarrow")
              .groupby("a").max("truncated")
              .map_batches(lambda t: t.rename_columns(["a", "truncated"]),
-                          batch_format="pyarrow")
-             .materialize())
+                          batch_format="pyarrow"))
     sym2 = capped.map_batches(lambda t: t.select(["a", "b"]),
                               batch_format="pyarrow")
     return sym2, flags
@@ -308,8 +310,17 @@ def two_hop_counts(edges: rd.Dataset, ids: rd.Dataset,
     def ren(t: pa.Table) -> pa.Table:
         return pa.table({"m": t["a"], "c": t["b"]})
 
-    two = sym.join(sym.map_batches(ren, batch_format="pyarrow"),
-                   "inner", num_partitions, on=("b",), right_on=("m",))
+    # _join_safe both inputs: in capped mode _cap_adjacency's
+    # block_capped legitimately emits empty blocks (a <=2-run block is
+    # all boundary), and a lexicographically-first mega-hub can make
+    # the leading block empty (identity under ray_join_patch; the
+    # legacy-fallback guard is what matters here)
+    from ..stages.dedup import _join_safe
+
+    two = _join_safe(sym, num_partitions).join(
+        _join_safe(sym.map_batches(ren, batch_format="pyarrow"),
+                   num_partitions),
+        "inner", num_partitions, on=("b",), right_on=("m",))
 
     def hop2_pairs(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False)
@@ -381,8 +392,7 @@ def two_hop_counts(edges: rd.Dataset, ids: rd.Dataset,
     joined = ids.join(
         counts.map_batches(lambda t: t.rename_columns(["conv_id", "n"]),
                            batch_format="pyarrow"),
-        "left_outer", num_partitions, on=("conv_id",),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
+        "left_outer", num_partitions, on=("conv_id",)
     )
     if flags is not None:
         from ..stages.dedup import _join_safe
@@ -396,8 +406,7 @@ def two_hop_counts(edges: rd.Dataset, ids: rd.Dataset,
                     lambda t: t.rename_columns(["conv_id", "truncated"]),
                     batch_format="pyarrow"),
                 num_partitions),
-            "left_outer", num_partitions, on=("conv_id",),
-            aggregator_ray_remote_args={"num_cpus": 0.25},
+            "left_outer", num_partitions, on=("conv_id",)
         )
 
     def fin(t: pa.Table) -> pa.Table:
@@ -1915,7 +1924,6 @@ def _with_conv(ctx: GraphContext, tables) -> rd.Dataset:
         # gather; fractional-CPU aggregators so the join can schedule
         # while the shard actor pool holds CPU slots
         ds = ds.join(
-            ctx.dictionary_ds, "inner", ctx.P, on=("vid",),
-            aggregator_ray_remote_args={"num_cpus": 0.25},
+            ctx.dictionary_ds, "inner", ctx.P, on=("vid",)
         ).rename_columns({"id": "conv_id"})
     return ds

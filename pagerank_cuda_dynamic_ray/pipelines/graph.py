@@ -919,8 +919,7 @@ class GraphContext:
         ds = rd.from_arrow_refs([s.ranks_table.remote(dict_ref) for s in self.shards])
         if self.dictionary is None and self.dictionary_ds is not None:
             ds = ds.join(
-                self.dictionary_ds, "inner", self.P, on=("vid",),
-                aggregator_ray_remote_args={"num_cpus": 0.25},
+                self.dictionary_ds, "inner", self.P, on=("vid",)
             ).rename_columns({"id": "conv_id"})
         return ds
 
@@ -937,8 +936,7 @@ class GraphContext:
         if self.dictionary is None and self.dictionary_ds is not None:
             # fractional-CPU aggregators: the shard pool holds CPU slots
             ds = ds.join(
-                self.dictionary_ds, "inner", self.P, on=("vid",),
-                aggregator_ray_remote_args={"num_cpus": 0.25},
+                self.dictionary_ds, "inner", self.P, on=("vid",)
             ).rename_columns({"id": "conv_id"})
         return ds
 

@@ -28,15 +28,20 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data as rd
+
+from .similarity import _embed_matrix
 
 KMEANS_SCALE = 1 << 20  # |x| <~ 2^43-sqrt headroom at dim 64; exact for f32
 
 
-def _quantize(batch: pd.DataFrame, scale: int, col: str) -> tuple[np.ndarray, np.ndarray]:
-    ids = batch["vec_id"].to_numpy()
-    m = np.stack(batch[col].to_list()).astype(np.float64)
+def _quantize(batch: pa.Table, scale: int, col: str) -> tuple[np.ndarray, np.ndarray]:
+    # Arrow in: the embedding matrix comes off the flattened list buffer
+    # in one reshape instead of n Python lists (VERDICT r4 #6)
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    m = _embed_matrix(batch, col)
     return ids, np.floor(m * float(scale)).astype(np.int64)
 
 
@@ -49,12 +54,12 @@ def _init_centroids(embeddings: rd.Dataset, k: int, scale: int, col: str) -> np.
     """Vectors of the k smallest vec_ids: per-block k-smallest partials
     (combiner), tiny driver fold — never the dataset."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pd.DataFrame:
         ids, q = _quantize(batch, scale, col)
         sel = np.argsort(ids, kind="stable")[:k]
         return pd.DataFrame({"vec_id": ids[sel], "q": list(q[sel])})
 
-    top = embeddings.map_batches(partial, batch_format="pandas").to_pandas()
+    top = embeddings.map_batches(partial, batch_format="pyarrow").to_pandas()
     top = top.sort_values("vec_id").head(k)
     return np.stack(top["q"].to_list()).astype(np.int64)
 
@@ -77,7 +82,7 @@ def kmeans_assign(embeddings: rd.Dataset, k: int = 8, iters: int = 4,
     for _ in range(iters):
         ref = ray.put(cents)
 
-        def partial_sums(batch: pd.DataFrame, _ref=ref) -> pd.DataFrame:
+        def partial_sums(batch: pa.Table, _ref=ref) -> pd.DataFrame:
             c = ray.get(_ref)
             _, q = _quantize(batch, scale, col)
             a = _assign(q, c)
@@ -87,7 +92,7 @@ def kmeans_assign(embeddings: rd.Dataset, k: int = 8, iters: int = 4,
             return pd.DataFrame({"cluster": np.arange(k, dtype=np.int64),
                                  "cnt": cnt, "s": list(sums)})
 
-        part = embeddings.map_batches(partial_sums, batch_format="pandas",
+        part = embeddings.map_batches(partial_sums, batch_format="pyarrow",
                                       batch_size=4096).to_pandas()
         cnt = np.zeros(k, dtype=np.int64)
         sums = np.zeros((k, dim), dtype=np.int64)
@@ -102,11 +107,11 @@ def kmeans_assign(embeddings: rd.Dataset, k: int = 8, iters: int = 4,
 
     ref = ray.put(cents)
 
-    def final_assign(batch: pd.DataFrame) -> pd.DataFrame:
+    def final_assign(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
         ids, q = _quantize(batch, scale, col)
-        return pd.DataFrame({"vec_id": ids.astype(np.int64),
-                             "cluster": _assign(q, c).astype(np.int64)})
+        return pa.table({"vec_id": pa.array(ids.astype(np.int64)),
+                         "cluster": pa.array(_assign(q, c).astype(np.int64))})
 
-    return embeddings.map_batches(final_assign, batch_format="pandas",
+    return embeddings.map_batches(final_assign, batch_format="pyarrow",
                                   batch_size=4096)

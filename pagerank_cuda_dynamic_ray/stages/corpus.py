@@ -366,7 +366,8 @@ def doc_repetition(docs: rd.Dataset, shingle_k: int = 3,
 
 def crossdoc_dup_mass(docs: rd.Dataset, shingle_k: int = 3,
                       text_col: str = "text", id_col: str = "doc_id",
-                      num_partitions: int = 8) -> rd.Dataset:
+                      num_partitions: int = 8,
+                      broadcast_dup_limit: int = 2_000_000) -> rd.Dataset:
     """Cross-document duplicate-gram mass — the Lee et al. 2021
     (arXiv:2107.06499) span-dedup signal: per document, its distinct
     word-``shingle_k``-gram count and how many of those grams occur in
@@ -374,77 +375,98 @@ def crossdoc_dup_mass(docs: rd.Dataset, shingle_k: int = 3,
     the ratio; unlike :func:`doc_repetition` (within-doc) this measures
     corpus-wide duplication.
 
-    Three bounded exchanges, never text — and the corpus is tokenized
-    exactly ONCE: distinct (gram-hash, doc) pairs (16 B/row) feed both
-    the per-doc distinct count (a per-doc groupby) and the gram
-    doc-frequency (groupby count → df≥2 set → hash-join back → per-doc
-    count). Joins are materialize-serialized so only one aggregator
-    pool is ever alive (the small-cluster deadlock posture of
-    pipelines/analytics._cap_adjacency), and an all-unique corpus
-    (empty df≥2 set) short-circuits instead of joining against an
-    empty Dataset. Returns Dataset(doc_id, n_grams_distinct,
-    n_dup_grams) including zero rows."""
+    Two bounded exchanges, never text — and the corpus is tokenized
+    exactly ONCE. The (gram-hash, doc) pair stream carries one SENTINEL
+    gram per document (``h = INT64_MIN``, collision-free against real
+    64-bit gram hashes by reservation), so every doc_id — including
+    zero-gram short docs — appears in the stream and the per-doc answer
+    needs NO join-back with the doc table. The gram doc-frequency
+    groupby yields the df>=2 set; marking the pair stream against it is
+    size-gated: a set under ``broadcast_dup_limit`` ships once via
+    ``ray.put`` and marks with a vectorized ``searchsorted`` (zero join
+    ops in the hot path), a larger one falls back to one distributed
+    left_outer hash join (which STREAMS — state/ray_join_patch fixes
+    Ray 2.49's empty-leading-block join crash at the source). One final
+    per-doc groupby folds distinct-count and dup-count together; the
+    sentinel's own contribution (+1 distinct; +1 dup iff the corpus has
+    >=2 docs, since its df is exactly n_docs) is subtracted exactly.
+    The pair stream is materialized once as a deliberate fan-out
+    barrier (two consumers; recomputing would re-tokenize the corpus).
+    Returns Dataset(doc_id, n_grams_distinct, n_dup_grams) including
+    zero rows."""
     import pyarrow.compute as pc
+
+    SENT = np.int64(-2**63)  # reserved sentinel gram hash
 
     def pairs(batch: pd.DataFrame) -> pa.Table:
         flat, offs = _strict_shingles(batch[text_col].tolist(), shingle_k)
-        ids = np.repeat(batch[id_col].to_numpy(np.int64), np.diff(offs))
-        return pa.table({"h": pa.array(flat.astype(np.int64)),
-                         id_col: pa.array(ids)})
+        dids = batch[id_col].to_numpy(np.int64)
+        ids = np.repeat(dids, np.diff(offs))
+        return pa.table({
+            "h": pa.array(np.concatenate([flat.astype(np.int64),
+                                          np.full(len(dids), SENT)])),
+            id_col: pa.array(np.concatenate([ids, dids])),
+        })
 
-    from .dedup import _join_safe
-
-    # _join_safe on every join input: a block of only-short docs emits
-    # an empty pairs block, and Ray 2.49's join chokes on an empty
-    # LEADING block (dedup.py repro)
-    prs = _join_safe(docs.map_batches(pairs, batch_format="pandas"),
-                     num_partitions)
-    # per-doc distinct gram count from the SAME pair stream (pairs are
-    # already per-doc distinct) — no second tokenization pass
-    gcnt = _join_safe(
-        prs.groupby(id_col).count()
-        .map_batches(lambda t: t.rename_columns([id_col, "n_grams_distinct"]),
-                     batch_format="pyarrow"),
-        num_partitions)
+    # broadcast_dup_limit default: 2M hashes = 16 MB shipped once
+    # materialize = deliberate fan-out barrier: two consumers (df
+    # groupby, dup marking) read this stream, and without the barrier
+    # each would re-tokenize the corpus
+    prs = docs.map_batches(pairs, batch_format="pandas").materialize()
     dup = (prs.groupby("h").count()
            .map_batches(lambda t: t.filter(
                pc.greater_equal(t["count()"], 2)).select(["h"]),
                batch_format="pyarrow")
            .materialize())
-    ndup = None
-    if dup.count() > 0:  # all-unique corpus: skip the empty-side joins
-        ndup = _join_safe(
-            prs.join(_join_safe(dup, num_partitions), "inner",
-                     num_partitions, on=("h",),
-                     aggregator_ray_remote_args={"num_cpus": 0.25})
-            .groupby(id_col).count()
-            .map_batches(lambda t: t.rename_columns([id_col, "n_dup_grams"]),
-                         batch_format="pyarrow"),
-            num_partitions)
+    n_dup_grams_total = dup.count()
+    # the sentinel's df is exactly n_docs, so it is itself a "dup" gram
+    # iff the corpus has >= 2 docs — subtract its contribution per doc
+    if n_dup_grams_total <= broadcast_dup_limit:
+        dupset = np.sort(dup.to_pandas()["h"].to_numpy(np.int64))
+        sent_dup = bool(len(dupset) and dupset[0] == SENT)
+        ref = ray.put(dupset)
 
-    ids_only = _join_safe(
-        docs.map_batches(
-            lambda t: t.select([id_col]), batch_format="pyarrow"),
-        num_partitions)
-    joined = ids_only.join(gcnt, "left_outer", num_partitions, on=(id_col,),
-                           aggregator_ray_remote_args={"num_cpus": 0.25})
-    if ndup is not None:
-        joined = _join_safe(joined, num_partitions).join(
-            ndup, "left_outer", num_partitions, on=(id_col,),
-            aggregator_ray_remote_args={"num_cpus": 0.25})
+        def mark(t: pa.Table) -> pa.Table:
+            ds_ = ray.get(ref)
+            h = t["h"].to_numpy(zero_copy_only=False)
+            if len(ds_):
+                pos = np.searchsorted(ds_, h).clip(0, len(ds_) - 1)
+                isd = (ds_[pos] == h).astype(np.int64)
+            else:
+                isd = np.zeros(len(h), np.int64)
+            return pa.table({id_col: t[id_col], "is_dup": pa.array(isd)})
+
+        marked = prs.map_batches(mark, batch_format="pyarrow")
+    else:  # corpus-scale dup set: one distributed hash join (streams)
+        sent_dup = dup.map_batches(
+            lambda t: t.filter(pc.equal(t["h"], SENT)),
+            batch_format="pyarrow").count() > 0
+        flag = dup.map_batches(
+            lambda t: t.append_column("is_dup",
+                                      pa.array(np.ones(t.num_rows, np.int64))),
+            batch_format="pyarrow")
+        marked = (prs.join(flag, "left_outer", num_partitions, on=("h",))
+                  .map_batches(lambda t: pa.table({
+                      id_col: t[id_col],
+                      "is_dup": pc.coalesce(t["is_dup"],
+                                            pa.scalar(0, pa.int64()))}),
+                      batch_format="pyarrow"))
+
+    from ray.data.aggregate import Count, Sum
+
+    per_doc = marked.groupby(id_col).aggregate(Count(), Sum("is_dup"))
+    sent_adj = 1 if sent_dup else 0
 
     def fin(t: pa.Table) -> pa.Table:
-        nd_col = (pc.coalesce(t["n_dup_grams"], pa.scalar(0, pa.int64()))
-                  if "n_dup_grams" in t.column_names
-                  else pa.nulls(t.num_rows, pa.int64()).fill_null(0))
+        cnt = t["count()"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sd = t["sum(is_dup)"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             id_col: t[id_col],
-            "n_grams_distinct": pc.coalesce(t["n_grams_distinct"],
-                                            pa.scalar(0, pa.int64())),
-            "n_dup_grams": nd_col,
+            "n_grams_distinct": pa.array(cnt - 1),  # minus the sentinel
+            "n_dup_grams": pa.array(sd - sent_adj),
         })
 
-    return joined.map_batches(fin, batch_format="pyarrow")
+    return per_doc.map_batches(fin, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------------

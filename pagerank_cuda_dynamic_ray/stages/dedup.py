@@ -489,15 +489,22 @@ def normalized_exact_dedup(docs: rd.Dataset, text_col: str = "text",
 
 
 def _join_safe(ds: rd.Dataset, num_partitions: int) -> rd.Dataset:
-    """Ray 2.49's hash-shuffle ``Dataset.join`` infers each side's
-    schema from its FIRST block and raises ``ArrowInvalid: No match
-    ... FieldRef`` when that block is empty (minimal repro in
-    tests/test_stages.py::test_join_empty_leading_block). Materialize
-    and, only when the dataset actually leads with an empty block
-    (metadata check — no block fetch), coalesce via ``repartition`` so
-    rows front-load into block 0. Remove once Ray's join handles empty
-    leading blocks (re-checked against the container's Ray 2.49.2 in
-    round 4: the raw join still raises — workaround stays)."""
+    """Ray 2.49's hash-shuffle ``Dataset.join`` loses a side's schema
+    when that side's FIRST block is empty and raises ``ArrowInvalid:
+    No match ... FieldRef`` (minimal repro in
+    tests/test_stages.py::test_join_empty_leading_block). Rounds 2-4
+    worked around it here by materializing every join input and
+    repartitioning rows into block 0 — correct but it broke streaming
+    at every join and serialized multi-join pipelines. Round 5 fixes
+    the bug at its source (``state/ray_join_patch.py`` patches the
+    shuffle's schema broadcast, applied at package import), so this is
+    now an identity pass-through; the legacy materialize path survives
+    only as the fallback for a future Ray where the patch no longer
+    applies."""
+    from ..state import ray_join_patch
+
+    if ray_join_patch.apply():
+        return ds
     ds = ds.materialize()
     for bundle in ds.iter_internal_ref_bundles():
         for _, md in bundle.blocks:
@@ -908,9 +915,11 @@ def embedding_neardup_lsh(embeddings: rd.Dataset, threshold: float = 0.95,
     the exact verification-scale baseline."""
     from .similarity import HyperplaneLSH
 
-    def bucket_keys(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy(np.int64)
-        mat = np.stack(pdf["embedding"].to_list()).astype(np.float64)
+    def bucket_keys(t: pa.Table) -> pd.DataFrame:
+        from .similarity import _embed_matrix
+
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _embed_matrix(t)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         out_k, out_i = [], []
         for b in range(bands):
@@ -920,27 +929,30 @@ def embedding_neardup_lsh(embeddings: rd.Dataset, threshold: float = 0.95,
         return pd.DataFrame({"bkey": np.concatenate(out_k), "doc_id": np.concatenate(out_i)})
 
     cand = bucket_pairs(
-        embeddings.map_batches(bucket_keys, batch_format="pandas")
+        embeddings.map_batches(bucket_keys, batch_format="pyarrow")
     ).materialize()
     if cand.count() == 0:
         return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                              "b": pd.Series([], dtype=np.int64),
                              "cosine": pd.Series([], dtype=np.float64)})
 
-    def vec_blob(pdf: pd.DataFrame) -> pa.Table:
+    def vec_blob(t: pa.Table) -> pa.Table:
         # normalized float64 vectors packed as binary blobs: the
         # candidate-pair join carries them without a driver fetch
         # (Acero joins reject list columns, binary is fine)
-        mat = np.stack(pdf["embedding"].to_list()).astype(np.float64)
+        from .similarity import _embed_matrix
+
+        mat = _embed_matrix(t)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
         return pa.table({
-            "doc_id": pa.array(pdf["vec_id"].to_numpy(np.int64)),
+            "doc_id": pa.array(t["vec_id"].to_numpy(zero_copy_only=False)
+                               .astype(np.int64)),
             "vec": pa.array([row.tobytes() for row in mat], pa.binary()),
         })
 
     uids = _endpoint_ids(cand)
     src = _semi_filter(embeddings, "vec_id", uids) if uids is not None else embeddings
-    vecs = src.map_batches(vec_blob, batch_format="pandas")
+    vecs = src.map_batches(vec_blob, batch_format="pyarrow")
     j = _attach_payload(cand, vecs, "vec_a", "vec_b")
 
     def cos_verify(batch: pd.DataFrame) -> pd.DataFrame:
@@ -989,19 +1001,21 @@ def embedding_neardup_pairs(embeddings: rd.Dataset, threshold: float = 0.95,
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     ref = ray.put((ids, mat))
 
-    def block(batch: pd.DataFrame) -> pd.DataFrame:
+    def block(batch: pa.Table) -> pd.DataFrame:
+        from .similarity import _embed_matrix
+
         all_ids, m = ray.get(ref)
-        q = np.stack(batch["embedding"].to_list()).astype(np.float64)
+        q = _embed_matrix(batch)
         q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         sims = q @ m.T
-        qa = batch["vec_id"].to_numpy()
+        qa = batch["vec_id"].to_numpy(zero_copy_only=False)
         ai, bj = np.nonzero(sims >= threshold)
         a, b = qa[ai], all_ids[bj]
         keep = a < b
         return pd.DataFrame({"a": a[keep], "b": b[keep],
                              "cosine": sims[ai, bj][keep]})
 
-    out = embeddings.map_batches(block, batch_format="pandas", batch_size=1024).to_pandas()
+    out = embeddings.map_batches(block, batch_format="pyarrow", batch_size=1024).to_pandas()
     if "a" not in out.columns:  # every block empty -> schema-less result
         out = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                             "b": pd.Series([], dtype=np.int64),

@@ -373,8 +373,7 @@ def tfidf_top_terms(
         return ds.map_batches(topk_local, batch_format="pyarrow")
 
     joined = exploded.join(
-        dft, "inner", num_partitions, on=("token",),
-        aggregator_ray_remote_args={"num_cpus": 0.25},
+        dft, "inner", num_partitions, on=("token",)
     )
 
     def topk(t: pa.Table) -> pa.Table:

@@ -28,6 +28,39 @@ def _matrix(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
     return pdf["vec_id"].to_numpy(), _normalize(np.stack(pdf["embedding"].to_list()).astype(np.float64))
 
 
+def _embed_matrix(tbl: pa.Table, col: str = "embedding") -> np.ndarray:
+    """Arrow ``list<float>`` column -> (n, d) float64 matrix WITHOUT the
+    pandas hop — ``to_list + np.stack`` builds n Python lists per batch;
+    this reads the flattened value buffer in one shot (VERDICT r4 #6)."""
+    arr = tbl[col].combine_chunks()
+    n = len(arr)
+    t = arr.type
+    if (pa.types.is_fixed_size_list(t) or pa.types.is_list(t)
+            or pa.types.is_large_list(t)):
+        if n == 0:
+            d = t.list_size if pa.types.is_fixed_size_list(t) else 0
+            return np.empty((0, d), np.float64)
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(n, -1)
+    # Ray's tensor extension type (ndarray cells via from_pandas) or any
+    # other representation: to_numpy gives (n, d) directly, or an object
+    # vector of rows to stack
+    m = arr.to_numpy(zero_copy_only=False)
+    if getattr(m, "dtype", None) == object:
+        m = np.stack(m.tolist()) if n else np.empty((0, 0))
+    return np.asarray(m, dtype=np.float64).reshape(n, -1)
+
+
+def _matrix_tbl(tbl: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    return (tbl["vec_id"].to_numpy(zero_copy_only=False),
+            _normalize(_embed_matrix(tbl)))
+
+
+_EMPTY_PARTIAL = pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                               "neighbor_id": pd.Series([], dtype=np.int64),
+                               "cosine": pd.Series([], dtype=np.float64)})
+
+
 def _topk_merge(group: pd.DataFrame, k: int, dedup: bool = False) -> pa.Table:
     """Per-query merge of block partials (Arrow out — this runs right
     after the groupby shuffle, so its output format is the one blocks
@@ -51,9 +84,11 @@ def knn_bruteforce(embeddings: rd.Dataset, queries: pd.DataFrame, k: int = 10,
     q_ids, q_mat = _matrix(queries)
     ref = ray.put((q_ids, q_mat))
 
-    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+    def block_topk(batch: pa.Table) -> pd.DataFrame:
         qi, qm = ray.get(ref)
-        ids, m = _matrix(batch)
+        ids, m = _matrix_tbl(batch)
+        if len(ids) == 0:
+            return _EMPTY_PARTIAL
         sims = qm @ m.T                             # (Q, batch)
         if exclude_self:
             self_mask = qi[:, None] == ids[None, :]
@@ -73,7 +108,7 @@ def knn_bruteforce(embeddings: rd.Dataset, queries: pd.DataFrame, k: int = 10,
                              "neighbor_id": ids[cols_i[keep]],
                              "cosine": vals[keep]})
 
-    partials = embeddings.map_batches(block_topk, batch_format="pandas", batch_size=4096)
+    partials = embeddings.map_batches(block_topk, batch_format="pyarrow", batch_size=4096)
 
     out = (partials.groupby("query_id")
            .map_groups(lambda g: _topk_merge(g, k), batch_format="pandas")
@@ -93,11 +128,12 @@ def train_ivf_centroids(embeddings: rd.Dataset, n_centroids: int = 16,
     frac = min(1.0, target_sample / total)
     cut = np.uint64(int(frac * 2**64)) if frac < 1.0 else np.uint64(2**64 - 1)
 
-    def samp(pdf: pd.DataFrame) -> pd.DataFrame:
-        h = splitmix64(pdf["vec_id"].to_numpy(np.uint64) + np.uint64(seed * 0xA11CE))
-        return pdf.iloc[np.flatnonzero(h <= cut)]
+    def samp(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(ids + np.uint64(seed * 0xA11CE))
+        return t.filter(pa.array(h <= cut))
 
-    sample = embeddings.map_batches(samp, batch_format="pandas").to_pandas()
+    sample = embeddings.map_batches(samp, batch_format="pyarrow").to_pandas()
     sample = sample.sort_values("vec_id")
     _, mat = _matrix(sample)
     k = min(n_centroids, len(mat))
@@ -130,9 +166,11 @@ def knn_ivf(embeddings: rd.Dataset, queries: pd.DataFrame, k: int = 10,
             probe_map.setdefault(int(c), []).append(qi)
     ref = ray.put((q_ids, q_mat, cents, probe_map))
 
-    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+    def block_topk(batch: pa.Table) -> pd.DataFrame:
         qi_ids, qm, cc, pmap = ray.get(ref)
-        ids, m = _matrix(batch)
+        ids, m = _matrix_tbl(batch)
+        if len(ids) == 0:
+            return _EMPTY_PARTIAL
         cells = (m @ cc.T).argmax(axis=1)
         order = np.argsort(cells, kind="stable")
         csort = cells[order]
@@ -153,14 +191,12 @@ def knn_ivf(embeddings: rd.Dataset, queries: pd.DataFrame, k: int = 10,
             out_n.append(na[keep])
             out_s.append(sims.reshape(-1)[keep])
         if not out_q:
-            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
-                                 "neighbor_id": pd.Series([], dtype=np.int64),
-                                 "cosine": pd.Series([], dtype=np.float64)})
+            return _EMPTY_PARTIAL
         return _block_partial_topk(
             np.concatenate(out_q), np.concatenate(out_n), np.concatenate(out_s), k
         )
 
-    partials = embeddings.map_batches(block_topk, batch_format="pandas", batch_size=4096)
+    partials = embeddings.map_batches(block_topk, batch_format="pyarrow", batch_size=4096)
 
     out = (partials.groupby("query_id")
            .map_groups(lambda g: _topk_merge(g, k, dedup=True),
@@ -221,9 +257,11 @@ def knn_lsh(embeddings: rd.Dataset, queries: pd.DataFrame, k: int = 10,
             probe_map.setdefault(b, []).append(qi)
     ref = ray.put((q_ids, q_mat, probe_map))
 
-    def block_topk(batch: pd.DataFrame) -> pd.DataFrame:
+    def block_topk(batch: pa.Table) -> pd.DataFrame:
         qi_ids, qm, pmap = ray.get(ref)
-        ids, m = _matrix(batch)
+        ids, m = _matrix_tbl(batch)
+        if len(ids) == 0:
+            return _EMPTY_PARTIAL
         buckets = lsh.bucket(m)
         # group batch rows by bucket with one argsort; ONE matmul per
         # populated bucket, outputs assembled with numpy (no per-row
@@ -247,14 +285,12 @@ def knn_lsh(embeddings: rd.Dataset, queries: pd.DataFrame, k: int = 10,
             out_n.append(na[keep])
             out_s.append(sims.reshape(-1)[keep])
         if not out_q:
-            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
-                                 "neighbor_id": pd.Series([], dtype=np.int64),
-                                 "cosine": pd.Series([], dtype=np.float64)})
+            return _EMPTY_PARTIAL
         return _block_partial_topk(
             np.concatenate(out_q), np.concatenate(out_n), np.concatenate(out_s), k
         )
 
-    partials = embeddings.map_batches(block_topk, batch_format="pandas", batch_size=4096)
+    partials = embeddings.map_batches(block_topk, batch_format="pyarrow", batch_size=4096)
 
     out = (partials.groupby("query_id")
            .map_groups(lambda g: _topk_merge(g, k, dedup=True),
@@ -283,10 +319,11 @@ def embedding_covariance_sums(embeddings: rd.Dataset, scale: int = PCA_SCALE,
     (scale·max|x|)² must stay < 2^63 (~10^9 rows/block at unit-norm
     embeddings with scale 10^4). Returns (n:int, S, C) with S, C
     object-dtype (arbitrary-precision) arrays."""
-    def part(pdf: pd.DataFrame) -> pd.DataFrame:
-        q = np.round(
-            np.stack(pdf[col].to_list()).astype(np.float64) * scale
-        ).astype(np.int64)
+    def part(t: pa.Table) -> pd.DataFrame:
+        q = np.round(_embed_matrix(t, col) * scale).astype(np.int64)
+        if not len(q):
+            return pd.DataFrame({"n": pd.Series([], dtype=np.int64),
+                                 "s": [], "c": []})
         return pd.DataFrame({"n": [np.int64(len(q))],
                              "s": [q.sum(0, dtype=np.int64)],
                              "c": [(q.T @ q).ravel()]})
@@ -303,7 +340,7 @@ def embedding_covariance_sums(embeddings: rd.Dataset, scale: int = PCA_SCALE,
             "c": [np.sum(np.stack(pdf["c"].to_list()), axis=0, dtype=np.int64)],
         })
 
-    parts = (embeddings.map_batches(part, batch_format="pandas")
+    parts = (embeddings.map_batches(part, batch_format="pyarrow")
              .map_batches(fold, batch_format="pandas", batch_size=256)
              .take_all())
     if not parts:
@@ -371,15 +408,15 @@ def embedding_pca(embeddings: rd.Dataset, n_components: int = 2,
     mean_ref = ray.put(mean)
     comps_ref = ray.put(comps)
 
-    def proj(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack(pdf[col].to_list()).astype(np.float64)
+    def proj(t: pa.Table) -> pa.Table:
+        m = _embed_matrix(t, col)
         p = (m - ray.get(mean_ref)) @ ray.get(comps_ref)
-        out = pd.DataFrame({id_col: pdf[id_col].to_numpy()})
+        cols = {id_col: t[id_col]}
         for k in range(p.shape[1]):
-            out[f"pc{k}"] = p[:, k]
-        return out
+            cols[f"pc{k}"] = pa.array(p[:, k])
+        return pa.table(cols)
 
-    return embeddings.map_batches(proj, batch_format="pandas")
+    return embeddings.map_batches(proj, batch_format="pyarrow")
 
 
 def grouped_centroid_sums(embeddings: rd.Dataset, key_col: str = "label",
@@ -396,16 +433,14 @@ def grouped_centroid_sums(embeddings: rd.Dataset, key_col: str = "label",
     row count. Returns Dataset(key, dim, s, n)."""
     import pyarrow as pa
 
-    def part(pdf: pd.DataFrame) -> "pa.Table":
-        if not len(pdf):  # np.stack rejects an empty list
+    def part(t: "pa.Table") -> "pa.Table":
+        if not t.num_rows:
             return pa.table({key_col: pa.array([], pa.int64()),
                              "dim": pa.array([], pa.int64()),
                              "s": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
-        q = np.round(
-            np.stack(pdf[col].to_list()).astype(np.float64) * scale
-        ).astype(np.int64)
-        keys = pdf[key_col].to_numpy()
+        q = np.round(_embed_matrix(t, col) * scale).astype(np.int64)
+        keys = t[key_col].to_numpy(zero_copy_only=False)
         uk, inv = np.unique(keys, return_inverse=True)
         d = q.shape[1]
         sums = np.zeros((len(uk), d), dtype=np.int64)
@@ -424,7 +459,7 @@ def grouped_centroid_sums(embeddings: rd.Dataset, key_col: str = "label",
                          "s": t["sum(s)"], "n": t["sum(n)"]})
 
     return (
-        embeddings.map_batches(part, batch_format="pandas")
+        embeddings.map_batches(part, batch_format="pyarrow")
         .groupby([key_col, "dim"])
         .sum(["s", "n"])
         .map_batches(fin, batch_format="pyarrow")

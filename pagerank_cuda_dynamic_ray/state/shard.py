@@ -2135,9 +2135,11 @@ class GraphShard:
     def ingest_labels(self, locals_: np.ndarray, vals: np.ndarray) -> None:
         if len(locals_) and (locals_.min() < 0 or locals_.max() >= self.n_local):
             raise ValueError("label vid outside [0, N)")
-        self._li_dups += int(self._li_seen[locals_].sum())
+        # cross-batch dups counted on within-batch-UNIQUE vids only — a
+        # row that is both repeated in this batch and seen before must
+        # not be counted by both terms
         u, c = np.unique(locals_, return_counts=True)
-        self._li_dups += int((c - 1).sum())
+        self._li_dups += int(self._li_seen[u].sum()) + int((c - 1).sum())
         self._li_seen[locals_] = True
         self._li_vals[locals_] = vals
 

@@ -217,6 +217,12 @@ def test_crossdoc_dup_mass_bruteforce():
     g4 = got[got["doc_id"] == 4].iloc[0]
     if len(grams[4]):
         assert g4["n_dup_grams"] == g4["n_grams_distinct"]
+    # the distributed-join fallback (broadcast_dup_limit=0 forces it)
+    # must agree exactly with the broadcast path
+    jo = (corpus.crossdoc_dup_mass(rd.from_pandas(df).repartition(6),
+                                   shingle_k=k, broadcast_dup_limit=0)
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(jo, got)
 
 
 def test_crossdoc_dup_mass_all_unique_corpus():

@@ -564,27 +564,60 @@ def test_grouped_centroid_sums_exact():
             assert (sub["n"] == m.sum()).all()
 
 
-def test_join_empty_leading_block():
-    # Ray 2.49 hash-shuffle join fails with ArrowInvalid when a side's
-    # FIRST block is empty — _join_safe must paper over it (and this
-    # test documents the upstream repro so the workaround can be
-    # removed when Ray fixes it).
+def _mk_ab(rows):
     import pyarrow as pa
 
-    def mk(rows):
-        if rows:
-            return pa.table({"a": pa.array([1], pa.int64()),
-                             "b": pa.array([2], pa.int64())})
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64())})
+    if rows:
+        return pa.table({"a": pa.array([1], pa.int64()),
+                         "b": pa.array([2], pa.int64())})
+    return pa.table({"a": pa.array([], pa.int64()),
+                     "b": pa.array([], pa.int64())})
 
-    left = rd.from_arrow([mk(0), mk(1), mk(0)])
+
+def test_join_empty_leading_block():
+    # Ray 2.49 hash-shuffle join fails with ArrowInvalid when a side's
+    # FIRST block is empty (the schema-broadcast block fans out
+    # nothing). state/ray_join_patch fixes it at the source, so the RAW
+    # join must work and _join_safe must be a streaming identity.
+    import pyarrow as pa
+
+    from pagerank_cuda_dynamic_ray.state import ray_join_patch
+
+    assert ray_join_patch.applied(), "patch should apply on Ray 2.49"
+    left = rd.from_arrow([_mk_ab(0), _mk_ab(1), _mk_ab(0)])
     right = rd.from_arrow(pa.table({"doc_id": pa.array([2], pa.int64()),
                                     "p": pa.array([b"yy"], pa.binary())}))
     safe = dedup._join_safe(left, 4)
+    assert safe is left  # identity: joins stream, no materialize
     j = safe.join(right, "inner", 4, on=("b",), right_on=("doc_id",))
     out = j.to_pandas()
     assert len(out) == 1 and out["p"].iloc[0] == b"yy"
+    # raw join, no wrapper at all
+    raw = (rd.from_arrow([_mk_ab(0), _mk_ab(1), _mk_ab(0)])
+           .join(right, "inner", 4, on=("b",), right_on=("doc_id",))
+           .to_pandas())
+    assert len(raw) == 1 and raw["p"].iloc[0] == b"yy"
+
+
+def test_join_all_empty_side_keeps_schema():
+    # a side whose every block is empty (but typed) must join cleanly:
+    # inner -> 0 rows; left_outer with the empty side on the right ->
+    # all left rows with the right's columns present (null-filled)
+    import pyarrow as pa
+
+    right = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                    "p": pa.array([], pa.binary())}))
+    left = rd.from_arrow([_mk_ab(1), _mk_ab(1)])
+    inner = (rd.from_arrow(_mk_ab(0))
+             .join(rd.from_arrow(pa.table(
+                 {"doc_id": pa.array([2], pa.int64()),
+                  "p": pa.array([b"yy"], pa.binary())})),
+                 "inner", 4, on=("b",), right_on=("doc_id",)).to_pandas())
+    assert len(inner) == 0
+    lo = left.join(right, "left_outer", 4,
+                   on=("b",), right_on=("doc_id",)).to_pandas()
+    assert len(lo) == 2
+    assert "p" in lo.columns and lo["p"].isna().all()
 
 
 def test_attach_payload_distributed():
