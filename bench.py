@@ -269,7 +269,7 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     RL.copair_counts(
         li2.join(od2, "inner", 8, on=("l_orderkey",), right_on=("o_orderkey",)),
-        "l_partkey", "o_custkey", top=100, cap=4).materialize()
+        "l_partkey", "o_custkey", top=100, cap=4)  # returns a pa.Table
     extra["copurchase_capped_s"] = time.perf_counter() - t0
 
     from pagerank_cuda_dynamic_ray.stages import corpus as CO
@@ -384,7 +384,85 @@ def run_scaling_child(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
-def _run_child(cpus: int, scale: str, parts: int, sf_dir: str, pinned: bool = True) -> dict:
+def run_scaling_cc_child(sf_dir: str, num_cpus: int) -> dict:
+    """Label-loop (connected components) scaling child: the same graph
+    snapshot the PageRank pair uses, timing ONLY the p2p min-label
+    fixpoint (run_label_iterations — the mark-exchange path), not the
+    one-time symmetrize or the label-table assembly. Rounds are
+    fixpoint-determined but identical at both levels (same input), so
+    per-round efficiency = time ratio / cpu ratio."""
+    _init_ray(num_cpus)
+    from pagerank_cuda_dynamic_ray.pipelines import analytics as A
+    from pagerank_cuda_dynamic_ray.pipelines.graph import (
+        GraphContext, get_all_fail_fast)
+
+    P = int(os.environ.get("GRAFT_SCALING_PARTS", 0)) or _graph_parts(num_cpus)
+    cps = min(1.0, max(0.1, (num_cpus - 1) / P))
+    snap = f"/tmp/graft_graph_cache/{SCALING_SCALE}_P{P}"
+    ctx = GraphContext.load_graph(snap, num_cpus_per_shard=cps)
+    A._ensure_symmetric(ctx)
+    shards = ctx.shards
+    # warmup fixpoint (allocators, channel buffers)
+    get_all_fail_fast([s.run_label_iterations.remote(shards, "cc", 10_000)
+                       for s in shards])
+    cc_s, rounds = float("inf"), 0
+    for _ in range(SCALING_RUNS):
+        t0 = time.perf_counter()
+        per = get_all_fail_fast([
+            s.run_label_iterations.remote(shards, "cc", 10_000) for s in shards
+        ])
+        dt = time.perf_counter() - t0
+        rounds = max(per)
+        cc_s = min(cc_s, dt)
+    ctx.shutdown()
+    return {
+        "num_cpus": num_cpus,
+        "num_parts": P,
+        "rounds": rounds,
+        "cc_sec": round(cc_s, 3),
+        "rounds_per_sec": round(rounds / cc_s, 2),
+    }
+
+
+def run_scaling_cc(sf_dir: str) -> dict:
+    """Pinned two-level pair for the label-loop family (VERDICT r4 #8)."""
+    parts = int(os.environ.get("GRAFT_SCALING_PARTS", 0)) or _graph_parts(max(SCALING_LEVELS))
+    ray = _init_ray(max(SCALING_LEVELS))
+    from pagerank_cuda_dynamic_ray import api
+    from pagerank_cuda_dynamic_ray.sources import transcripts as T
+
+    fixture = T.ensure_fixture(SCALING_SCALE)
+    snap = f"/tmp/graft_graph_cache/{SCALING_SCALE}_P{parts}"
+    if not os.path.exists(os.path.join(snap, "meta.json")):
+        ctx, _ = api.build_graph(fixture, num_parts=parts)
+        ctx.save_graph(snap)
+        ctx.shutdown()
+    ray.shutdown()
+    results = []
+    for cpus in SCALING_LEVELS:
+        best = None
+        for _ in range(SCALING_TRIES):
+            r = _run_child(cpus, SCALING_SCALE, parts, sf_dir, flag="--scaling-cc-child")
+            if best is None or r["cc_sec"] < best["cc_sec"]:
+                best = r
+        results.append(best)
+    lo, hi = results
+    ratio = hi["num_cpus"] / lo["num_cpus"]
+    eff = (hi["rounds_per_sec"] / lo["rounds_per_sec"]) / ratio
+    return {
+        "metric": "scaling_efficiency_cc",
+        "value": round(eff, 3),
+        "unit": "fraction",
+        "levels": results,
+        "num_parts": parts,
+        "efficiency_cc_round_throughput": round(eff, 3),
+        "note": "p2p min-label fixpoint only (no symmetrize/assembly); "
+                "taskset-pinned children, fixed P both levels",
+    }
+
+
+def _run_child(cpus: int, scale: str, parts: int, sf_dir: str, pinned: bool = True,
+               flag: str = "--scaling-child") -> dict:
     """One fresh-session scaling child, pinned to its core budget."""
     import shutil
 
@@ -392,7 +470,7 @@ def _run_child(cpus: int, scale: str, parts: int, sf_dir: str, pinned: bool = Tr
         os.environ, RAY_GRAFT_CPUS=str(cpus), GRAFT_SF_DIR=sf_dir,
         GRAFT_SCALING_SCALE=scale, GRAFT_SCALING_PARTS=str(parts),
     )
-    cmd = [sys.executable, os.path.abspath(__file__), "--scaling-child"]
+    cmd = [sys.executable, os.path.abspath(__file__), flag]
     if pinned and shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=3600)
@@ -558,6 +636,10 @@ def main() -> None:
 
     if "--scaling-child" in sys.argv:
         out = run_scaling_child(SF_DIR, NUM_CPUS)
+    elif "--scaling-cc-child" in sys.argv:
+        out = run_scaling_cc_child(SF_DIR, NUM_CPUS)
+    elif "--scaling-cc" in sys.argv:
+        out = run_scaling_cc(SF_DIR)
     elif "--scaling" in sys.argv:
         out = run_scaling(SF_DIR)
     elif "--skew" in sys.argv:

@@ -251,12 +251,56 @@ def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int):
         tr = t["ov"].to_numpy() | t["ovm"].to_numpy()
         return pa.table({"a": t["a"], "truncated": pa.array(tr)})
 
-    # streams into the caller's flag join — concurrent aggregator pools
-    # are schedulable now that ray_join_patch caps their CPU declaration
-    flags = (j.map_batches(orf, batch_format="pyarrow")
-             .groupby("a").max("truncated")
-             .map_batches(lambda t: t.rename_columns(["a", "truncated"]),
-                          batch_format="pyarrow"))
+    # per-vertex max via sort + vectorized segment pass with O(blocks·cap)
+    # boundary fix-up (the exact_dedup shape) — Ray's groupby().max folds
+    # per ROW in Python and measured 7.8 s on this 572k-row string-keyed
+    # stream vs ~1 s for the sort; every vertex has <= cap rows here, so
+    # the first/last-run boundary shipment is tiny by construction
+    fsrt = (j.map_batches(orf, batch_format="pyarrow")
+            .sort("a").materialize())
+
+    def fmax_interior(df: pd.DataFrame) -> pa.Table:
+        a = df["a"].to_numpy()
+        tr = df["truncated"].to_numpy()
+        runs = np.flatnonzero(a[1:] != a[:-1]) + 1 if len(a) else np.array([])
+        if len(runs) == 0:
+            return pa.table({"a": _pa_col(a[:0]),
+                             "truncated": pa.array(np.empty(0, np.int64))})
+        s, e = int(runs[0]), int(runs[-1])
+        aa, tt = a[s:e], tr[s:e]
+        if e <= s:
+            return pa.table({"a": _pa_col(aa),
+                             "truncated": pa.array(np.empty(0, np.int64))})
+        starts = np.flatnonzero(np.concatenate([[True], aa[1:] != aa[:-1]]))
+        mx = np.maximum.reduceat(tt, starts)
+        return pa.table({"a": _pa_col(aa[starts]),
+                         "truncated": pa.array(mx.astype(np.int64))})
+
+    def fmax_edge(df: pd.DataFrame) -> pa.Table:
+        a = df["a"].to_numpy()
+        tr = df["truncated"].to_numpy()
+        runs = np.flatnonzero(a[1:] != a[:-1]) + 1 if len(a) else np.array([])
+        if len(runs) == 0:
+            idx = np.arange(len(a))
+        else:
+            idx = np.concatenate([np.arange(runs[0]),
+                                  np.arange(runs[-1], len(a))])
+        return pa.table({"a": _pa_col(a[idx]),
+                         "truncated": pa.array(tr[idx].astype(np.int64))})
+
+    interior_f = fsrt.map_batches(fmax_interior, batch_format="pandas",
+                                  batch_size=None)
+    edge_f = (fsrt.map_batches(fmax_edge, batch_format="pandas",
+                               batch_size=None).to_pandas())
+    fparts = [interior_f]
+    if len(edge_f):
+        g = (edge_f.groupby("a", sort=False)["truncated"].max()
+             .reset_index())
+        g["truncated"] = g["truncated"].astype(np.int64)
+        fparts.append(rd.from_arrow(pa.table({
+            "a": _pa_col(g["a"].to_numpy()),
+            "truncated": pa.array(g["truncated"].to_numpy())})))
+    flags = fparts[0].union(*fparts[1:]) if len(fparts) > 1 else fparts[0]
     sym2 = capped.map_batches(lambda t: t.select(["a", "b"]),
                               batch_format="pyarrow")
     return sym2, flags

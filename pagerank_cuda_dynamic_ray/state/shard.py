@@ -92,9 +92,12 @@ class GraphShard:
         self._contrib_inbox: dict[int, dict[int, tuple]] = {}
         self._marks_inbox: dict[int, dict[int, tuple]] = {}
         self._linf_inbox: dict[int, dict[int, float]] = {}
-        # p2p label-loop state (run_label_iterations: cc / lp / bfs)
-        self._labelmsg_inbox: dict[int, dict[int, np.ndarray]] = {}
-        self._changed_inbox: dict[int, dict[int, int]] = {}
+        # pipelined p2p protocol: one combined message per iteration
+        self._bundle_inbox: dict[int, dict[int, tuple]] = {}
+        # p2p label-loop state (run_label_iterations: cc / lp / bfs);
+        # values are (payload, changed_prev) — the changed-count vote
+        # piggybacks on the next round's message
+        self._labelmsg_inbox: dict[int, dict[int, tuple]] = {}
         # hub splitting (off unless configure_hub_split is called)
         self.hub_split = False
         self.hub_rows = np.empty(0, dtype=np.int64)   # owned hub local rows
@@ -886,21 +889,31 @@ class GraphShard:
             self._linf_inbox.setdefault(it, {})[q] = v
             cv.notify_all()
 
+    async def recv_iter_bundle(self, it: int, q: int, dangling: float,
+                               packed: np.ndarray, linf_prev,
+                               marks, offs) -> None:
+        """Pipelined p2p message: contribs for iteration ``it`` plus the
+        sender's L∞ of iteration ``it-1`` and its DF marks from step
+        ``it-1`` — one barrier per iteration instead of 2-3."""
+        cv = self._ensure_cv()
+        async with cv:
+            self._bundle_inbox.setdefault(it, {})[q] = (
+                dangling, packed, linf_prev, marks, offs)
+            cv.notify_all()
+
     def _ensure_cv(self) -> asyncio.Condition:
         if self._cv is None:
             self._cv = asyncio.Condition()
         return self._cv
 
-    async def recv_labelmsg(self, it: int, q: int, payload: np.ndarray) -> None:
+    async def recv_labelmsg(self, it: int, q: int, payload: np.ndarray,
+                            changed_prev: int = -1) -> None:
+        """Pipelined label-round message: the sender's per-peer slice for
+        round ``it`` plus its changed-count from round ``it-1`` (-1 on
+        the first round) — one barrier per round instead of two."""
         cv = self._ensure_cv()
         async with cv:
-            self._labelmsg_inbox.setdefault(it, {})[q] = payload
-            cv.notify_all()
-
-    async def recv_changed(self, it: int, q: int, n: int) -> None:
-        cv = self._ensure_cv()
-        async with cv:
-            self._changed_inbox.setdefault(it, {})[q] = n
+            self._labelmsg_inbox.setdefault(it, {})[q] = (payload, changed_prev)
             cv.notify_all()
 
     async def run_label_iterations(
@@ -909,13 +922,16 @@ class GraphShard:
     ) -> int:
         """Run a whole label fixpoint (cc / lp / bfs) inside the pool —
         the label-algorithm analogue of :meth:`run_iterations`. ONE driver
-        dispatch per shard per run instead of 2-3 barriers x P tasks per
-        round; each round ships per-peer slices directly (no broadcast).
-        The changed-count allreduce doubles as the round barrier and the
-        stop vote, so every shard breaks at the same round and every
-        in-flight message is consumed before the method returns (no stale
-        keys for the next run). Kernels are the exact ones the driver
-        loop calls — results are bit-identical. Returns rounds executed.
+        dispatch per shard per run; each round ships per-peer slices
+        directly (no broadcast). Pipelined protocol (same trick as
+        :meth:`_run_iterations_pipelined`): the changed-count vote for
+        round ``it-1`` piggybacks on the label message for round ``it``,
+        so each round costs ONE P² message barrier instead of two. Every
+        shard votes on the identical global count before applying round
+        ``it``, so all break at the same round with bit-identical labels
+        (the apply order is unchanged; the final extra emit is consumed
+        by every peer symmetrically). Returns rounds applied — the same
+        count the two-barrier protocol reported.
         """
         import ray
 
@@ -935,7 +951,9 @@ class GraphShard:
         else:
             raise ValueError(f"unknown label algo {algo!r}")
         rounds = 0
-        for it in range(max_rounds):
+        changed_prev = -1  # no vote piggybacked on the first round
+        it = 0
+        while True:
             if algo == "cc":
                 _, *out = self.cc_push()
             elif algo == "lp":
@@ -945,13 +963,20 @@ class GraphShard:
             if P > 1:
                 for p, h in enumerate(peers):
                     if p != me:
-                        h.recv_labelmsg.remote(it, me, out[p])
+                        h.recv_labelmsg.remote(it, me, out[p], changed_prev)
             async with cv:
-                self._labelmsg_inbox.setdefault(it, {})[me] = out[me]
+                self._labelmsg_inbox.setdefault(it, {})[me] = (out[me], changed_prev)
                 cv.notify_all()
                 await cv.wait_for(lambda: len(self._labelmsg_inbox.get(it, {})) == P)
                 inbox = self._labelmsg_inbox.pop(it)
-            msgs = [inbox[q] for q in range(P)]
+            if changed_prev >= 0:
+                # stop vote for round it-1 — the same global sum the
+                # two-barrier protocol voted on after applying it-1
+                if sum(v[1] for v in inbox.values()) == 0:
+                    break
+            if it >= max_rounds:
+                break
+            msgs = [inbox[q][0] for q in range(P)]
             if algo == "cc":
                 changed = self.cc_apply(*msgs)
             elif algo == "lp":
@@ -960,18 +985,9 @@ class GraphShard:
             else:
                 frontier = self.bfs_apply(it + 1, *msgs)
                 changed = int(frontier.size)
-            if P > 1:
-                for p, h in enumerate(peers):
-                    if p != me:
-                        h.recv_changed.remote(it, me, changed)
-            async with cv:
-                self._changed_inbox.setdefault(it, {})[me] = changed
-                cv.notify_all()
-                await cv.wait_for(lambda: len(self._changed_inbox.get(it, {})) == P)
-                cin = self._changed_inbox.pop(it)
+            changed_prev = changed
             rounds = it + 1
-            if sum(cin.values()) == 0:
-                break
+            it += 1
         return rounds
 
     async def run_iterations(
@@ -999,7 +1015,113 @@ class GraphShard:
 
         ``peers`` arrives per call so actor handles are never stored in
         actor state (a stored all-to-all handle mesh is a reference
-        cycle that leaks the pool)."""
+        cycle that leaks the pool).
+
+        Two protocols, identical math and identical stopping decisions:
+
+        * **pipelined** (default): ONE message barrier per iteration —
+          the L∞ vote for iteration ``it-1`` and the DF marks produced
+          by step ``it-1`` piggyback on the contribution message for
+          ``it`` (contribs depend only on ranks, not on vaff, so marks
+          may be applied any time before step ``it``). Each shard
+          decides convergence on the piggybacked votes BEFORE stepping
+          ``it`` — the same global L∞ the barriered protocol votes on
+          after stepping ``it-1``, so iteration counts and every rank
+          bit are unchanged; only 2 of 3 per-iteration P² message
+          rounds disappear (the round-4 8v32 scaling read straddled
+          0.8 purely on this control-plane cost).
+        * **barriered** (used when checkpointing): the original
+          3-round protocol, kept because a checkpoint taken at end of
+          iteration ``it`` must contain fully-applied marks — in the
+          pipelined protocol marks for ``it`` are still in flight.
+        """
+        if not checkpoint_every:
+            return await self._run_iterations_pipelined(
+                peers, start_iter, max_iterations, C0, damping,
+                use_affected, frontier, prune, frontier_tol, prune_tol,
+                tolerance, redistribute,
+            )
+        return await self._run_iterations_barriered(
+            peers, start_iter, max_iterations, C0, damping, use_affected,
+            frontier, prune, frontier_tol, prune_tol, tolerance,
+            redistribute, checkpoint_every, ckpt_dir, run_id, batch_idx,
+        )
+
+    async def _run_iterations_pipelined(
+        self, peers, start_iter, max_iterations, C0, damping,
+        use_affected, frontier, prune, frontier_tol, prune_tol,
+        tolerance, redistribute,
+    ) -> list[dict]:
+        import ray
+
+        cv = self._ensure_cv()
+        P, me = self.P, self.p
+        out: list[dict] = []
+        it = start_iter
+        prev_linf: float | None = None
+        prev_marks: tuple | None = None  # (packed_marks, offsets)
+        t_step = time.perf_counter()
+        while True:
+            # send bundle for `it`: contribs(it) + linf/marks of it-1
+            c = self._contrib_vec()
+            dangling = self._dangling() if redistribute else 0.0
+            packed = self._packed_all(c)
+            pm, po = prev_marks if prev_marks is not None else (None, None)
+            if P > 1:
+                pref = ray.put(packed)
+                mref = ray.put(pm) if pm is not None else None
+                for p, h in enumerate(peers):
+                    if p != me:
+                        h.recv_iter_bundle.remote(
+                            it, me, dangling, pref, prev_linf, mref, po)
+            async with cv:
+                self._bundle_inbox.setdefault(it, {})[me] = (
+                    dangling, packed, prev_linf, pm, po)
+                cv.notify_all()
+                await cv.wait_for(
+                    lambda: len(self._bundle_inbox.get(it, {})) == P)
+                inbox = self._bundle_inbox.pop(it)
+            if prev_linf is not None:
+                # convergence vote for iteration it-1 (piggybacked) —
+                # the same max-of-locals the barriered allreduce takes
+                linf_g = max(v[2] for v in inbox.values())
+                out[-1]["linf_global"] = linf_g
+                out[-1]["iter_s"] = time.perf_counter() - t_step
+                if linf_g < tolerance:
+                    break
+            if it >= max_iterations:
+                break
+            t_step = time.perf_counter()
+            # apply piggybacked DF marks (produced by step it-1) before
+            # stepping it — exactly when the barriered protocol applies
+            # them, relative to the kernels that read vaff
+            if frontier:
+                for q in range(P):
+                    m, off = inbox[q][3], inbox[q][4]
+                    if m is not None:
+                        seg = m[off[me]:off[me + 1]]
+                        if len(seg):
+                            self.vaff[seg[~self.vaff[seg]]] = True
+            dangling_mass = (
+                sum(v[0] for v in inbox.values()) if redistribute else 0.0)
+            res = self.step(
+                C0, damping, use_affected, frontier, prune,
+                frontier_tol, prune_tol, dangling_mass,
+                *[inbox[q][1] for q in range(P)],
+            )
+            stats = res[0] if frontier else res
+            prev_linf = stats["linf"]
+            prev_marks = (res[1], res[2]) if frontier else None
+            out.append(stats)
+            it += 1
+        return out
+
+    async def _run_iterations_barriered(
+        self, peers, start_iter, max_iterations, C0, damping,
+        use_affected, frontier, prune, frontier_tol, prune_tol,
+        tolerance, redistribute, checkpoint_every=0, ckpt_dir=None,
+        run_id=None, batch_idx=0,
+    ) -> list[dict]:
         import ray
 
         cv = self._ensure_cv()
