@@ -23,6 +23,8 @@ import resource
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -113,7 +115,7 @@ def run_level(mult: int, num_cpus: int) -> dict:
     D.minhash_dedup(docs).materialize()
     out["minhash_dedup_s"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
-    D.ngram_dup_profile(docs).materialize()
+    D.ngram_exact_dedup(docs, k=3).materialize()
     out["ngram_dup_profile_s"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
