@@ -399,7 +399,15 @@ def run_scaling_cc_child(sf_dir: str, num_cpus: int) -> dict:
     P = int(os.environ.get("GRAFT_SCALING_PARTS", 0)) or _graph_parts(num_cpus)
     cps = min(1.0, max(0.1, (num_cpus - 1) / P))
     snap = f"/tmp/graft_graph_cache/{SCALING_SCALE}_P{P}"
-    ctx = GraphContext.load_graph(snap, num_cpus_per_shard=cps)
+    if os.path.exists(os.path.join(snap, "meta.json")):
+        ctx = GraphContext.load_graph(snap, num_cpus_per_shard=cps)
+    else:  # standalone child run without the parent's pre-built cache
+        from pagerank_cuda_dynamic_ray import api
+        from pagerank_cuda_dynamic_ray.sources import transcripts as T
+
+        fixture = T.ensure_fixture(SCALING_SCALE)
+        ctx, _ = api.build_graph(fixture, num_parts=P, num_cpus_per_shard=cps)
+        ctx.save_graph(snap)
     A._ensure_symmetric(ctx)
     shards = ctx.shards
     # warmup fixpoint (allocators, channel buffers)
@@ -426,6 +434,11 @@ def run_scaling_cc_child(sf_dir: str, num_cpus: int) -> dict:
 
 def run_scaling_cc(sf_dir: str) -> dict:
     """Pinned two-level pair for the label-loop family (VERDICT r4 #8)."""
+    if len(SCALING_LEVELS) != 2:
+        raise SystemExit(
+            f"GRAFT_SCALING_LEVELS must name exactly two parallelism levels "
+            f"(lo,hi), got {SCALING_LEVELS}"
+        )
     parts = int(os.environ.get("GRAFT_SCALING_PARTS", 0)) or _graph_parts(max(SCALING_LEVELS))
     ray = _init_ray(max(SCALING_LEVELS))
     from pagerank_cuda_dynamic_ray import api

@@ -377,8 +377,10 @@ def crossdoc_dup_mass(docs: rd.Dataset, shingle_k: int = 3,
 
     Two bounded exchanges, never text — and the corpus is tokenized
     exactly ONCE. The (gram-hash, doc) pair stream carries one SENTINEL
-    gram per document (``h = INT64_MIN``, collision-free against real
-    64-bit gram hashes by reservation), so every doc_id — including
+    gram per document (``h = INT64_MIN``; a real gram collides with it
+    only when its 64-bit hash is exactly 2^63 — probability 2^-64 per
+    distinct gram, the same collision class the gram hashing itself
+    already accepts), so every doc_id — including
     zero-gram short docs — appears in the stream and the per-doc answer
     needs NO join-back with the doc table. The gram doc-frequency
     groupby yields the df>=2 set; marking the pair stream against it is

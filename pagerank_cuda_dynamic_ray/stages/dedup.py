@@ -570,7 +570,12 @@ def _attach_payload(pairs: rd.Dataset, payload: rd.Dataset, out_a: str, out_b: s
                 return pa.table(cols)
 
             return pairs.map_batches(fetch, batch_format="pyarrow")
-    payload = _join_safe(payload, num_partitions)
+    # materialize = deliberate fan-out barrier: ren() consumes the
+    # payload TWICE (out_a and out_b joins); without it each join would
+    # recompute the payload lineage — for embedding_neardup_lsh past the
+    # broadcast gate that is the read+semi-filter+normalize+pack pass,
+    # the most expensive stage of the large-candidate regime
+    payload = payload.materialize()
     src_col = [c for c in payload.columns() if c != id_col][0]
 
     def ren(name):

@@ -40,6 +40,13 @@ def _embed_matrix(tbl: pa.Table, col: str = "embedding") -> np.ndarray:
         if n == 0:
             d = t.list_size if pa.types.is_fixed_size_list(t) else 0
             return np.empty((0, d), np.float64)
+        if arr.null_count:
+            # flatten() silently DROPS null cells, and the reshape would
+            # then smear the remaining values across all n rows — raise
+            # like the old np.stack(to_list()) path did
+            raise ValueError(
+                f"embedding column has {arr.null_count} null cells; "
+                "drop or impute them before the vector stage")
         flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
         return flat.reshape(n, -1)
     # Ray's tensor extension type (ndarray cells via from_pandas) or any
@@ -321,9 +328,16 @@ def embedding_covariance_sums(embeddings: rd.Dataset, scale: int = PCA_SCALE,
     object-dtype (arbitrary-precision) arrays."""
     def part(t: pa.Table) -> pd.DataFrame:
         q = np.round(_embed_matrix(t, col) * scale).astype(np.int64)
+        # empty batch: a ZERO partial with the dimension when known —
+        # an empty object column would be typed null and fail schema
+        # unification against the non-empty partials (the
+        # pseudo_diameter lesson)
         if not len(q):
-            return pd.DataFrame({"n": pd.Series([], dtype=np.int64),
-                                 "s": [], "c": []})
+            d = q.shape[1]
+            if d == 0:
+                raise ValueError(
+                    "empty embedding batch with unknown dimension")
+            q = np.zeros((0, d), np.int64)
         return pd.DataFrame({"n": [np.int64(len(q))],
                              "s": [q.sum(0, dtype=np.int64)],
                              "c": [(q.T @ q).ravel()]})

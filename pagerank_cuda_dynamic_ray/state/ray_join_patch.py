@@ -17,26 +17,26 @@ correct, but it broke streaming at every join and serialized multi-join
 pipelines (VERDICT r4 "What's wrong" #1: crossdoc_dup at 4.8 s rode on
 three serialized materialized joins).
 
-This module fixes the bug at its source instead, with two narrow,
-version-guarded monkeypatches applied once per driver process:
+This module fixes the bug at its source instead, with one narrow,
+version-guarded monkeypatch applied once per driver process:
 
-1. ``_shuffle_block``: when ``send_empty_blocks=True`` (the
-   schema-broadcast invocation) and the block has zero rows, fan one
-   typed empty shard to every aggregator — exactly what the operator
-   already does for partitions that hash to empty on a NON-empty block —
-   so aggregators always learn the schema from the first block whether
-   or not it carries rows.  Every hash-shuffle consumer (join, hash
-   groupby, repartition) shares this function; empty typed shards are a
-   no-op for all of them.
+``_shuffle_block``: when ``send_empty_blocks=True`` (the
+schema-broadcast invocation) and the block has zero rows, fan one
+typed empty shard to every aggregator — exactly what the operator
+already does for partitions that hash to empty on a NON-empty block —
+so aggregators always learn the schema from the first block whether
+or not it carries rows.  Every hash-shuffle consumer (join, hash
+groupby, repartition) shares this function; empty typed shards are a
+no-op for all of them.  This works because ``_shuffle_block`` is a
+driver-defined ``@ray.remote`` FUNCTION — rebinding the module
+attribute changes what the driver ships to workers.  (A finalize-side
+class-method patch would NOT work: the aggregator actors re-import
+``JoiningShuffleAggregation`` unpatched in their own processes.)
 
-2. ``JoiningShuffleAggregation.finalize``: if a side produced ZERO
-   bundles end-to-end (Ray drops fully-empty outputs of some operators,
-   so not even patch 1 fires), its partition table has no columns.
-   Degrade by join type instead of crashing: inner/semi joins of an
-   absent side are empty; an anti join against an absent side is the
-   present side unchanged.  Outer joins with an absent side still raise
-   (the missing side's columns are unknowable) — callers guard with
-   ``count()`` as before.
+Limit: a side that yields ZERO bundles end-to-end (Ray elides
+fully-empty outputs of some operators, so no shuffle task ever runs
+for it) still crashes in Acero — that fully-empty case remains
+caller-guarded with ``count()`` checks, exactly as in rounds 2-4.
 
 Also sets ``DataContext.join_operator_actor_num_cpus_per_partition_override``
 to a small value so several join aggregator pools can coexist in one
@@ -75,6 +75,18 @@ def apply() -> bool:
     """Apply the patches once; safe to call repeatedly and from tests."""
     if _STATE["applied"] is not None:
         return _STATE["applied"]
+    # The aggregator CPU override is orthogonal to the schema-broadcast
+    # bug: concurrent join pools must stay schedulable on small clusters
+    # whether or not the shuffle patch applies (future-Ray fallback
+    # included), so set it unconditionally and first.
+    try:
+        from ray.data import DataContext
+        ctx = DataContext.get_current()
+        if ctx.join_operator_actor_num_cpus_per_partition_override is None:
+            ctx.join_operator_actor_num_cpus_per_partition_override = (
+                JOIN_AGG_CPUS_PER_PARTITION)
+    except Exception:  # pragma: no cover - future-Ray guard
+        logger.exception("ray_join_patch: DataContext override failed")
     try:
         _STATE["applied"] = _apply_inner()
     except Exception:  # pragma: no cover - future-Ray guard
@@ -91,17 +103,13 @@ def _apply_inner() -> bool:
                        ray.__version__)
         return False
 
-    from ray.data import DataContext
     from ray.data._internal.execution.operators import hash_shuffle as _hs
-    from ray.data._internal.execution.operators import join as _join
-    from ray.data._internal.logical.operators.join_operator import JoinType
     from ray.data._internal.table_block import TableBlockAccessor
     from ray.data.block import BlockAccessor, BlockExecStats, BlockType
 
     # sanity-check the internals we re-express
     orig_shuffle = _hs._shuffle_block._function
     _hs._create_empty_table  # noqa: B018 - AttributeError => bail out
-    _join.JoiningShuffleAggregation._get_partition_builder
 
     def _shuffle_block_schema_safe(block, input_index, key_columns, pool, *,
                                    block_transformer=None,
@@ -136,44 +144,4 @@ def _apply_inner() -> bool:
                             override_partition_id=override_partition_id)
 
     _hs._shuffle_block = ray.remote(_shuffle_block_schema_safe)
-
-    _ARROW_VERB = dict(_join._JOIN_TYPE_TO_ARROW_JOIN_VERB_MAP)
-
-    def _finalize_schema_safe(self, partition_id):
-        import pyarrow as pa
-
-        left = self._get_partition_builder(
-            input_seq_id=0, partition_id=partition_id).build()
-        right = self._get_partition_builder(
-            input_seq_id=1, partition_id=partition_id).build()
-        if left.num_columns == 0 or right.num_columns == 0:
-            # a side produced zero bundles end-to-end: schema unknown
-            jt = self._join_type
-            if left.num_columns == 0 and right.num_columns == 0:
-                return pa.table({})
-            if jt in (JoinType.INNER, JoinType.LEFT_SEMI, JoinType.RIGHT_SEMI):
-                return pa.table({})
-            if jt == JoinType.LEFT_ANTI:
-                return left if right.num_columns == 0 else pa.table({})
-            if jt == JoinType.RIGHT_ANTI:
-                return right if left.num_columns == 0 else pa.table({})
-            raise ValueError(
-                f"join type {jt}: one side yielded no blocks at all, so its "
-                "schema is unknown and outer-join output columns cannot be "
-                "synthesized; guard the fully-empty side with count()")
-        return left.join(
-            right,
-            join_type=_ARROW_VERB[self._join_type],
-            keys=list(self._left_key_col_names),
-            right_keys=list(self._right_key_col_names),
-            left_suffix=self._left_columns_suffix,
-            right_suffix=self._right_columns_suffix,
-        )
-
-    _join.JoiningShuffleAggregation.finalize = _finalize_schema_safe
-
-    ctx = DataContext.get_current()
-    if ctx.join_operator_actor_num_cpus_per_partition_override is None:
-        ctx.join_operator_actor_num_cpus_per_partition_override = (
-            JOIN_AGG_CPUS_PER_PARTITION)
     return True

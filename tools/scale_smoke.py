@@ -1,5 +1,5 @@
 """Order-of-magnitude scale smoke for the join/dedup-heavy keys
-(VERDICT r4 #5): run crossdoc_dup_mass, minhash_dedup, ngram_dup_profile
+(VERDICT r4 #5): run crossdoc_dup_mass, minhash_dedup, ngram_exact_dedup
 and the curation chain on a deterministically synthesized documents
 table at 1x and 10x rows, and report wall time + driver peak RSS so the
 "O(rows) design" claims get a measured point instead of an argument.
@@ -116,7 +116,7 @@ def run_level(mult: int, num_cpus: int) -> dict:
     out["minhash_dedup_s"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     D.ngram_exact_dedup(docs, k=3).materialize()
-    out["ngram_dup_profile_s"] = round(time.perf_counter() - t0, 3)
+    out["ngram_exact_dedup_s"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     kept = TS.quality_filter(docs, min_quality=0.2, min_tokens=5) \
