@@ -139,7 +139,8 @@ def _seg_cap(a: np.ndarray, b: np.ndarray, ov: np.ndarray, cap: int):
     return ad[keep], bd[keep], np.repeat(over, np.minimum(cnt, cap))
 
 
-def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int):
+def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int,
+                   flag_broadcast_bytes: int = 64 << 20):
     """Truncate every vertex's neighbor list to its ``cap`` smallest
     distinct neighbors and derive per-vertex truncation flags — the
     graceful-hub path of :func:`two_hop_counts`.
@@ -236,15 +237,59 @@ def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int):
                                          .astype(np.int64))})
 
     # truncated(a) = ov(a) OR any kept neighbor's ov — computed over the
-    # capped pair stream (≤ cap rows per vertex), so the join and the
-    # per-vertex max stay bounded regardless of hub degree. _join_safe:
-    # block_capped legitimately emits EMPTY blocks (≤2-run inputs), and
-    # Ray 2.49's join chokes on an empty leading block (dedup.py repro)
+    # capped pair stream (≤ cap rows per vertex), so every plan below
+    # stays bounded regardless of hub degree.
+    vfm = capped.map_batches(vf, batch_format="pyarrow").materialize()
+
+    if vfm.size_bytes() <= flag_broadcast_bytes:
+        # broadcast plan (the _attach_payload size-gate posture): ship
+        # the per-vertex overflow map once via ray.put and compute the
+        # per-vertex max INSIDE each capped block — valid because the
+        # interior/edge split above guarantees every block of `capped`
+        # holds only COMPLETE, contiguous a-runs, so no cross-block
+        # merge, join, sort or groupby is needed at all
+        pdf = vfm.to_pandas().drop_duplicates("m")
+        mk = pdf["m"].to_numpy()
+        if mk.dtype == object:
+            mk = mk.astype("U")
+        forder = np.argsort(mk, kind="stable")
+        fref = ray.put((mk[forder], pdf["ovm"].to_numpy(np.int64)[forder]))
+
+        def block_flags(df: pd.DataFrame) -> pa.Table:
+            a = df["a"].to_numpy()
+            if not len(a):
+                return pa.table({"a": _pa_col(a),
+                                 "truncated": pa.array([], pa.int64())})
+            b = df["b"].to_numpy()
+            ov = df["ov"].to_numpy()
+            keys, vals = ray.get(fref)
+            bl = b.astype(keys.dtype) if keys.dtype.kind == "U" else b
+            pos = np.searchsorted(keys, bl).clip(0, len(keys) - 1)
+            if not (keys[pos] == bl).all():
+                raise ValueError("capped neighbor missing from the vertex "
+                                 "flag map — input not symmetric")
+            tr = ov | vals[pos]
+            starts = np.flatnonzero(
+                np.concatenate([[True], a[1:] != a[:-1]]))
+            mx = np.maximum.reduceat(tr, starts)
+            return pa.table({"a": _pa_col(a[starts]),
+                             "truncated": pa.array(mx.astype(np.int64))})
+
+        flags = capped.map_batches(block_flags, batch_format="pandas",
+                                   batch_size=None)
+        sym2 = capped.map_batches(lambda t: t.select(["a", "b"]),
+                                  batch_format="pyarrow")
+        return sym2, flags
+
+    # distributed fallback past the gate (vertex-scale flag map): hash
+    # join the flags onto the pair stream, then the sorted-segment max.
+    # _join_safe: block_capped legitimately emits EMPTY blocks (≤2-run
+    # inputs), and Ray 2.49's join chokes on an empty leading block
+    # (dedup.py repro)
     from ..stages.dedup import _join_safe
 
-    vflag = capped.map_batches(vf, batch_format="pyarrow")
     j = _join_safe(capped, num_partitions).join(
-        _join_safe(vflag, num_partitions), "inner", num_partitions,
+        _join_safe(vfm, num_partitions), "inner", num_partitions,
         on=("b",), right_on=("m",))
 
     def orf(t: pa.Table) -> pa.Table:
@@ -309,7 +354,8 @@ def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int):
 def two_hop_counts(edges: rd.Dataset, ids: rd.Dataset,
                    num_partitions: int = 8,
                    max_boundary_rows: int = 20_000_000,
-                   cap: int | None = None) -> rd.Dataset:
+                   cap: int | None = None,
+                   flag_broadcast_bytes: int = 64 << 20) -> rd.Dataset:
     """Per-vertex 2-hop neighborhood size (friend-of-friend count, the
     classic feature-engineering primitive): distinct vertices within
     undirected distance <= 2, self excluded. Pure Ray-Data-native plan —
@@ -349,7 +395,8 @@ def two_hop_counts(edges: rd.Dataset, ids: rd.Dataset,
     sym = edges.map_batches(symx, batch_format="pyarrow").materialize()
     flags = None
     if cap is not None:
-        sym, flags = _cap_adjacency(sym, cap, num_partitions)
+        sym, flags = _cap_adjacency(sym, cap, num_partitions,
+                                    flag_broadcast_bytes)
 
     def ren(t: pa.Table) -> pa.Table:
         return pa.table({"m": t["a"], "c": t["b"]})

@@ -1,6 +1,7 @@
 """BFS distances and modularity vs brute-force oracles."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from pagerank_cuda_dynamic_ray.pipelines.graph import GraphContext
@@ -154,6 +155,13 @@ def test_two_hop_capped_many_tiny_blocks():
         assert got.loc[i, "n_two_hop"] == len(ball), n
         assert bool(got.loc[i, "truncated"]) == (
             over[n] or any(over[u] for u in kept[n])), n
+    # the distributed flag fallback (flag_broadcast_bytes=0 forces the
+    # join + sorted-segment path) must agree exactly with the broadcast
+    # per-block plan
+    fb = (A.two_hop_counts(edges, ids, num_partitions=4, cap=2,
+                           flag_broadcast_bytes=0).to_pandas()
+          .sort_values("conv_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fb, got)
 
 
 def test_pseudo_diameter_double_sweep(ctx):
