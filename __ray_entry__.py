@@ -615,6 +615,39 @@ def _q_pagerank_dynamic_deletions(sf_dir: str):
         ctx.shutdown()
 
 
+def _q_pagerank_weighted_dynamic_deletions(sf_dir: str):
+    """Weights × deletions — the last dynamic composition: on the
+    multiplicity-weighted full graph, the seed-11 random batch tidied
+    per weighted semantics (deletion INSTANCES each remove one unit of
+    weight, clamped at zero — state/kernels.weighted_set_update;
+    insertion instances each add one, no dedup/existence filter) and
+    applied in one batch, then a DF warm restart from the weighted
+    static fixpoint. Fixed iterations / zero tolerances, so the final
+    quantized ranks must equal a cold weighted power iteration over the
+    POST-BATCH weights: w' = max(w − del_instances, 0) + ins_instances
+    per (src, dst), edges kept while w' > 0."""
+    ctx, _ = api.build_graph(_fixture(sf_dir), num_parts=NUM_PARTS, weighted=True)
+    try:
+        o = PagerankOptions(
+            tolerance=0.0, max_iterations=PR_ORACLE_ITERS, frontier_tolerance=0.0
+        )
+        res = ctx.pagerank("static", options=o)
+        warm = list(res.ranks)
+        dels, inss = ctx.random_batch(64, 64, seed=11)
+        tdel, tins = ctx.tidy_batch(dels, inss)
+        empty = np.empty((2, 0), dtype=np.int64)
+        marks_del = ctx.compute_frontier_marks(tdel, empty)
+        ctx.apply_batch(tdel, tins)
+        marks_ins = ctx.compute_frontier_marks(empty, tins)
+        marks = [np.unique(np.concatenate([a, b]))
+                 for a, b in zip(marks_del, marks_ins)]
+        r = ctx.pagerank("df", warm=warm, initial_marks=marks, options=o)
+        e10 = np.round(ctx.assemble(r.ranks) * 1e10).astype(np.int64)
+        return pa.table({"conv_id": pa.array(ctx.dictionary), "rank_e10": pa.array(e10)})
+    finally:
+        ctx.shutdown()
+
+
 PFX_STAGES = 2  # insertion batches after the base prefix (3 stages total)
 
 
@@ -1890,6 +1923,20 @@ TFIDF_K = 5
 QUANTILES = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p90": 0.9, "p99": 0.99}
 
 
+HH_K = 100
+
+
+def _q_heavy_hitter_tokens(sf_dir: str):
+    """Exact ε-heavy-hitter tokens (count strictly above n_tokens/HH_K)
+    via sharded candidate generation (per-block pigeonhole survivors,
+    bounded blocks×k exchange) + an exact distributed verify pass —
+    stages/sketch.heavy_hitter_tokens. Unlike vocabulary's full
+    distinct-token groupby, nothing corpus-vocabulary-scale is ever
+    shuffled; the oracle is the brute-force GROUP BY ... HAVING."""
+    docs = _tbl(sf_dir, "documents", ["text"])
+    return SK.heavy_hitter_tokens(docs, k=HH_K)
+
+
 def _q_hll_distinct(sf_dir: str):
     """Deterministic HyperLogLog (p=12, splitmix64 stream) distinct
     counts for events.event_id and events.user_id — the estimate AND
@@ -2205,12 +2252,14 @@ def _q_frame_sample(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Order = driver-verification priority (the gate samples the
-    # registry head): first the never-driver-checked r5 addition, then
+    # registry head): first the never-driver-checked r5 additions, then
     # the 41 entries whose latest green row is r02, then r03-last, then
     # r04-last — so CORRECTNESS_r05's first 50 re-verifies the stalest
     # cohort (VERDICT r4 #7).
     return {
         "pagerank_dynamic_deletions": _q_pagerank_dynamic_deletions,
+        "pagerank_weighted_dynamic_deletions": _q_pagerank_weighted_dynamic_deletions,
+        "heavy_hitter_tokens": _q_heavy_hitter_tokens,
         "degree_assortativity": _q_degree_assortativity,
         "self_loops": _q_self_loops,
         "random_batch": _q_random_batch,
@@ -3528,6 +3577,49 @@ prr AS (
 )
 SELECT v AS conv_id, rank_e10 FROM prr"""
 
+# weighted deletions replay: per-(src,dst) INSTANCE counts of the batch
+# (weighted tidy keeps instances on both sides; every generated deletion
+# exists by construction — it is drawn from the live adjacency), then
+# w' = max(w - dels, 0) + ins (the weighted_set_update fold) and a COLD
+# weighted power iteration over the post-batch weights
+_RB_TAIL_WPR_DELS = f""",
+deli AS (SELECT dc.conv_id AS src, a.dst AS dst, count(*) AS dcnt
+         FROM dvi x JOIN dict dc ON dc.vid = x.uvid
+         JOIN adj a ON a.src = dc.conv_id AND a.rk = x.vi
+         GROUP BY 1, 2),
+insi AS (SELECT da.conv_id AS src, db.conv_id AS dst, count(*) AS icnt
+         FROM insr i JOIN dict da ON da.vid = i.uvid JOIN dict db ON db.vid = i.vvid
+         GROUP BY 1, 2),
+wbase AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+          FROM (SELECT src, dst FROM mention UNION ALL SELECT conv_id, conv_id FROM ids)
+          GROUP BY src, dst),
+wkeys AS (SELECT src, dst FROM wbase UNION SELECT src, dst FROM insi),
+wedp AS (SELECT * FROM (
+    SELECT k.src, k.dst,
+           greatest(coalesce(b.w, 0) - coalesce(d.dcnt, 0), 0)
+           + coalesce(i.icnt, 0) AS w
+    FROM wkeys k
+    LEFT JOIN wbase b ON b.src = k.src AND b.dst = k.dst
+    LEFT JOIN deli d ON d.src = k.src AND d.dst = k.dst
+    LEFT JOIN insi i ON i.src = k.src AND i.dst = k.dst
+) WHERE w > 0),
+wdeg AS (SELECT src AS v, sum(w) AS wd FROM wedp GROUP BY src),
+nverts AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ids),
+wprr AS (
+  WITH RECURSIVE pr(i, v, r) AS (
+    SELECT 0, conv_id, (SELECT 1.0 / n FROM nverts) FROM ids
+    UNION ALL
+    SELECT pr.i + 1, e.dst,
+           (SELECT (1.0 - 0.85) / n FROM nverts)
+           + 0.85 * sum((pr.r * (1.0 / od.wd)) * e.w)
+    FROM pr JOIN wedp e ON e.src = pr.v JOIN wdeg od ON od.v = pr.v
+    WHERE pr.i < {PR_ORACLE_ITERS}
+    GROUP BY pr.i + 1, e.dst
+  ) SELECT v, CAST(round(r * 1e10) AS BIGINT) AS rank_e10
+    FROM pr WHERE i = {PR_ORACLE_ITERS}
+)
+SELECT v AS conv_id, rank_e10 FROM wprr"""
+
 
 def _sql_dsh_ctes() -> str:
     """tokh/trio/dsh CTE block shared by the shingle-based dedup
@@ -4185,6 +4277,22 @@ FROM uedges e JOIN od x ON x.v = e.src JOIN idg y ON y.v = e.dst""",
         # deletions-bearing dynamic run == cold power iteration on the
         # post-batch edge set (generator + tidy replayed relationally)
         "pagerank_dynamic_deletions": _sql_random_batch(tail=_RB_TAIL_PR_DELS),
+        # weighted deletions: weighted_set_update fold replayed as
+        # per-instance counts, cold weighted power iteration after
+        "pagerank_weighted_dynamic_deletions": _sql_random_batch(
+            tail=_RB_TAIL_WPR_DELS),
+        # exact heavy hitters == brute-force GROUP BY ... HAVING over the
+        # full token stream (the engine's two-pass candidate plan must
+        # reproduce it exactly; strict > threshold both sides)
+        "heavy_hitter_tokens": rf"""
+WITH toks AS (SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                                        x -> x <> '')) AS token
+              FROM documents),
+nn AS (SELECT count(*) AS n FROM toks)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM toks GROUP BY token
+HAVING count(*) * {HH_K} > (SELECT n FROM nn)
+ORDER BY cnt DESC, token""",
         "self_loops": _GRAPH_CTE
         + "\nSELECT count(*) AS self_loops FROM uedges WHERE src = dst",
         "triangle_total": _GRAPH_CTE

@@ -397,3 +397,94 @@ def exact_quantiles_hist(
     from ..pipelines.graph import tables_dataset
     return tables_dataset([pa.table({"q": pa.array(out_q, type=pa.string()),
                                      "value": pa.array(out_v, type=pa.int64())})])
+
+
+# ----------------------------------------------------------------------
+# exact heavy hitters (sharded candidate generation + exact verify)
+# ----------------------------------------------------------------------
+
+def heavy_hitter_tokens(docs: rd.Dataset, k: int = 100,
+                        text_col: str = "text",
+                        candidate_limit: int = 1_000_000) -> rd.Dataset:
+    """Exact frequent tokens: every whitespace token whose global count
+    STRICTLY exceeds ``n_tokens / k`` (the classic hot-term /
+    boilerplate-marker detector), with its exact count.
+
+    Two tokenize passes, no corpus-scale shuffle — the point of the
+    operator vs :func:`~..sampling.vocabulary`'s full distinct-token
+    groupby (at 100 TB the distinct-token space is billions of keys;
+    this op's only exchange is bounded by ``blocks x k``):
+
+    * **Pass 1 (candidates)**: per block, exact token counts
+      (``np.unique``); keep tokens with ``count * k > block_n``. By
+      pigeonhole a token above the global rate must be above the
+      per-block rate in at least one block, so the union of per-block
+      survivors (< k each) is a lossless candidate superset under ANY
+      partitioning. Each block also ships its token total (one scalar
+      row). The union reaches the driver gated by ``candidate_limit``
+      and is broadcast back sorted via ``ray.put``.
+    * **Pass 2 (verify)**: per block, exact counts of candidate tokens
+      only (vectorized ``searchsorted`` membership), folded by a tiny
+      groupby over <= blocks x |candidates| partial rows; the final
+      filter keeps ``count * k > n``.
+
+    Deterministic and partition-invariant: the output depends only on
+    exact global counts and n. Returns Dataset(token, cnt), count
+    descending then token ascending."""
+    import pandas as pd
+
+    import ray
+
+    def pass1(t: pa.Table) -> pa.Table:
+        texts = pd.Series(t[text_col].to_pandas()).fillna("")
+        flat = texts.str.findall(r"\S+").explode().dropna()
+        bn = len(flat)
+        if not bn:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "bn": pa.array([], pa.int64())})
+        tok, cnt = np.unique(flat.to_numpy(), return_counts=True)
+        keep = cnt * k > bn
+        # survivors + one null-token row carrying the block's token total
+        return pa.table({
+            "token": pa.array(tok[keep].tolist() + [None], pa.string()),
+            "bn": pa.array(np.concatenate([np.zeros(int(keep.sum()), np.int64),
+                                           [np.int64(bn)]])),
+        })
+
+    part = docs.map_batches(pass1, batch_format="pyarrow").materialize()
+    n_cand = part.count()
+    if n_cand > candidate_limit:
+        raise ValueError(
+            f"heavy_hitter_tokens: {n_cand} candidate rows exceed "
+            f"candidate_limit={candidate_limit}; raise k or the limit")
+    pdf = part.to_pandas()
+    n_tokens = int(pdf["bn"].sum())
+    cands = np.sort(pdf["token"].dropna().unique().astype("U"))
+    if n_tokens == 0 or len(cands) == 0:
+        return rd.from_arrow(pa.table({"token": pa.array([], pa.string()),
+                                       "cnt": pa.array([], pa.int64())}))
+    cref = ray.put(cands)
+
+    def pass2(t: pa.Table) -> pa.Table:
+        texts = pd.Series(t[text_col].to_pandas()).fillna("")
+        flat = texts.str.findall(r"\S+").explode().dropna()
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        cs = ray.get(cref)
+        tok, cnt = np.unique(flat.to_numpy().astype("U"), return_counts=True)
+        pos = np.searchsorted(cs, tok).clip(0, len(cs) - 1)
+        hit = cs[pos] == tok
+        return pa.table({"token": pa.array(tok[hit]),
+                         "cnt": pa.array(cnt[hit].astype(np.int64))})
+
+    totals = (docs.map_batches(pass2, batch_format="pyarrow")
+              .groupby("token").sum("cnt")
+              .rename_columns({"sum(cnt)": "cnt"}))
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.greater(pc.multiply(t["cnt"], k), n_tokens))
+
+    return (totals.map_batches(fin, batch_format="pyarrow")
+            .sort(["cnt", "token"], descending=[True, False]))

@@ -164,3 +164,36 @@ def test_binned_quantiles_bracket_and_partition_invariance():
         # true order statistic lies in (or clips into) the reported bin
         assert row.lo_edge <= max(min(true_q, 200.0 - 1e-9), 0.0) <= row.hi_edge + 1e-9
     assert (got[1]["hi_edge"] - got[1]["lo_edge"]).max() <= 0.5 + 1e-12
+
+
+def test_heavy_hitter_tokens_exact_and_partition_invariant():
+    # skewed corpus: "hot" dominates, "warm" sits near the threshold,
+    # everything else is cold
+    rng = np.random.default_rng(3)
+    cold = [f"w{i:03d}" for i in range(200)]
+    docs = []
+    for i in range(60):
+        toks = (["hot"] * 10 + ["warm"] * (3 if i % 2 else 2)
+                + list(rng.choice(cold, 30)))
+        rng.shuffle(toks)
+        docs.append(" ".join(toks))
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64), "text": docs})
+    # brute force
+    from collections import Counter
+    c = Counter(t for d in docs for t in d.split())
+    n = sum(c.values())
+    k = 30
+    want = sorted(((t, m) for t, m in c.items() if m * k > n),
+                  key=lambda x: (-x[1], x[0]))
+    assert want, "fixture must produce at least one heavy hitter"
+    for parts in (1, 6):
+        got = (sketch.heavy_hitter_tokens(
+                   rd.from_pandas(df).repartition(parts), k=k)
+               .to_pandas())
+        assert list(zip(got["token"], got["cnt"])) == want, parts
+    # candidate-limit gate refuses loudly instead of silently truncating
+    import pytest
+
+    with pytest.raises(ValueError, match="candidate_limit"):
+        sketch.heavy_hitter_tokens(rd.from_pandas(df).repartition(6),
+                                   k=k, candidate_limit=1)
