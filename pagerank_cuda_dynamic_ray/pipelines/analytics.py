@@ -115,6 +115,24 @@ def _pa_col(x: np.ndarray) -> "pa.Array":
     return pa.array(x)
 
 
+def _run_split(a: np.ndarray) -> tuple[int, int, np.ndarray]:
+    """Split a run-contiguous key column into its complete interior
+    segment and its boundary rows: returns ``(s, e, bnd_idx)`` where
+    ``a[s:e]`` holds only runs that start AND end inside this block and
+    ``bnd_idx`` indexes the first and last runs (which may continue in
+    an adjacent block — Ray slices oversized map/sort outputs at
+    target_max_block_size, so even a 'one run per output' stage can see
+    its runs split). A block with <= 2 runs is all boundary."""
+    runs = np.flatnonzero(a[1:] != a[:-1]) + 1 if len(a) else np.array([])
+    if len(runs) == 0:
+        return 0, 0, np.arange(len(a))
+    s, e = int(runs[0]), int(runs[-1])
+    bnd = np.concatenate([np.arange(s), np.arange(e, len(a))])
+    if e <= s:  # exactly two runs: no interior
+        return 0, 0, np.arange(len(a))
+    return s, e, bnd
+
+
 def _seg_cap(a: np.ndarray, b: np.ndarray, ov: np.ndarray, cap: int):
     """Vectorized per-vertex cap over rows SORTED by (a, b):
     adjacent-dedup, rank-within-run < cap keep mask, and per-run
@@ -182,11 +200,7 @@ def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int,
 
     def block_capped(df: pd.DataFrame) -> pa.Table:
         a = df["a"].to_numpy()
-        runs = np.flatnonzero(a[1:] != a[:-1]) + 1 if len(a) else np.array([])
-        if len(runs) == 0:  # single run (or empty): all boundary
-            s = e = 0
-        else:
-            s, e = int(runs[0]), int(runs[-1])
+        s, e, _ = _run_split(a)
         # s == e (a block with <= 2 runs) yields empty slices; _seg_cap
         # and _pa_col keep the schema typed either way
         ka, kb, kov = _seg_cap(a[s:e], df["b"].to_numpy()[s:e],
@@ -196,12 +210,7 @@ def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int,
 
     def block_edge(df: pd.DataFrame) -> pa.Table:
         a = df["a"].to_numpy()
-        runs = np.flatnonzero(a[1:] != a[:-1]) + 1 if len(a) else np.array([])
-        if len(runs) == 0:
-            idx = np.arange(len(a))
-        else:
-            idx = np.concatenate([np.arange(runs[0]),
-                                  np.arange(runs[-1], len(a))])
+        _, _, idx = _run_split(a)
         return pa.table({"a": _pa_col(a[idx]),
                          "b": _pa_col(df["b"].to_numpy()[idx]),
                          "ov": pa.array(df["ov"].to_numpy()[idx].astype(np.int64))})
@@ -243,11 +252,13 @@ def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int,
 
     if vfm.size_bytes() <= flag_broadcast_bytes:
         # broadcast plan (the _attach_payload size-gate posture): ship
-        # the per-vertex overflow map once via ray.put and compute the
-        # per-vertex max INSIDE each capped block — valid because the
-        # interior/edge split above guarantees every block of `capped`
-        # holds only COMPLETE, contiguous a-runs, so no cross-block
-        # merge, join, sort or groupby is needed at all
+        # the per-vertex overflow map once via ray.put and compute each
+        # vertex's max INSIDE its capped block. Runs are contiguous
+        # within every block, but Ray slices oversized map outputs at
+        # target_max_block_size, so a run CAN straddle two adjacent
+        # blocks — each block therefore folds only its complete
+        # interior runs and ships its (pre-maxed) first/last runs as
+        # one boundary row each, merged driver-side: O(blocks) rows.
         pdf = vfm.to_pandas().drop_duplicates("m")
         mk = pdf["m"].to_numpy()
         if mk.dtype == object:
@@ -255,28 +266,58 @@ def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int,
         forder = np.argsort(mk, kind="stable")
         fref = ray.put((mk[forder], pdf["ovm"].to_numpy(np.int64)[forder]))
 
-        def block_flags(df: pd.DataFrame) -> pa.Table:
-            a = df["a"].to_numpy()
-            if not len(a):
-                return pa.table({"a": _pa_col(a),
-                                 "truncated": pa.array([], pa.int64())})
-            b = df["b"].to_numpy()
-            ov = df["ov"].to_numpy()
+        def _row_flags(a, b, ov):
             keys, vals = ray.get(fref)
             bl = b.astype(keys.dtype) if keys.dtype.kind == "U" else b
             pos = np.searchsorted(keys, bl).clip(0, len(keys) - 1)
             if not (keys[pos] == bl).all():
                 raise ValueError("capped neighbor missing from the vertex "
                                  "flag map — input not symmetric")
-            tr = ov | vals[pos]
+            return ov | vals[pos]
+
+        def _fold_runs(a, tr):
             starts = np.flatnonzero(
                 np.concatenate([[True], a[1:] != a[:-1]]))
-            mx = np.maximum.reduceat(tr, starts)
-            return pa.table({"a": _pa_col(a[starts]),
-                             "truncated": pa.array(mx.astype(np.int64))})
+            return a[starts], np.maximum.reduceat(tr, starts).astype(np.int64)
 
-        flags = capped.map_batches(block_flags, batch_format="pandas",
-                                   batch_size=None)
+        def flags_interior(df: pd.DataFrame) -> pa.Table:
+            a = df["a"].to_numpy()
+            s, e, _ = _run_split(a)
+            if e <= s:
+                return pa.table({"a": _pa_col(a[:0]),
+                                 "truncated": pa.array([], pa.int64())})
+            tr = _row_flags(a[s:e], df["b"].to_numpy()[s:e],
+                            df["ov"].to_numpy()[s:e])
+            ka, mx = _fold_runs(a[s:e], tr)
+            return pa.table({"a": _pa_col(ka), "truncated": pa.array(mx)})
+
+        def flags_boundary(df: pd.DataFrame) -> pa.Table:
+            a = df["a"].to_numpy()
+            _, _, idx = _run_split(a)
+            if not len(idx):
+                return pa.table({"a": _pa_col(a[:0]),
+                                 "truncated": pa.array([], pa.int64())})
+            ab = a[idx]
+            tr = _row_flags(ab, df["b"].to_numpy()[idx],
+                            df["ov"].to_numpy()[idx])
+            ka, mx = _fold_runs(ab, tr)  # pre-max: <= 2 rows ship per block
+            return pa.table({"a": _pa_col(ka), "truncated": pa.array(mx)})
+
+        interior_fl = capped.map_batches(flags_interior,
+                                         batch_format="pandas",
+                                         batch_size=None)
+        bnd_fl = (capped.map_batches(flags_boundary, batch_format="pandas",
+                                     batch_size=None).to_pandas())
+        flag_parts = [interior_fl]
+        if len(bnd_fl):
+            g = (bnd_fl.groupby("a", sort=False)["truncated"].max()
+                 .reset_index())
+            flag_parts.append(rd.from_arrow(pa.table({
+                "a": _pa_col(g["a"].to_numpy()),
+                "truncated": pa.array(g["truncated"].to_numpy()
+                                      .astype(np.int64))})))
+        flags = (flag_parts[0].union(*flag_parts[1:])
+                 if len(flag_parts) > 1 else flag_parts[0])
         sym2 = capped.map_batches(lambda t: t.select(["a", "b"]),
                                   batch_format="pyarrow")
         return sym2, flags
@@ -307,15 +348,11 @@ def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int,
     def fmax_interior(df: pd.DataFrame) -> pa.Table:
         a = df["a"].to_numpy()
         tr = df["truncated"].to_numpy()
-        runs = np.flatnonzero(a[1:] != a[:-1]) + 1 if len(a) else np.array([])
-        if len(runs) == 0:
+        s, e, _ = _run_split(a)
+        if e <= s:
             return pa.table({"a": _pa_col(a[:0]),
                              "truncated": pa.array(np.empty(0, np.int64))})
-        s, e = int(runs[0]), int(runs[-1])
         aa, tt = a[s:e], tr[s:e]
-        if e <= s:
-            return pa.table({"a": _pa_col(aa),
-                             "truncated": pa.array(np.empty(0, np.int64))})
         starts = np.flatnonzero(np.concatenate([[True], aa[1:] != aa[:-1]]))
         mx = np.maximum.reduceat(tt, starts)
         return pa.table({"a": _pa_col(aa[starts]),
@@ -324,12 +361,7 @@ def _cap_adjacency(sym: rd.Dataset, cap: int, num_partitions: int,
     def fmax_edge(df: pd.DataFrame) -> pa.Table:
         a = df["a"].to_numpy()
         tr = df["truncated"].to_numpy()
-        runs = np.flatnonzero(a[1:] != a[:-1]) + 1 if len(a) else np.array([])
-        if len(runs) == 0:
-            idx = np.arange(len(a))
-        else:
-            idx = np.concatenate([np.arange(runs[0]),
-                                  np.arange(runs[-1], len(a))])
+        _, _, idx = _run_split(a)
         return pa.table({"a": _pa_col(a[idx]),
                          "truncated": pa.array(tr[idx].astype(np.int64))})
 

@@ -440,6 +440,8 @@ def crossdoc_dup_mass(docs: rd.Dataset, shingle_k: int = 3,
 
         marked = prs.map_batches(mark, batch_format="pyarrow")
     else:  # corpus-scale dup set: one distributed hash join (streams)
+        from .dedup import _join_safe
+
         sent_dup = dup.map_batches(
             lambda t: t.filter(pc.equal(t["h"], SENT)),
             batch_format="pyarrow").count() > 0
@@ -447,7 +449,13 @@ def crossdoc_dup_mass(docs: rd.Dataset, shingle_k: int = 3,
             lambda t: t.append_column("is_dup",
                                       pa.array(np.ones(t.num_rows, np.int64))),
             batch_format="pyarrow")
-        marked = (prs.join(flag, "left_outer", num_partitions, on=("h",))
+        # _join_safe = identity under ray_join_patch; on a future Ray
+        # where the patch doesn't apply it restores the materialize
+        # workaround for empty leading blocks (a block of only-short
+        # docs emits a zero-row pairs block)
+        marked = (_join_safe(prs, num_partitions)
+                  .join(_join_safe(flag, num_partitions), "left_outer",
+                        num_partitions, on=("h",))
                   .map_batches(lambda t: pa.table({
                       id_col: t[id_col],
                       "is_dup": pc.coalesce(t["is_dup"],

@@ -47,6 +47,14 @@ def _embed_matrix(tbl: pa.Table, col: str = "embedding") -> np.ndarray:
             raise ValueError(
                 f"embedding column has {arr.null_count} null cells; "
                 "drop or impute them before the vector stage")
+        if not pa.types.is_fixed_size_list(t):
+            # ragged rows whose total happens to divide n would reshape
+            # into silently-misaligned rows — validate uniform lengths
+            import pyarrow.compute as pc
+            lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+            if len(lens) and (lens != lens[0]).any():
+                raise ValueError("embedding column has ragged row lengths; "
+                                 "vectors must share one dimension")
         flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
         return flat.reshape(n, -1)
     # Ray's tensor extension type (ndarray cells via from_pandas) or any

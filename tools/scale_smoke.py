@@ -34,11 +34,8 @@ OUT_DIR = "/tmp/graft_scale_smoke"
 BASE_ROWS = 5_000
 
 
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    x = (x + np.uint64(0x9E3779B97F4A7C15))
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return x ^ (x >> np.uint64(31))
+from pagerank_cuda_dynamic_ray.functions.hashing import (  # noqa: E402
+    splitmix64 as _splitmix64)
 
 
 def synth_documents(n_rows: int, seed: int = 42) -> pa.Table:
