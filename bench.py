@@ -298,6 +298,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     SP.temperature_resample(docs_lang, alpha=0.5).materialize()
     extra["temperature_resample_s"] = time.perf_counter() - t0
+    # round-5 addition
+    t0 = time.perf_counter()
+    SK.heavy_hitter_tokens(docs, k=100).materialize()
+    extra["heavy_hitters_s"] = time.perf_counter() - t0
 
     emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"],
                           override_num_blocks=num_cpus)

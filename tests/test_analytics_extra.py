@@ -1060,3 +1060,25 @@ def test_component_sizes_known_structure(ctx):
     got = A.component_sizes(ctx).to_pandas().sort_values("size")
     assert [(int(r["size"]), int(r["n_components"]))
             for _, r in got.iterrows()] == [(1, 2), (6, 1)]
+
+
+def test_run_split_regimes():
+    from pagerank_cuda_dynamic_ray.pipelines.analytics import _run_split
+
+    # empty
+    s, e, idx = _run_split(np.array([], dtype=object))
+    assert (s, e) == (0, 0) and len(idx) == 0
+    # single run: all boundary (could continue in either neighbor block)
+    s, e, idx = _run_split(np.array(["x"] * 4, dtype=object))
+    assert (s, e) == (0, 0) and idx.tolist() == [0, 1, 2, 3]
+    # two runs: both are first/last -> all boundary, no interior
+    s, e, idx = _run_split(np.array(["x", "x", "y"], dtype=object))
+    assert (s, e) == (0, 0) and idx.tolist() == [0, 1, 2]
+    # three runs: middle run is the only interior
+    a = np.array(["x", "x", "y", "y", "y", "z"], dtype=object)
+    s, e, idx = _run_split(a)
+    assert a[s:e].tolist() == ["y", "y", "y"]
+    assert idx.tolist() == [0, 1, 5]
+    # int keys too
+    s, e, idx = _run_split(np.array([7, 7, 8, 9, 9]))
+    assert (s, e) == (2, 3) and idx.tolist() == [0, 1, 3, 4]
